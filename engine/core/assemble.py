@@ -1,0 +1,170 @@
+"""Document assembly, figure merge, and schema validation (A6–A12, V1–V4).
+
+``build_document`` mirrors the rule engine's JSON assembly
+(md_to_json_engine.py:346-392) with injectable timestamps (the reference
+stamps ``datetime.now()`` at :357-358 — volatile fields are parameters here
+so identical inputs give identical bytes).
+
+``merge_figures`` mirrors json_merger.py:23-97 (figure injection, summary
+recount, same-page passage linking capped at 3, pipeline-step append,
+synthesis-model stamp).
+
+``validate_document`` / ``repair_document`` mirror the strict checks and
+auto-fix defaults of batch_pdf_processor.py:613-706 and the minimal-structure
+fallback :1751-1804.
+"""
+
+from __future__ import annotations
+
+from copy import deepcopy
+from typing import Dict, List, Optional, Tuple
+
+from . import ids
+
+SCHEMA_VERSION = "1.3.1"
+_TOP_LEVEL = ("schema_version", "doc", "passages", "entities", "data")
+
+FIXED_TS = "2025-09-01T00:00:00"  # injectable default — determinism over wall clock
+
+
+def build_document(record: Dict, doc_name: str,
+                   date_str: Optional[str] = None,
+                   publication: Optional[str] = None,
+                   ingested_at: str = FIXED_TS,
+                   extracted_at: str = FIXED_TS) -> Dict:
+    """Assemble a per-turn extraction record into the schema-1.3.1 shape."""
+    passages = [
+        {"passage_id": p["passage_id"], "text": p["text"], "page": p["page"],
+         "section": p.get("section")}
+        for p in record.get("passages", [])
+    ]
+    tables = [
+        {"table_id": t["table_id"], "title": t["title"], "page": t["page"],
+         "columns": t["columns"], "rows": t["rows"],
+         "provenance": {"page": t["page"]}}
+        for t in record.get("tables", [])
+    ]
+    numerics = [
+        {"num_id": n["num_id"], "value": n["value"], "unit": n["unit"],
+         "metric_type": n["metric_type"], "context": n["context"],
+         "provenance": {"page": n["page"]}}
+        for n in record.get("numerics", [])
+    ]
+    return {
+        "schema_version": SCHEMA_VERSION,
+        "doc": {
+            "doc_id": ids.doc_id(doc_name),
+            "title": record.get("title") or "Untitled Document",
+            "source_uri": f"{publication}/{doc_name}" if publication else doc_name,
+            "language": record.get("language", "en"),
+            "timestamps": {"ingested_at": ingested_at, "extracted_at": extracted_at},
+            "extraction_run": {
+                "vision_model": "none",
+                "synthesis_model": "rule-based-engine",
+                "pipeline_steps": ["payload_dispatch", "rule_extraction"],
+                "processing_metadata": {
+                    "pages_processed": record.get("page_count", 0),
+                    "successful_pages": record.get("page_count", 0),
+                    "date": date_str or record.get("date"),
+                    "publication": publication,
+                    "authors": record.get("authors", []),
+                },
+            },
+        },
+        "passages": passages,
+        "entities": record.get("entities", []),
+        "data": {
+            "figures": [],
+            "tables": tables,
+            "numerical_data": numerics,
+            "claims": [],
+            "relations": [],
+            "extraction_summary": {
+                "figures_count": 0,
+                "tables_count": len(tables),
+                "numerical_data_count": len(numerics),
+                "passages_count": len(passages),
+                "entities_count": len(record.get("entities", [])),
+            },
+        },
+    }
+
+
+def merge_figures(base: Dict, figures_data: List[Dict]) -> Dict:
+    """A11 + A7 — json_merger.py:23-97."""
+    result = deepcopy(base)
+    data = result.setdefault("data", {})
+    data["figures"] = figures_data
+
+    summary = data.setdefault("extraction_summary", {})
+    summary["figures_count"] = len(figures_data)
+    summary["figures_with_data"] = sum(
+        1 for f in figures_data if f.get("series"))
+
+    # A7: same-page passage linking, cap 3 (json_merger.py:75-97)
+    for fig in figures_data:
+        page = fig.get("page", 0)
+        related = [p["passage_id"] for p in result.get("passages", [])
+                   if p.get("page") == page]
+        if related:
+            fig.setdefault("metadata", {})["related_passages"] = related[:3]
+
+    run = result.get("doc", {}).get("extraction_run")
+    if isinstance(run, dict):
+        steps = run.get("pipeline_steps", [])
+        if "figure_vision" not in steps:
+            steps.append("figure_vision")
+        run["pipeline_steps"] = steps
+        run["synthesis_model"] = "hybrid:rule-engine+figure-stub"
+    return result
+
+
+def validate_document(doc: Dict) -> Tuple[bool, Optional[str]]:
+    """V1/V4 strict checks — batch_pdf_processor.py:613-647, json_merger.py:99-141."""
+    if not isinstance(doc, dict):
+        return False, "document is not an object"
+    missing = [k for k in _TOP_LEVEL if k not in doc]
+    if missing:
+        return False, f"missing top-level fields: {missing}"
+    if doc.get("schema_version") != SCHEMA_VERSION:
+        return False, f"schema_version != {SCHEMA_VERSION}"
+    d = doc.get("doc")
+    if not isinstance(d, dict) or not d.get("doc_id") or "title" not in d:
+        return False, "doc missing doc_id/title"
+    if not isinstance(doc.get("passages"), list):
+        return False, "passages is not a list"
+    if not isinstance(doc.get("entities"), list):
+        return False, "entities is not a list"
+    data = doc.get("data")
+    if not isinstance(data, dict):
+        return False, "data is not an object"
+    for coll in ("figures", "tables", "numerical_data"):
+        if coll in data and not isinstance(data[coll], list):
+            return False, f"data.{coll} is not a list"
+    return True, None
+
+
+def repair_document(doc: Dict, doc_name: str) -> Dict:
+    """V2/V3 — inject defaults for whatever is missing
+    (batch_pdf_processor.py:649-706, :1751-1804)."""
+    fixed = deepcopy(doc) if isinstance(doc, dict) else {}
+    fixed.setdefault("schema_version", SCHEMA_VERSION)
+    d = fixed.setdefault("doc", {})
+    d.setdefault("doc_id", ids.doc_id(doc_name))
+    d.setdefault("title", "Untitled Document")
+    d.setdefault("timestamps", {"ingested_at": FIXED_TS, "extracted_at": FIXED_TS})
+    d.setdefault("extraction_run", {"pipeline_steps": ["repair"]})
+    fixed.setdefault("passages", [])
+    fixed.setdefault("entities", [])
+    data = fixed.setdefault("data", {})
+    data.setdefault("figures", [])
+    data.setdefault("tables", [])
+    data.setdefault("numerical_data", [])
+    data.setdefault("claims", [])
+    data.setdefault("relations", [])
+    data.setdefault("extraction_summary", {
+        "figures_count": len(data["figures"]),
+        "tables_count": len(data["tables"]),
+        "numerical_data_count": len(data["numerical_data"]),
+    })
+    return fixed

@@ -1,0 +1,106 @@
+"""Document-level metadata extraction (P13–P18).
+
+Title/date/company/author extraction reproduces md_to_json_engine.py:138-203;
+language detection batch_pdf_processor.py:1999-2004; ticker extraction
+batch_pdf_processor.py:2022-2036.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import List, Optional
+
+_H1_RE = re.compile(r"^#\s+(.+)$", re.MULTILINE)
+_BOLD_RE = re.compile(r"\*\*(.+?)\*\*")
+_TAG_RE = re.compile(r"<[^>]+>")
+
+_DATE_PATTERNS = [
+    re.compile(r"\b(\d{4}-\d{2}-\d{2})\b", re.IGNORECASE),
+    re.compile(r"\b(\d{1,2}\s+(?:Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec)[a-z]*\s+\d{4})\b", re.IGNORECASE),
+    re.compile(r"\b(\d{1,2}/\d{1,2}/\d{4})\b", re.IGNORECASE),
+]
+
+_COMPANY_PATTERNS = [
+    re.compile(r"\b([A-Z][A-Za-z\s&]+(?:Inc|Corp|Corporation|Ltd|Limited|Group|Company|Co)\.?)\b"),
+    re.compile(r"\b([A-Z][A-Za-z]+\s+[A-Z][A-Za-z]+)\b"),
+]
+
+_AUTHOR_RE = re.compile(r"([A-Z][a-z]+\s+[A-Z][a-z]+)\s+[+\d\s()-]+\s+[\w.]+@[\w.]+")
+
+_CJK_RE = re.compile("[一-鿿]")
+_LATIN_RE = re.compile(r"[A-Za-z]")
+
+_TICKER_PATTERNS = [
+    re.compile(r"Ticker[s]?:\s*([A-Z0-9\-\s,;]+)"),
+    re.compile(r"股票代码[:：]\s*([A-Z0-9\-\s,;]+)"),
+]
+_TICKER_SPLIT_RE = re.compile(r"[,;\s]+")
+
+
+def extract_title(markdown: str) -> str:
+    """P13 — md_to_json_engine.py:138-156."""
+    m = _H1_RE.search(markdown)
+    if m:
+        return m.group(1).strip()
+    for line in markdown.split("\n")[:10]:
+        line = line.strip()
+        if line and not line.startswith("#"):
+            clean = _TAG_RE.sub("", _BOLD_RE.sub(r"\1", line))
+            if len(clean) > 10:
+                return clean[:200]
+    return "Untitled Document"
+
+
+def extract_date(markdown: str) -> Optional[str]:
+    """P14 — md_to_json_engine.py:158-172."""
+    for rx in _DATE_PATTERNS:
+        m = rx.search(markdown)
+        if m:
+            return m.group(1)
+    return None
+
+
+def extract_companies(markdown: str) -> List[str]:
+    """P15 — md_to_json_engine.py:174-192 (sorted, cap 20)."""
+    companies = set()
+    for rx in _COMPANY_PATTERNS:
+        for raw in rx.findall(markdown):
+            name = raw.strip()
+            if 3 < len(name) < 50 and not name.isupper():
+                companies.add(name)
+    return sorted(companies)[:20]
+
+
+def extract_authors(markdown: str) -> List[str]:
+    """P16 — md_to_json_engine.py:194-203.
+
+    The reference dedups via ``list(set(...))[:10]`` whose order is Python
+    set-iteration order — not stable across processes. We pin the obvious
+    deterministic reading (first-seen order, cap 10); the count and the
+    membership match the reference, the ordering is documented as a
+    deliberate determinism fix.
+    """
+    seen: List[str] = []
+    for name in _AUTHOR_RE.findall(markdown):
+        if name not in seen:
+            seen.append(name)
+    return seen[:10]
+
+
+def detect_language(text: str) -> str:
+    """P17 — batch_pdf_processor.py:1999-2004."""
+    if not text:
+        return "en"
+    return "zh" if len(_CJK_RE.findall(text)) > len(_LATIN_RE.findall(text)) else "en"
+
+
+def extract_tickers(markdown: str) -> List[str]:
+    """P18 — batch_pdf_processor.py:2022-2036 (sorted unique, 1–6 chars)."""
+    found = set()
+    for rx in _TICKER_PATTERNS:
+        for m in rx.finditer(markdown):
+            for part in _TICKER_SPLIT_RE.split(m.group(1)):
+                t = part.strip().upper()
+                if t and 1 <= len(t) <= 6:
+                    found.add(t)
+    return sorted(found)
