@@ -1,0 +1,198 @@
+"""The extraction pipeline: read → resume anti-join → salted repartition →
+Arrow-batch extract → cluster → write, with per-wave checkpointing.
+
+Physical design for 10^12 turns (SURVEY.md §4):
+
+* Per-turn extraction is an embarrassingly parallel map, so the unit of
+  shuffle-free parallelism is an input split. We repartition by
+  ``hash(conv_id, turn_idx)`` ONLY when the source layout is skewed
+  (synthetic data is written shuffled; a production Iceberg table bucketed by
+  conv_id needs no repartition at all for the map — the repartition exists to
+  break up pathological splits, e.g. one file holding a 2000-turn
+  conversation run).
+* Conversations are bucketed by a platform-stable md5 bucket (NOT Python
+  ``hash``): the bucket is both the output partition key and the resume unit.
+* Resume = left-anti join of the input against completed buckets in the
+  lineage manifest (mirrors the reference's skip-completed scans,
+  batch_pdf_processor.py:2562-2625) — at cluster scale the manifest is tiny
+  (≤ n_buckets rows/run) so the anti-join broadcasts.
+* Waves: buckets are processed in ``waves`` sequential commit units; each
+  wave's output + lineage rows commit together, so a killed run resumes at
+  wave granularity with zero duplicate output rows. On Iceberg this is a
+  snapshot per wave; on the parquet fallback it is a directory-append per
+  wave (Spark's job-commit protocol keeps half-written waves invisible).
+* Ordering: per-turn equality is checked under stable (conv_id, turn_idx)
+  order; we never global-sort 10^12 rows — ``sortWithinPartitions`` clusters
+  each output file and consumers order within conversation via a window.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+from datetime import datetime, timezone
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .schema import EXTRACTED_SCHEMA, LINEAGE_SCHEMA
+from .udfs import bucket_col, extract_batches
+
+DEFAULT_BUCKETS = 1024
+
+
+@dataclass
+class RunStats:
+    run_id: str
+    waves_run: int
+    turns_processed: int
+    turns_skipped_resume: int
+    wall_s: float
+
+
+def extract_df(df: DataFrame, n_buckets: int = DEFAULT_BUCKETS,
+               salt_partitions: Optional[int] = None) -> DataFrame:
+    """transcripts → extracted_turns (no write). The core operator.
+
+    ``salt_partitions`` > 0 forces an even repartition by
+    ``hash(conv_id, turn_idx)`` — full-width salt, safe because the
+    extraction map is per-turn (north_rule's "salted repartitioning for
+    skewed long conversations").
+    """
+    src = df.select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    if salt_partitions:
+        src = src.repartition(salt_partitions, F.xxhash64("conv_id", "turn_idx"))
+    return src.mapInPandas(
+        lambda it: extract_batches(it, n_buckets), schema=EXTRACTED_SCHEMA)
+
+
+def completed_buckets(spark: SparkSession, out_path: str) -> DataFrame:
+    """Distinct conv_buckets already committed to the OUTPUT table.
+
+    The output is the resume authority, not the lineage manifest: a wave
+    commits output first, lineage second, so a crash between the two commits
+    must not cause the wave to be reprocessed (that would duplicate output
+    rows). Buckets can only appear in the output fully written (Spark's job
+    commit is all-or-nothing per wave), and reading just the partition column
+    is a directory listing, not a data scan."""
+    try:
+        out = spark.read.schema(EXTRACTED_SCHEMA).parquet(out_path)
+        return out.select("conv_bucket").distinct()
+    except Exception:
+        return spark.createDataFrame([], "conv_bucket int")
+
+
+def run_pipeline(spark: SparkSession, input_path: str, output_dir: str,
+                 run_id: str, n_buckets: int = DEFAULT_BUCKETS,
+                 waves: int = 4, salt_partitions: Optional[int] = None) -> RunStats:
+    """End-to-end batch run with resume. Idempotent per (run_id, bucket)."""
+    t_start = time.monotonic()
+    out_path = f"{output_dir}/extracted_turns"
+    lineage_path = f"{output_dir}/lineage"
+
+    src = spark.read.parquet(input_path).withColumn("conv_bucket", bucket_col(n_buckets))
+
+    done = completed_buckets(spark, out_path)
+    done_count = done.count()
+    # resume anti-join — broadcast: the manifest is ≤ n_buckets rows
+    todo = src.join(F.broadcast(done), "conv_bucket", "left_anti")
+
+    # lineage backfill: a crash between a wave's output commit and its
+    # lineage commit leaves committed buckets with no manifest rows — repair
+    # the manifest from the output (wave=-1 marks backfilled rows)
+    if done_count:
+        try:
+            lin_buckets = (spark.read.parquet(lineage_path)
+                           .select("conv_bucket").distinct())
+        except Exception:
+            lin_buckets = spark.createDataFrame([], "conv_bucket int")
+        orphans = done.join(F.broadcast(lin_buckets), "conv_bucket", "left_anti")
+        if orphans.count():
+            backfill = (spark.read.schema(EXTRACTED_SCHEMA).parquet(out_path)
+                        .join(F.broadcast(orphans), "conv_bucket", "left_semi")
+                        .groupBy("conv_bucket", "partition_id")
+                        .agg(F.count("*").alias("turns_processed"),
+                             F.sum(F.when(F.col("error").isNotNull(), 1)
+                                   .otherwise(0)).alias("extraction_failures"),
+                             F.sum("bytes_in").alias("bytes_parsed"))
+                        .withColumn("run_id", F.lit(run_id))
+                        .withColumn("wave", F.lit(-1))
+                        .withColumn("wall_ms", F.lit(0))
+                        .withColumn("completed_at",
+                                    F.lit(datetime.now(timezone.utc))
+                                    .cast("timestamp"))
+                        .select([f.name for f in LINEAGE_SCHEMA.fields]))
+            backfill.write.mode("append").parquet(lineage_path)
+
+    total_processed = 0
+    skipped = 0
+    waves_run = 0
+    for wave in range(waves):
+        wave_df = todo.filter(F.col("conv_bucket") % waves == wave)
+        extracted = (
+            extract_df(wave_df.drop("conv_bucket"), n_buckets, salt_partitions)
+            .sortWithinPartitions("conv_id", "turn_idx")
+        )
+        t_wave = time.monotonic()
+        extracted.write.mode("append").partitionBy("conv_bucket").parquet(out_path)
+
+        # lineage rows for this wave, derived from the committed output.
+        # Explicit schema (read works even when the first wave was empty);
+        # anti-join against `done` so buckets committed by a previous attempt
+        # of this run are not double-counted. Column pruning makes this
+        # read-back touch only 4 small columns.
+        wave_out = (spark.read.schema(EXTRACTED_SCHEMA).parquet(out_path)
+                    .filter(F.col("conv_bucket") % waves == wave)
+                    .join(F.broadcast(done), "conv_bucket", "left_anti"))
+        wall_ms = int((time.monotonic() - t_wave) * 1000)
+        lineage = (wave_out.groupBy("conv_bucket", "partition_id")
+                   .agg(F.count("*").alias("turns_processed"),
+                        F.sum(F.when(F.col("error").isNotNull(), 1).otherwise(0))
+                         .alias("extraction_failures"),
+                        F.sum("bytes_in").alias("bytes_parsed"))
+                   .withColumn("run_id", F.lit(run_id))
+                   .withColumn("wave", F.lit(wave))
+                   .withColumn("wall_ms", F.lit(wall_ms))
+                   .withColumn("completed_at",
+                               F.lit(datetime.now(timezone.utc)).cast("timestamp"))
+                   .select([f.name for f in LINEAGE_SCHEMA.fields]))
+        n_wave = lineage.agg(F.sum("turns_processed")).collect()[0][0] or 0
+        lineage.write.mode("append").parquet(lineage_path)
+        total_processed += int(n_wave)
+        waves_run += 1
+
+    if done_count:
+        skipped = src.join(F.broadcast(done), "conv_bucket", "left_semi").count()
+
+    return RunStats(run_id=run_id, waves_run=waves_run,
+                    turns_processed=total_processed,
+                    turns_skipped_resume=skipped,
+                    wall_s=time.monotonic() - t_start)
+
+
+def assemble_conversations(extracted: DataFrame) -> DataFrame:
+    """Conversation-level rollup (A6–A13 at conversation scope).
+
+    Pure DataFrame ops — no UDF: stable turn order is imposed with
+    array_sort over (turn_idx, …) structs, the Spark-native equivalent of the
+    reference's sequential accumulation (SURVEY.md §2.4). Aggregation is a
+    single hash-shuffle on conv_id; skewed conversations are bounded (≤ a few
+    thousand turns) so no salting is needed for the agg itself.
+    """
+    ordered_text = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("turn_idx", "cleaned_text"))),
+            lambda s: s["cleaned_text"]),
+        "\n\n")
+    return (extracted.groupBy("conv_id").agg(
+        F.count("*").alias("n_turns"),
+        F.max("turn_idx").alias("max_turn_idx"),
+        ordered_text.alias("conversation_text"),
+        F.array_sort(F.array_distinct(F.flatten(F.collect_list("tickers"))))
+         .alias("tickers"),
+        F.sum("summary.passages_count").alias("passages_count"),
+        F.sum("summary.tables_count").alias("tables_count"),
+        F.sum("summary.numerics_count").alias("numerics_count"),
+        F.sum(F.when(F.col("error").isNotNull(), 1).otherwise(0)).alias("failed_turns"),
+        F.sum(F.length(F.col("cleaned_text"))).alias("cleaned_chars"),
+    ))

@@ -1,0 +1,73 @@
+from engine.core.assemble import (build_document, merge_figures,
+                                  repair_document, validate_document)
+from engine.core.entities import (EntityIndex, entities_from_companies,
+                                  lookup_passage_id, normalize_entity_name,
+                                  ticker_union, unique_list)
+from engine.core.extract import extract_turn
+from engine.core.figure_stub import (coerce_type, deterministic_fake,
+                                     extract_figures_batched, fallback_record)
+
+
+def test_entities_from_companies_id():
+    [e] = entities_from_companies(["Acme Corp"])
+    assert e["type"] == "company" and len(e["entity_id"]) == 16
+
+
+def test_entity_index_first_wins_and_alias_probe():
+    idx = EntityIndex(salt="pub")
+    idx.add({"name": "  Acme   Corp ", "type": "company", "ticker": "ACME"})
+    idx.add({"name": "acme corp", "country": "US", "type": "index"})  # merge
+    assert len(idx.entities) == 1
+    e = idx.entities[0]
+    assert e["name"] == "Acme Corp"
+    assert e["type"] == "company"      # first wins
+    assert e["country"] == "US"        # filled in
+    assert idx.resolve("ACME") == e["entity_id"]
+    assert idx.resolve({"name": "Acme Corp"}) == e["entity_id"]
+    assert idx.resolve("nobody") is None
+
+
+def test_utils():
+    assert normalize_entity_name("  A   B ") == "A B"
+    assert unique_list(["a", "A", "b", None, " "]) == ["a", "b"]
+    assert ticker_union(["aapl", "MSFT"], ["msft "]) == ["AAPL", "MSFT"]
+    assert lookup_passage_id({1: {0: "p0", 2: "p2"}}, 1, 1) == "p0"  # probes idx-1
+    assert lookup_passage_id({1: {}}, 1, 0) is None
+
+
+def test_build_validate_merge_roundtrip():
+    rec = extract_turn("# T\n\nA paragraph with Acme Corp revenue of $5B up 3%.",
+                       "ocr.markdown", "conv-0:0")
+    doc = build_document(rec, "conv-0:0")
+    ok, err = validate_document(doc)
+    assert ok, err
+    figs = extract_figures_batched([{"path": "images/0_0.jpg", "page": 0,
+                                     "title": "Fig"}])
+    merged = merge_figures(doc, figs)
+    assert merged["data"]["extraction_summary"]["figures_count"] == len(figs)
+    ok, err = validate_document(merged)
+    assert ok, err
+    # figure-passage link capped at 3, same-page only
+    for f in merged["data"]["figures"]:
+        rel = f.get("metadata", {}).get("related_passages", [])
+        assert len(rel) <= 3
+
+
+def test_repair_document():
+    fixed = repair_document({"passages": "not-a-list"}, "d")
+    ok, err = validate_document({**fixed, "passages": []})
+    assert ok, err
+    assert fixed["schema_version"] == "1.3.1"
+
+
+def test_figure_stub_determinism_and_fallback():
+    d = {"path": "images/1_0.jpg", "page": 1, "title": "X"}
+    assert deterministic_fake(d) == deterministic_fake(d)
+    assert coerce_type("LINE") == "line" and coerce_type("weird") == "other"
+    fb = fallback_record(d)
+    assert fb["page"] == 2 and fb["series"] == []  # 0-based → 1-based
+
+    def boom(_):
+        raise RuntimeError("model down")
+    out = extract_figures_batched([d], extract_fn=boom)
+    assert out == [fb]

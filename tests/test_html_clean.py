@@ -1,0 +1,55 @@
+from engine.core.html_clean import clean_html
+
+DOC = """<html><head><title>Page Title</title><style>p{}</style></head><body>
+<nav><a href="/">Home</a> <a href="/n">News</a></nav>
+<article><h1>Main headline here</h1>
+<p>The first paragraph is long enough and has the usual function words in it, so the scorer keeps it around.</p>
+<p>Another real paragraph of the piece which should also be kept by the density rules we have in place.</p>
+<table><tr><th>k</th><th>v</th></tr><tr><td>1</td><td>one</td></tr></table>
+</article>
+<div class="farm"><a href="/a">aaa</a> <a href="/b">bbb</a> <a href="/c">ccc</a></div>
+<footer>© 2025 whatever <a href="/t">Terms</a></footer>
+<script>var s = "The first paragraph is long enough";</script>
+</body></html>"""
+
+
+def test_main_content_kept_boilerplate_dropped():
+    cleaned, stats, spans, tables = clean_html(DOC)
+    assert "The first paragraph is long enough" in cleaned
+    assert "Another real paragraph" in cleaned
+    assert "# Main headline here" in cleaned  # heading prefixed by level
+    assert "Home" not in cleaned          # nav dropped
+    assert "aaa" not in cleaned           # link farm dropped
+    assert "© 2025" not in cleaned        # footer dropped
+    assert "var s" not in cleaned         # script dropped
+    assert stats["title"] == "Page Title"
+    assert stats["blocks_kept"] >= 3
+
+
+def test_table_capture():
+    _, _, _, tables = clean_html(DOC)
+    assert len(tables) == 1
+    assert tables[0]["columns"] == ["k", "v"]
+    assert tables[0]["rows"] == [{"k": "1", "v": "one"}]
+
+
+def test_spans_cover_source_offsets():
+    cleaned, _, spans, _ = clean_html(DOC)
+    assert spans, "expected block spans"
+    for s in spans:
+        assert 0 <= s.start <= s.end <= len(DOC)
+    kept = [s for s in spans if s.kind == "html_kept"]
+    assert any(DOC[s.start:s.end].startswith("The first paragraph") for s in kept)
+
+
+def test_never_throws_on_garbage():
+    for junk in ["<div><p>unclosed", "<<<>>>", "", "<a href='x'>only link</a>",
+                 "plain text without tags at all, but long enough to keep"]:
+        cleaned, stats, spans, tables = clean_html(junk)
+        assert isinstance(cleaned, str)
+
+
+def test_link_density_drop():
+    farm = "<div>" + " ".join(f'<a href="/{i}">link {i} text</a>' for i in range(10)) + "</div>"
+    cleaned, _, _, _ = clean_html(farm)
+    assert cleaned == ""

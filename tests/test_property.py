@@ -1,0 +1,51 @@
+"""Property tests: the kernel never throws, span offsets stay in bounds, and
+cleaning is idempotent on its own output (markdown path)."""
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from engine.core.cleaner import clean_markdown
+from engine.core.extract import extract_turn
+from engine.core.html_clean import clean_html
+
+payloads = st.text(
+    alphabet=st.characters(codec="utf-8", exclude_categories=("Cs",)),
+    max_size=2000)
+tools = st.sampled_from(["ocr.markdown", "ocr.grounded", "web.html",
+                         "chat.plain", None, "unknown.tool"])
+
+structured = st.sampled_from([
+    "\n\n--- Page 1 ---\n\n", "<|ref|>text<|/ref|><|det|>[[1,2,3,4]]<|/det|>",
+    "<|ref|>image<|/ref|><|det|>[", "| a | b |\n|---|---|\n| 1 | 2 |\n",
+    "## Important Disclosures\n", "![f](images/0_0.jpg)", "$5.2B", "6.2%",
+    "<div><a href='x'>l</a></div>", "<｜end of sentence｜>", "© Copyright 2025",
+])
+mixed = st.lists(st.one_of(payloads, structured), max_size=8).map("".join)
+
+
+@settings(max_examples=150, deadline=None)
+@given(mixed, tools)
+def test_never_throws_and_spans_bounded(payload, tool):
+    rec = extract_turn(payload, tool, "prop")
+    assert isinstance(rec["cleaned_text"], str)
+    for s in rec["spans"]:
+        assert s["start"] == -1 or (0 <= s["start"] <= s["end"] <= len(payload))
+    counted = rec["summary"]
+    assert counted["passages_count"] == len(rec["passages"])
+    assert counted["numerics_count"] == len(rec["numerics"])
+
+
+@settings(max_examples=80, deadline=None)
+@given(mixed)
+def test_clean_markdown_idempotent(payload):
+    once, _, _ = clean_markdown(payload)
+    twice, _, _ = clean_markdown(once)
+    assert twice == once
+
+
+@settings(max_examples=80, deadline=None)
+@given(mixed)
+def test_clean_html_never_throws(payload):
+    cleaned, stats, spans, tables = clean_html(payload)
+    assert isinstance(cleaned, str)
+    assert stats["final_length"] == len(cleaned)

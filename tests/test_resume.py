@@ -1,0 +1,81 @@
+"""Checkpoint/lineage resume contract (FIXTURES.md §3.2): a re-run of the same
+run_id processes zero turns and produces zero duplicate output rows; a fresh
+run over the same output dir under a new run_id reprocesses everything."""
+
+import pytest
+
+from tools import synth
+
+
+@pytest.fixture(scope="module")
+def paths(tmp_path_factory):
+    base = tmp_path_factory.mktemp("resume")
+    src = str(base / "tx.parquet")
+    synth.write_parquet(src, 300)
+    return src, str(base / "out")
+
+
+def test_resume_is_idempotent(spark, paths):
+    from engine.spark.pipeline import run_pipeline
+
+    src, out = paths
+    n_src = spark.read.parquet(src).count()
+
+    first = run_pipeline(spark, src, out, run_id="runA", waves=3, n_buckets=64)
+    assert first.turns_processed == n_src
+    assert first.turns_skipped_resume == 0
+
+    second = run_pipeline(spark, src, out, run_id="runA", waves=3, n_buckets=64)
+    assert second.turns_processed == 0
+    assert second.turns_skipped_resume == n_src
+
+    extracted = spark.read.parquet(f"{out}/extracted_turns")
+    assert extracted.count() == n_src
+    assert extracted.select("conv_id", "turn_idx").distinct().count() == n_src
+
+    lineage = spark.read.parquet(f"{out}/lineage")
+    rows = lineage.collect()
+    assert all(r["run_id"] == "runA" for r in rows)
+    assert sum(r["turns_processed"] for r in rows) == n_src
+    assert all(r["extraction_failures"] == 0 for r in rows)
+    assert all(r["bytes_parsed"] > 0 for r in rows)
+
+
+def test_crash_between_output_and_lineage_commit(spark, paths, tmp_path):
+    """The resume authority is the OUTPUT table: output committed but lineage
+    missing (crash in the window between the two commits) must not be
+    reprocessed — and the manifest is backfilled from the output."""
+    import shutil
+
+    from engine.spark.pipeline import run_pipeline
+
+    src, _ = paths
+    out = str(tmp_path / "out")
+    n_src = spark.read.parquet(src).count()
+
+    run_pipeline(spark, src, out, run_id="runC", waves=2, n_buckets=64)
+    shutil.rmtree(f"{out}/lineage")  # simulate the crash window
+
+    redo = run_pipeline(spark, src, out, run_id="runC2", waves=2, n_buckets=64)
+    assert redo.turns_processed == 0  # nothing reprocessed → no dup risk
+
+    extracted = spark.read.parquet(f"{out}/extracted_turns")
+    assert extracted.count() == n_src
+    lineage = spark.read.parquet(f"{out}/lineage")
+    rows = lineage.collect()
+    assert all(r["wave"] == -1 for r in rows)  # backfilled
+    assert sum(r["turns_processed"] for r in rows) == n_src
+
+
+def test_bucket_is_process_stable(spark, paths):
+    """kernel-side md5 bucket == SQL-side bucket expression, so resume
+    anti-joins agree with what the kernel wrote."""
+    from pyspark.sql import functions as F
+
+    from engine.spark.udfs import bucket_col, stable_bucket
+
+    src, _ = paths
+    df = (spark.read.parquet(src).select("conv_id").distinct()
+          .withColumn("sql_bucket", bucket_col(64)))
+    for r in df.collect():
+        assert r["sql_bucket"] == stable_bucket(r["conv_id"], 64)
