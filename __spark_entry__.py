@@ -1,38 +1,385 @@
-"""Driver contract for the spark-graft builder (PySpark target).
+"""Driver contract: entry / queries / oracle_sql.
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Two query families:
+
+1. **Extraction queries** (`extract_*`, `conversation_rollup`) — run the real
+   Spark pipeline over the committed synthetic transcript table
+   (data/synth/{tag}/transcripts.parquet) and are verified against
+   *precomputed oracle outputs* (expected_*.parquet) produced by the pure
+   Python kernel (tools/build_expected.py). Those kernels were byte-parity
+   checked against the reference modules (tools/parity_check.py), so a value
+   hash match here IS the reference per-turn equality gate.
+
+2. **Data-pipeline queries** (TPC-H-ish, text stats, dedup, ANN) — pure
+   DataFrame algebra over the provided parquet tables, each with a
+   semantically identical DuckDB oracle (hashes are md5-based so both
+   engines produce identical values).
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+SYNTH = os.path.join(REPO, "data", "synth")
+EXP = os.path.join(SYNTH, "sf0.01")  # oracle scale (driver runs sf=0.01)
+
+_extracted_cache: dict = {}
+
+
+def _tag(sf_dir: str) -> str:
+    return os.path.basename(os.path.normpath(sf_dir)) or "sf0.01"
+
+
+def _synth_dir(sf_dir: str) -> str:
+    """Committed synth dirs carry transcripts + expected oracles (sf0.001,
+    sf0.01). Other scales get transcripts only, cached under /tmp — the
+    expensive single-threaded expected build exists solely for the oracle
+    scales and must not run during benches."""
+    tag = _tag(sf_dir)
+    d = os.path.join(SYNTH, tag)
+    if os.path.exists(os.path.join(d, "transcripts.parquet")):
+        return d
+    if tag in ("sf0.001", "sf0.01"):
+        from pathlib import Path
+        from tools.build_expected import build_tag
+        build_tag(tag, Path(SYNTH))
+        return d
+    from tools.build_expected import TAG_TURNS
+    from tools import synth as synth_mod
+    tmp = os.path.join("/tmp/spark_graft_synth", tag)
+    path = os.path.join(tmp, "transcripts.parquet")
+    if not os.path.exists(path):
+        os.makedirs(tmp, exist_ok=True)
+        synth_mod.write_parquet(path, TAG_TURNS.get(tag, 4000))
+    return tmp
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _extracted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline output over the synthetic transcripts, memoized per scale."""
+    key = _tag(sf_dir)
+    if key not in _extracted_cache:
+        from engine.spark.pipeline import extract_df
+        src = spark.read.parquet(os.path.join(_synth_dir(sf_dir), "transcripts.parquet"))
+        df = extract_df(src, salt_partitions=32).persist()
+        df.count()  # materialize once; every extract_* query reuses it
+        _extracted_cache[key] = df
+    return _extracted_cache[key]
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full extraction over the sf0.001 transcript table."""
+    ext = _extracted(spark, "/root/testdata/sf0.001")
+    return ext.select(
+        "conv_id", "turn_idx", "payload_kind",
+        F.md5("cleaned_text").alias("cleaned_md5"),
+        F.length("cleaned_text").alias("cleaned_len"),
+        "word_count", "page_count",
+        F.col("summary.passages_count").alias("passages_count"),
+        F.col("summary.numerics_count").alias("numerics_count"),
+        "error")
+
+
+# ---------------------------------------------------------------------------
+# extraction queries
+# ---------------------------------------------------------------------------
+
+def q_extract_per_turn(spark, sf_dir):
+    ext = _extracted(spark, sf_dir)
+    return ext.select(
+        "conv_id", "turn_idx", "payload_kind",
+        F.md5("cleaned_text").alias("cleaned_md5"),
+        F.length("cleaned_text").alias("cleaned_len"),
+        "word_count", "page_count",
+        F.col("clean_stats.removed_sections").alias("removed_sections"),
+        F.col("clean_stats.removed_paragraphs").alias("removed_paragraphs"),
+        F.col("summary.passages_count").alias("passages_count"),
+        F.col("summary.tables_count").alias("tables_count"),
+        F.col("summary.numerics_count").alias("numerics_count"),
+        F.col("summary.entities_count").alias("entities_count"),
+        F.size("figures_kept").alias("figures_kept_count"),
+        F.size("figures_dropped").alias("figures_dropped_count"),
+        F.size("spans").alias("n_spans"),
+        "title", "date", "language", "error")
+
+
+def q_extract_kind_rollup(spark, sf_dir):
+    return (q_extract_per_turn(spark, sf_dir)
+            .groupBy("payload_kind")
+            .agg(F.count("*").alias("n_turns"),
+                 F.sum("cleaned_len").alias("cleaned_chars"),
+                 F.sum("word_count").alias("words"),
+                 F.sum("removed_sections").alias("removed_sections"),
+                 F.sum("removed_paragraphs").alias("removed_paragraphs"),
+                 F.sum("passages_count").alias("passages"),
+                 F.sum("tables_count").alias("tables"),
+                 F.sum("numerics_count").alias("numerics"),
+                 F.sum(F.when(F.col("error").isNotNull(), 1).otherwise(0))
+                  .alias("errors")))
+
+
+def q_extract_passages(spark, sf_dir):
+    ext = _extracted(spark, sf_dir)
+    return (ext.select("conv_id", "turn_idx",
+                       F.explode("passages").alias("p"))
+            .select("conv_id", "turn_idx",
+                    F.col("p.passage_id").alias("passage_id"),
+                    F.col("p.page").alias("page"),
+                    F.length("p.text").alias("text_len"),
+                    F.md5("p.text").alias("text_md5")))
+
+
+def q_extract_numerics(spark, sf_dir):
+    ext = _extracted(spark, sf_dir)
+    return (ext.select("conv_id", "turn_idx", F.explode("numerics").alias("n"))
+            .select("conv_id", "turn_idx",
+                    F.col("n.num_id").alias("num_id"),
+                    F.col("n.value").alias("value"),
+                    F.col("n.unit").alias("unit"),
+                    F.col("n.metric_type").alias("metric_type"),
+                    F.col("n.page").alias("page")))
+
+
+def q_extract_tables(spark, sf_dir):
+    ext = _extracted(spark, sf_dir)
+    return (ext.select("conv_id", "turn_idx", F.explode("tables").alias("t"))
+            .select("conv_id", "turn_idx",
+                    F.col("t.table_id").alias("table_id"),
+                    F.col("t.page").alias("page"),
+                    F.size("t.columns").alias("n_cols"),
+                    F.size("t.rows").alias("n_rows"),
+                    F.col("t.title").alias("title")))
+
+
+def q_extract_spans(spark, sf_dir):
+    ext = _extracted(spark, sf_dir)
+    return (ext.select("conv_id", "turn_idx", F.explode("spans").alias("s"))
+            .select("conv_id", "turn_idx",
+                    F.col("s.kind").alias("kind"),
+                    F.col("s.start").alias("start"),
+                    F.col("s.end").alias("end"),
+                    F.col("s.label").alias("label")))
+
+
+def q_conversation_rollup(spark, sf_dir):
+    from engine.spark.pipeline import assemble_conversations
+    conv = assemble_conversations(_extracted(spark, sf_dir))
+    return conv.select(
+        "conv_id", "n_turns", "max_turn_idx",
+        F.md5("conversation_text").alias("conv_text_md5"),
+        F.array_join("tickers", ",").alias("tickers_csv"),
+        "passages_count", "tables_count", "numerics_count",
+        "failed_turns", "cleaned_chars")
+
+
+def q_pipeline_lineage(spark, sf_dir):
+    """End-to-end run incl. checkpoint/lineage commit (rows-only check —
+    wall-clock fields are inherently non-SQL-reproducible)."""
+    import tempfile
+    from engine.spark.pipeline import run_pipeline
+    out = tempfile.mkdtemp(prefix="lineage_q_")
+    src = os.path.join(_synth_dir(sf_dir), "transcripts.parquet")
+    run_pipeline(spark, src, out, run_id="driver-q", waves=2, n_buckets=64)
+    lin = spark.read.parquet(f"{out}/lineage")
+    return (lin.groupBy("conv_bucket")
+            .agg(F.sum("turns_processed").alias("turns_processed"),
+                 F.sum("extraction_failures").alias("extraction_failures"),
+                 F.sum("bytes_parsed").alias("bytes_parsed")))
+
+
+# ---------------------------------------------------------------------------
+# general relational queries (TPC-H-ish over the provided tables)
+# ---------------------------------------------------------------------------
+
+def q_pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.filter(F.col("l_shipdate") <= "2002-09-02")
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+                 F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+                 F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4)
+                  .alias("sum_disc_price"),
+                 F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+                 F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+                 F.count("*").alias("count_order"))
+            .orderBy("l_returnflag", "l_linestatus"))
+
+
+def q_top_customers(spark, sf_dir):
+    from pyspark.sql import Window
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    rev = (o.groupBy("o_custkey")
+           .agg(F.round(F.sum("o_totalprice"), 4).alias("revenue"),
+                F.count("*").alias("n_orders")))
+    joined = rev.join(F.broadcast(c), rev.o_custkey == c.c_custkey)
+    w = Window.orderBy(F.col("revenue").desc(), F.col("o_custkey"))
+    return (joined.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 25)
+            .select("rank", F.col("o_custkey").alias("custkey"),
+                    "c_name", "revenue", "n_orders"))
+
+
+def q_events_daily(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (ev.groupBy(F.to_date("ts").alias("day"),
+                       F.col("event_type"))
+            .agg(F.count("*").alias("n"),
+                 F.round(F.sum("value"), 4).alias("value_sum"))
+            .orderBy("day", "event_type"))
+
+
+# ---------------------------------------------------------------------------
+# text analysis / dedup / similarity over documents + embeddings
+# ---------------------------------------------------------------------------
+
+def q_doc_text_stats(spark, sf_dir):
+    from engine.datawork.textstats import with_text_stats
+    docs = _t(spark, sf_dir, "documents")
+    return with_text_stats(docs).select(
+        "doc_id", "n_chars_calc", "tokens_ws", "tokens_bpe",
+        "punct_ratio", "stopword_ratio", "quality_score")
+
+
+def q_doc_lang_id(spark, sf_dir):
+    from engine.datawork.textstats import with_lang_id
+    docs = _t(spark, sf_dir, "documents")
+    return with_lang_id(docs).select("doc_id", "lang", "lang_pred")
+
+
+def q_doc_fingerprints(spark, sf_dir):
+    from engine.datawork.textstats import with_fingerprint
+    docs = _t(spark, sf_dir, "documents")
+    return with_fingerprint(docs).select("doc_id", "fingerprint")
+
+
+def q_dedup_exact(spark, sf_dir):
+    from engine.datawork.dedup import exact_duplicates
+    docs = _t(spark, sf_dir, "documents")
+    return (exact_duplicates(docs)
+            .select("fingerprint", "canonical_id", "group_size",
+                    F.array_join(F.transform("member_ids",
+                                             lambda x: x.cast("string")), ",")
+                     .alias("member_csv")))
+
+
+def q_dedup_minhash_sigs(spark, sf_dir):
+    from engine.datawork.dedup import minhash_signatures
+    docs = _t(spark, sf_dir, "documents")
+    return (minhash_signatures(docs)
+            .select(F.col("id").alias("doc_id"),
+                    *[F.col(f"mh{i}") for i in range(8)]))
+
+
+def q_dedup_minhash_pairs(spark, sf_dir):
+    from engine.datawork.dedup import minhash_lsh_candidates
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_lsh_candidates(docs).orderBy("id_a", "id_b")
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    from engine.datawork.dedup import ngram_jaccard_pairs
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, threshold=0.5).orderBy("id_a", "id_b")
+
+
+def q_dedup_simhash(spark, sf_dir):
+    from engine.datawork.dedup import simhash
+    docs = _t(spark, sf_dir, "documents")
+    return simhash(docs).select(F.col("id").alias("doc_id"), "simhash")
+
+
+def q_dedup_simhash_pairs(spark, sf_dir):
+    from engine.datawork.dedup import simhash_near_pairs
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_near_pairs(docs, max_hamming=3).orderBy("id_a", "id_b")
+
+
+def q_ann_cosine_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    joined = emb.crossJoin(F.broadcast(q))
+    dot = F.aggregate(F.zip_with(F.col("embedding").cast("array<double>"),
+                                 F.col("qv").cast("array<double>"),
+                                 lambda x, y: x * y),
+                      F.lit(0.0), lambda a, x: a + x)
+    nrm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
+        F.zip_with(F.col(c).cast("array<double>"),
+                   F.col(c).cast("array<double>"), lambda x, y: x * y),
+        F.lit(0.0), lambda a, x: a + x))
+    return (joined.select("vec_id",
+                          F.round(dot / (nrm("embedding") * nrm("qv")), 6)
+                           .alias("score"))
+            .orderBy(F.col("score").desc(), "vec_id").limit(10))
+
+
+def q_ann_lsh_buckets(spark, sf_dir):
+    from engine.datawork.similarity import with_lsh_bucket
+    emb = _t(spark, sf_dir, "embeddings")
+    return with_lsh_bucket(emb).select("vec_id", "lsh_bucket")
+
+
+def q_embedding_near_pairs(spark, sf_dir):
+    from engine.datawork.similarity import cosine_pairs_above
+    emb = _t(spark, sf_dir, "embeddings")
+    return (cosine_pairs_above(emb, threshold=0.35, bucketed=False)
+            .orderBy("id_a", "id_b"))
+
+
+def q_multimodal_features(spark, sf_dir):
+    """Binary-column plumbing (decode stubbed — rows-only check)."""
+    from engine.datawork.multimodal import extract_features
+    docs = _t(spark, sf_dir, "documents")
+    assets = docs.select(
+        F.concat(F.lit("asset-"), F.col("doc_id").cast("string")).alias("asset_id"),
+        F.lit("image").alias("kind"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.lit("image/fake").alias("mime"),
+        F.lit(64).alias("width"), F.lit(64).alias("height"),
+        F.lit(0).cast("long").alias("duration_ms"))
+    feats = extract_features(assets)
+    return feats.select("asset_id", "kind", "n_bytes", "content_hash",
+                        F.round(F.aggregate("features", F.lit(0.0),
+                                            lambda a, x: a + x), 6)
+                         .alias("feature_sum"), "error")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "extract_per_turn": q_extract_per_turn,
+        "extract_kind_rollup": q_extract_kind_rollup,
+        "extract_passages": q_extract_passages,
+        "extract_numerics": q_extract_numerics,
+        "extract_tables": q_extract_tables,
+        "extract_spans": q_extract_spans,
+        "conversation_rollup": q_conversation_rollup,
+        "pipeline_lineage": q_pipeline_lineage,
+        "pricing_summary": q_pricing_summary,
+        "top_customers": q_top_customers,
+        "events_daily": q_events_daily,
+        "doc_text_stats": q_doc_text_stats,
+        "doc_lang_id": q_doc_lang_id,
+        "doc_fingerprints": q_doc_fingerprints,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash_sigs": q_dedup_minhash_sigs,
+        "dedup_minhash_pairs": q_dedup_minhash_pairs,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_simhash_pairs": q_dedup_simhash_pairs,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_lsh_buckets": q_ann_lsh_buckets,
+        "embedding_near_pairs": q_embedding_near_pairs,
+        "multimodal_features": q_multimodal_features,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from engine.oracle_sql import build_oracles
+    return build_oracles(EXP)

@@ -1,0 +1,105 @@
+"""Benchmark driver: headline extraction throughput + query timings.
+
+Prints ONE JSON line:
+  {"metric": "turns_per_sec", "value": N, "unit": "sec",
+   "queries": {...per-query seconds...}, "sf": ..., ...}
+
+Env knobs:
+  SPARK_GRAFT_SF_DIR   table dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS     local[N] (default 32)
+  BENCH_TURNS          transcript rows for the throughput section
+                       (default 60000)
+
+The headline metric is extraction throughput (turns/sec) over the seeded
+synthetic transcript table — the workload BASELINE.json names. The reference
+single-core anchor is the rule engine at ≈1,385 pages/s (BASELINE.md); the
+scaling evidence (N vs 4N cores) lives in BENCH/BASELINE.md and is produced
+by tools/bench_scaling.py.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent
+sys.path.insert(0, str(REPO))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+BENCH_TURNS = int(os.environ.get("BENCH_TURNS", "60000"))
+
+BENCH_QUERIES = [
+    "extract_per_turn", "extract_kind_rollup", "conversation_rollup",
+    "pricing_summary", "top_customers", "events_daily",
+    "doc_text_stats", "doc_lang_id", "dedup_minhash_pairs",
+    "dedup_ngram_jaccard", "dedup_simhash_pairs",
+    "ann_cosine_topk", "ann_lsh_buckets", "embedding_near_pairs",
+]
+
+
+def _transcripts_path(n_turns: int) -> str:
+    cache = Path("/tmp/spark_graft_bench") / f"transcripts_{n_turns}.parquet"
+    if not cache.exists():
+        cache.parent.mkdir(parents=True, exist_ok=True)
+        from tools import synth
+        synth.write_parquet(str(cache), n_turns)
+    return str(cache)
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession
+
+    import __spark_entry__ as entry
+    from engine.spark.pipeline import extract_df
+
+    spark = (SparkSession.builder.master(f"local[{CPUS}]")
+             .appName("bench")
+             .config("spark.sql.shuffle.partitions", str(CPUS))
+             .config("spark.sql.adaptive.enabled", "true")
+             .config("spark.ui.enabled", "false")
+             .config("spark.driver.memory", "16g")
+             .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+             .getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # ---- headline: extraction throughput over the transcript table ----
+    src_path = _transcripts_path(BENCH_TURNS)
+    src = spark.read.parquet(src_path)
+    n = src.count()
+    # warm-up (JVM + python workers) on a slice
+    extract_df(src.limit(500)).count()
+    t0 = time.monotonic()
+    extracted = extract_df(src, salt_partitions=CPUS * 4)
+    out_rows = extracted.count()
+    extract_s = time.monotonic() - t0
+    tput = out_rows / extract_s
+
+    # ---- per-query timings at SF_DIR scale ----
+    qs = entry.queries()
+    timings = {}
+    for name in BENCH_QUERIES:
+        t0 = time.monotonic()
+        try:
+            qs[name](spark, SF_DIR).count()
+            timings[name] = round(time.monotonic() - t0, 3)
+        except Exception as exc:  # keep the bench line intact
+            timings[name] = f"error: {type(exc).__name__}"
+
+    print(json.dumps({
+        "metric": "turns_per_sec",
+        "value": round(tput, 1),
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR,
+        "extract_turns": out_rows,
+        "extract_seconds": round(extract_s, 2),
+        "cpus": CPUS,
+    }))
+
+
+if __name__ == "__main__":
+    main()

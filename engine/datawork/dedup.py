@@ -1,0 +1,175 @@
+"""Deduplication family: exact, n-gram Jaccard, MinHash+LSH, SimHash,
+embedding-cosine near-dup.
+
+Scale notes (the point of each plan shape):
+
+* Exact: one hash-aggregate on a fingerprint — the only shuffle is by the
+  16-byte hash, and map-side partial aggregation collapses duplicates early.
+* N-gram Jaccard / MinHash-LSH: never O(n²). Candidates come from an
+  inverted-index equi-join (shingle→doc, band-bucket→doc), so the shuffle is
+  by shingle/bucket and skew is bounded by dropping hot shingles
+  (a shingle shared by >max_df docs carries no dedup signal).
+* SimHash: fixed-width bit aggregation — one shuffle, then banded exact-match
+  join for Hamming candidates.
+* Embedding near-dup: bucketed by random-hyperplane LSH (see similarity.py);
+  the brute-force variant exists as the small-N oracle path.
+
+All hashes are md5-derived so the DuckDB oracle reproduces values exactly;
+swap to xxhash64 for production (same plan, cheaper hash).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .textstats import fingerprint
+
+MINHASH_K = 8       # signature length
+MINHASH_BANDS = 4   # bands of 2 → catches J ≳ 0.5 pairs reliably
+SIMHASH_BITS = 32
+SIMHASH_BANDS = 4   # bands of 8 bits → all pairs with Hamming ≤ 3 share ≥1 band
+
+
+def shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+             n: int = 3) -> DataFrame:
+    """(id, shingle) distinct pairs; shingle = n-gram of whitespace words.
+    Built-ins only: split → slice windows via transform(sequence)."""
+    w = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    # guard: sequence(1, 0) would generate a DESCENDING [1, 0] in Spark, so
+    # short texts get an explicit empty gram list
+    grams = F.when(
+        F.size(w) >= n,
+        F.transform(F.sequence(F.lit(1), F.size(w) - (n - 1)),
+                    lambda i: F.concat_ws(" ", F.slice(w, i, n)))
+    ).otherwise(F.array().cast("array<string>"))
+    return (df.select(F.col(id_col).alias("id"), F.explode(grams).alias("shingle"))
+              .distinct())
+
+
+def exact_duplicates(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Exact dedup groups: fingerprint → (canonical id, group size, members)."""
+    return (df.select(F.col(id_col).alias("id"),
+                      fingerprint(F.col(text_col)).alias("fingerprint"))
+            .groupBy("fingerprint")
+            .agg(F.min("id").alias("canonical_id"),
+                 F.count("*").alias("group_size"),
+                 F.array_sort(F.collect_list("id")).alias("member_ids"))
+            .filter(F.col("group_size") > 1))
+
+
+def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", n: int = 3,
+                        threshold: float = 0.8,
+                        max_df: int = 1000) -> DataFrame:
+    """Near-dup pairs with n-gram Jaccard ≥ threshold via inverted-index join.
+
+    ``max_df`` drops shingles shared by more than that many docs (stopword
+    shingles) — the standard skew guard: without it one hot shingle creates a
+    quadratic join blow-up at corpus scale.
+    """
+    sh = shingles(df, id_col, text_col, n)
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    hot = (sh.groupBy("shingle").agg(F.count("*").alias("df_count"))
+             .filter(F.col("df_count") > max_df).select("shingle"))
+    cold = sh.join(hot, "shingle", "left_anti")
+    a, b = cold.alias("a"), cold.alias("b")
+    inter = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+                    & (F.col("a.id") < F.col("b.id")))
+             .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+             .agg(F.count("*").alias("inter")))
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
+    return (inter.join(sa, "id_a").join(sb, "id_b")
+            .withColumn("jaccard", F.round(
+                F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6))
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard"))
+
+
+def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", n: int = 3,
+                       k: int = MINHASH_K) -> DataFrame:
+    """k-permutation MinHash via min(md5(seed || shingle)) — md5's uniformity
+    makes the lexicographic min over hex digests a valid permutation min, and
+    DuckDB computes the identical value."""
+    sh = shingles(df, id_col, text_col, n)
+    sigs = [F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"mh{i}")
+            for i in range(k)]
+    return sh.groupBy("id").agg(*sigs)
+
+
+def minhash_lsh_candidates(df: DataFrame, id_col: str = "doc_id",
+                           text_col: str = "text", n: int = 3,
+                           k: int = MINHASH_K,
+                           bands: int = MINHASH_BANDS) -> DataFrame:
+    """Candidate near-dup pairs: docs sharing any LSH band bucket.
+    band bucket = md5 of the concatenated band slice of the signature."""
+    rows_per_band = k // bands
+    sig = minhash_signatures(df, id_col, text_col, n, k)
+    buckets = []
+    for b in range(bands):
+        cols = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+        buckets.append(
+            sig.select("id", F.lit(b).alias("band"),
+                       F.md5(F.concat_ws("|", *cols)).alias("bucket")))
+    all_buckets = buckets[0]
+    for extra in buckets[1:]:
+        all_buckets = all_buckets.unionByName(extra)
+    a, b_ = all_buckets.alias("a"), all_buckets.alias("b")
+    return (a.join(b_, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.bucket") == F.col("b.bucket"))
+                   & (F.col("a.id") < F.col("b.id")))
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .distinct())
+
+
+def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+            bits: int = SIMHASH_BITS) -> DataFrame:
+    """SimHash over whitespace tokens (with multiplicity): token hash =
+    first 32 bits of md5; bit b of the signature is the sign of the ±1 vote
+    sum across tokens."""
+    w = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    tok = (df.select(F.col(id_col).alias("id"), F.explode(w).alias("token"))
+             .withColumn("h", F.conv(F.substring(F.md5("token"), 1, 8), 16, 10)
+                         .cast("long")))
+    votes = [
+        F.sum(F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1,
+                     1).otherwise(-1)).alias(f"v{b}")
+        for b in range(bits)]
+    agg = tok.groupBy("id").agg(*votes)
+    sig = F.lit(0).cast("long")
+    for b in range(bits):
+        sig = sig + F.when(F.col(f"v{b}") > 0,
+                           F.lit(1 << b).cast("long")).otherwise(F.lit(0))
+    return agg.select("id", sig.alias("simhash"))
+
+
+def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", max_hamming: int = 3,
+                       bits: int = SIMHASH_BITS,
+                       bands: int = SIMHASH_BANDS) -> DataFrame:
+    """Pairs with Hamming(simhash) ≤ max_hamming. Candidates via banded
+    exact-match join (pigeonhole: ≤3 differing bits over 4 bands leaves ≥1
+    identical band), then exact bit_count verify."""
+    sh = simhash(df, id_col, text_col, bits)
+    width = bits // bands
+    mask = (1 << width) - 1
+    pieces = []
+    for b in range(bands):
+        pieces.append(sh.select(
+            "id", "simhash", F.lit(b).alias("band"),
+            F.shiftright(F.col("simhash"), b * width)
+             .bitwiseAND(F.lit(mask)).alias("piece")))
+    allp = pieces[0]
+    for extra in pieces[1:]:
+        allp = allp.unionByName(extra)
+    a, b_ = allp.alias("a"), allp.alias("b")
+    return (a.join(b_, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.piece") == F.col("b.piece"))
+                   & (F.col("a.id") < F.col("b.id")))
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                    F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+                     .alias("hamming"))
+            .distinct()
+            .filter(F.col("hamming") <= max_hamming))

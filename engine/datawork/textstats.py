@@ -1,0 +1,93 @@
+"""Text analysis: token counting, quality scoring, language ID, fingerprints.
+
+All built-in column expressions — these run inside whole-stage codegen and
+scale linearly with no shuffle (pure projections). The per-language stopword
+lists are module constants shared with the oracle-SQL generator in
+``__spark_entry__``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# BPE-ish token classes: letter runs, digit runs, single punctuation marks
+BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+PUNCT_RE = r"[^A-Za-z0-9\s]"
+WS_SPLIT_RE = r"\s+"
+
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "in", "to", "is", "for", "on", "with"],
+    "de": ["der", "die", "das", "und", "ist", "von", "mit", "auf", "für", "ein"],
+    "fr": ["le", "la", "les", "et", "est", "de", "des", "un", "une", "pour"],
+    "es": ["el", "la", "los", "las", "es", "de", "un", "una", "por", "para"],
+}
+CJK_RE = "[一-鿿]"
+
+
+def words(text: Column) -> Column:
+    return F.split(F.trim(F.lower(text)), WS_SPLIT_RE)
+
+
+def token_count_ws(text: Column) -> Column:
+    """Whitespace token count; 0 for blank text."""
+    return F.when(F.trim(text) == "", F.lit(0)).otherwise(F.size(words(text)))
+
+
+def token_count_bpe(text: Column) -> Column:
+    """Count of BPE-ish token classes — a cheap proxy for subword cost."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_TOKEN_RE), 0))
+
+
+def stopword_hits(text: Column, lang: str = "en") -> Column:
+    stops = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.filter(words(text), lambda w: F.array_contains(stops, w)))
+
+
+def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """doc quality features + composite score (length / punctuation /
+    stopword-density heuristics, the standard pretraining-filter family)."""
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    n_ws = token_count_ws(t)
+    punct = F.size(F.regexp_extract_all(t, F.lit(PUNCT_RE), 0))
+    stop = stopword_hits(t, "en")
+    punct_ratio = F.when(n_chars > 0, punct / n_chars).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_ws > 0, stop / n_ws).otherwise(F.lit(0.0))
+    mean_word_len = F.when(n_ws > 0, n_chars / n_ws).otherwise(F.lit(0.0))
+    quality = (
+        F.when(n_chars >= 100, F.lit(0.4)).otherwise(n_chars / 250.0)
+        + F.least(stop_ratio * F.lit(2.0), F.lit(0.4))
+        + F.when((punct_ratio < 0.1) & (mean_word_len >= 3) & (mean_word_len <= 12),
+                 F.lit(0.2)).otherwise(F.lit(0.0)))
+    return (df
+            .withColumn("n_chars_calc", n_chars)
+            .withColumn("tokens_ws", n_ws)
+            .withColumn("tokens_bpe", token_count_bpe(t))
+            .withColumn("punct_ratio", F.round(punct_ratio, 6))
+            .withColumn("stopword_ratio", F.round(stop_ratio, 6))
+            .withColumn("quality_score", F.round(quality, 6)))
+
+
+def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-vote language ID over {en,de,fr,es} with a CJK-char override —
+    the n-gram-heuristic family (and the reference's own CJK-vs-Latin rule,
+    batch_pdf_processor.py:1999-2004, generalized)."""
+    t = F.col(text_col)
+    cjk = F.size(F.regexp_extract_all(t, F.lit(CJK_RE), 0))
+    votes = [stopword_hits(t, lang).alias(lang) for lang in STOPWORDS]
+    struct = F.struct(*votes)
+    # argmax with deterministic tie-break on language-code order
+    best = F.greatest(*[struct[lang] for lang in STOPWORDS])
+    pred = F.when(cjk > 0, F.lit("zh"))
+    for lang in sorted(STOPWORDS):
+        pred = pred.when(struct[lang] == best, F.lit(lang))
+    return df.withColumn("lang_pred", pred)
+
+
+def fingerprint(text: Column) -> Column:
+    """Document fingerprint: md5 of lowercase whitespace-collapsed text."""
+    return F.md5(F.regexp_replace(F.lower(F.trim(text)), WS_SPLIT_RE, " "))
+
+
+def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return df.withColumn("fingerprint", fingerprint(F.col(text_col)))

@@ -1,0 +1,304 @@
+"""DuckDB oracle SQL for every hash-checkable query in __spark_entry__.
+
+The driver registers views (region nation customer supplier part orders
+lineitem events documents embeddings) over the same parquet the Spark
+queries read; extraction oracles read the committed expected_*.parquet files
+(pure-Python kernel output, see tools/build_expected.py).
+
+Every aggregate is cast so the DuckDB result schema mirrors the Spark one
+(DuckDB SUM(INT)→HUGEINT etc. would otherwise drift), and every hash is md5
+so values are engine-independent.
+"""
+
+from __future__ import annotations
+
+from engine.datawork.textstats import (BPE_TOKEN_RE, CJK_RE, PUNCT_RE,
+                                       STOPWORDS)
+
+
+def _stoplist(lang: str) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in STOPWORDS[lang]) + "]"
+
+
+_WORDS = "string_split_regex(trim(lower(text)), '\\s+')"
+
+_SHINGLES = f"""
+shingles AS (
+    SELECT DISTINCT doc_id AS id, sh
+    FROM (SELECT doc_id, {_WORDS} AS ws FROM documents) w,
+         UNNEST(list_transform(range(1, greatest(len(ws) - 2, 0) + 1),
+                               i -> array_to_string(ws[i:i+2], ' '))) AS t(sh)
+)"""
+
+
+def _minhash_sig_sql() -> str:
+    mins = ",\n        ".join(
+        f"min(md5('{i}:' || sh)) AS mh{i}" for i in range(8))
+    return f"""
+WITH {_SHINGLES},
+sig AS (
+    SELECT id, {mins}
+    FROM shingles GROUP BY id
+)"""
+
+
+def _simhash_core() -> str:
+    votes = ",\n        ".join(
+        f"CAST(sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS v{b}"
+        for b in range(32))
+    bits = " + ".join(
+        f"CASE WHEN v{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END"
+        for b in range(32))
+    return f"""
+WITH tok AS (
+    SELECT doc_id AS id,
+           CAST(('0x' || substr(md5(token), 1, 8)) AS BIGINT) AS h
+    FROM (SELECT doc_id, {_WORDS} AS ws FROM documents) w,
+         UNNEST(ws) AS t(token)
+),
+votes AS (
+    SELECT id, {votes}
+    FROM tok GROUP BY id
+),
+sh AS (
+    SELECT id, CAST({bits} AS BIGINT) AS simhash FROM votes
+)"""
+
+
+def _dot_sql(a: str, b: str) -> str:
+    return (f"list_sum(list_transform(range(1, 65), "
+            f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))")
+
+
+def _norm_sql(a: str) -> str:
+    return f"sqrt({_dot_sql(a, a)})"
+
+
+def _plane_bucket_sql(col: str) -> str:
+    from engine.datawork.similarity import lsh_planes
+    cases = []
+    for p in lsh_planes():
+        arr = "[" + ", ".join(repr(v) for v in p) + "]"
+        dot = (f"list_sum(list_transform(range(1, 65), "
+               f"i -> CAST({col}[i] AS DOUBLE) * ({arr})[i]))")
+        cases.append(f"CASE WHEN {dot} > 0 THEN '1' ELSE '0' END")
+    return " || ".join(cases)
+
+
+def build_oracles(exp_dir: str) -> dict[str, str]:
+    def exp(name: str) -> str:
+        return f"read_parquet('{exp_dir}/{name}.parquet')"
+
+    o: dict[str, str] = {}
+
+    # ---- extraction family: compare against the pure-Python oracle dumps ----
+    o["extract_per_turn"] = f"""
+SELECT conv_id, turn_idx, payload_kind, cleaned_md5, cleaned_len, word_count,
+       page_count, removed_sections, removed_paragraphs, passages_count,
+       tables_count, numerics_count, entities_count, figures_kept_count,
+       figures_dropped_count, n_spans, title, date, language, error
+FROM {exp('expected_turns')}"""
+
+    o["extract_kind_rollup"] = f"""
+SELECT payload_kind,
+       CAST(count(*) AS BIGINT) AS n_turns,
+       CAST(sum(cleaned_len) AS BIGINT) AS cleaned_chars,
+       CAST(sum(word_count) AS BIGINT) AS words,
+       CAST(sum(removed_sections) AS BIGINT) AS removed_sections,
+       CAST(sum(removed_paragraphs) AS BIGINT) AS removed_paragraphs,
+       CAST(sum(passages_count) AS BIGINT) AS passages,
+       CAST(sum(tables_count) AS BIGINT) AS tables,
+       CAST(sum(numerics_count) AS BIGINT) AS numerics,
+       CAST(sum(CASE WHEN error IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS errors
+FROM {exp('expected_turns')} GROUP BY payload_kind"""
+
+    o["extract_passages"] = f"""
+SELECT conv_id, turn_idx, passage_id, page, text_len, text_md5
+FROM {exp('expected_passages')}"""
+
+    o["extract_numerics"] = f"""
+SELECT conv_id, turn_idx, num_id, value, unit, metric_type, page
+FROM {exp('expected_numerics')}"""
+
+    o["extract_tables"] = f"""
+SELECT conv_id, turn_idx, table_id, page, n_cols, n_rows, title
+FROM {exp('expected_tables')}"""
+
+    o["extract_spans"] = f"""
+SELECT conv_id, turn_idx, kind, start, "end", label
+FROM {exp('expected_spans')}"""
+
+    o["conversation_rollup"] = f"""
+SELECT conv_id, n_turns, max_turn_idx, conv_text_md5, tickers_csv,
+       passages_count, tables_count, numerics_count, failed_turns,
+       cleaned_chars
+FROM {exp('expected_convs')}"""
+
+    # ---- relational family over the registered views ----
+    o["pricing_summary"] = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 4) AS sum_qty,
+       round(sum(l_extendedprice), 4) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+       round(avg(l_quantity), 6) AS avg_qty,
+       round(avg(l_discount), 6) AS avg_disc,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= DATE '2002-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus"""
+
+    o["top_customers"] = """
+WITH rev AS (
+    SELECT o_custkey, round(sum(o_totalprice), 4) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders GROUP BY o_custkey
+)
+SELECT CAST(row_number() OVER (ORDER BY revenue DESC, o_custkey) AS INTEGER) AS rank,
+       o_custkey AS custkey, c_name, revenue, n_orders
+FROM rev JOIN customer ON o_custkey = c_custkey
+ORDER BY rank LIMIT 25"""
+
+    o["events_daily"] = """
+SELECT CAST(ts AS DATE) AS day, event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(value), 4) AS value_sum
+FROM events GROUP BY 1, 2 ORDER BY 1, 2"""
+
+    # ---- text stats ----
+    stops_en = _stoplist("en")
+    o["doc_text_stats"] = f"""
+WITH base AS (
+    SELECT doc_id,
+           CAST(length(text) AS INTEGER) AS n_chars,
+           CASE WHEN trim(text) = '' THEN 0
+                ELSE CAST(len({_WORDS}) AS INTEGER) END AS n_ws,
+           CAST(len(regexp_extract_all(text, '{BPE_TOKEN_RE}')) AS INTEGER) AS n_bpe,
+           CAST(len(regexp_extract_all(text, '{PUNCT_RE}')) AS INTEGER) AS n_punct,
+           CAST(len(list_filter({_WORDS},
+                w -> list_contains({stops_en}, w))) AS INTEGER) AS n_stop
+    FROM documents
+), ratios AS (
+    SELECT *,
+           CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END AS punct_r,
+           CASE WHEN n_ws > 0 THEN n_stop / n_ws ELSE 0.0 END AS stop_r,
+           CASE WHEN n_ws > 0 THEN n_chars / n_ws ELSE 0.0 END AS mwl
+    FROM base
+)
+SELECT doc_id, n_chars AS n_chars_calc, n_ws AS tokens_ws, n_bpe AS tokens_bpe,
+       CAST(round(punct_r, 6) AS DOUBLE) AS punct_ratio,
+       CAST(round(stop_r, 6) AS DOUBLE) AS stopword_ratio,
+       CAST(round(
+            (CASE WHEN n_chars >= 100 THEN 0.4 ELSE n_chars / 250.0 END)
+            + least(stop_r * 2.0, 0.4)
+            + (CASE WHEN punct_r < 0.1 AND mwl >= 3 AND mwl <= 12
+                    THEN 0.2 ELSE 0.0 END), 6) AS DOUBLE) AS quality_score
+FROM ratios"""
+
+    hits = ",\n           ".join(
+        f"CAST(len(list_filter({_WORDS}, w -> list_contains({_stoplist(lang)}, w))) AS INTEGER) AS {lang}"
+        for lang in STOPWORDS)
+    chain = "\n            ".join(
+        f"WHEN {lang} = greatest(de, en, es, fr) THEN '{lang}'"
+        for lang in sorted(STOPWORDS))
+    o["doc_lang_id"] = f"""
+WITH hits AS (
+    SELECT doc_id, lang,
+           CAST(len(regexp_extract_all(text, '{CJK_RE}')) AS INTEGER) AS cjk,
+           {hits}
+    FROM documents
+)
+SELECT doc_id, lang,
+       CASE WHEN cjk > 0 THEN 'zh'
+            {chain}
+       END AS lang_pred
+FROM hits"""
+
+    fp = "md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))"
+    o["doc_fingerprints"] = f"SELECT doc_id, {fp} AS fingerprint FROM documents"
+
+    o["dedup_exact"] = f"""
+WITH fp AS (SELECT doc_id AS id, {fp} AS fingerprint FROM documents)
+SELECT fingerprint, min(id) AS canonical_id,
+       CAST(count(*) AS BIGINT) AS group_size,
+       string_agg(CAST(id AS VARCHAR), ',' ORDER BY id) AS member_csv
+FROM fp GROUP BY fingerprint HAVING count(*) > 1"""
+
+    o["dedup_minhash_sigs"] = _minhash_sig_sql() + """
+SELECT id AS doc_id, mh0, mh1, mh2, mh3, mh4, mh5, mh6, mh7 FROM sig"""
+
+    band_rows = "\n    UNION ALL\n    ".join(
+        f"SELECT id, {b} AS band, md5(mh{2*b} || '|' || mh{2*b+1}) AS bucket FROM sig"
+        for b in range(4))
+    o["dedup_minhash_pairs"] = _minhash_sig_sql() + f""",
+buckets AS (
+    {band_rows}
+)
+SELECT DISTINCT a.id AS id_a, b.id AS id_b
+FROM buckets a JOIN buckets b
+  ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+ORDER BY id_a, id_b"""
+
+    o["dedup_ngram_jaccard"] = f"""
+WITH {_SHINGLES},
+sizes AS (SELECT id, count(*) AS sz FROM shingles GROUP BY id),
+inter AS (
+    SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+    FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.id < b.id
+    GROUP BY 1, 2
+)
+SELECT id_a, id_b, jaccard FROM (
+    SELECT id_a, id_b,
+           CAST(round(inter / (sa.sz + sb.sz - inter), 6) AS DOUBLE) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.id = id_a
+    JOIN sizes sb ON sb.id = id_b
+) WHERE jaccard >= 0.5
+ORDER BY id_a, id_b"""
+
+    o["dedup_simhash"] = _simhash_core() + """
+SELECT id AS doc_id, simhash FROM sh"""
+
+    piece_rows = "\n    UNION ALL\n    ".join(
+        f"SELECT id, simhash, {b} AS band, (simhash >> {b * 8}) & 255 AS piece FROM sh"
+        for b in range(4))
+    o["dedup_simhash_pairs"] = _simhash_core() + f""",
+pieces AS (
+    {piece_rows}
+)
+SELECT id_a, id_b, hamming FROM (
+    SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+    FROM pieces a JOIN pieces b
+      ON a.band = b.band AND a.piece = b.piece AND a.id < b.id
+) WHERE hamming <= 3 ORDER BY id_a, id_b"""
+
+    # ---- similarity ----
+    o["ann_cosine_topk"] = f"""
+SELECT b.vec_id,
+       CAST(round({_dot_sql('b.embedding', 'a.embedding')}
+            / ({_norm_sql('b.embedding')} * {_norm_sql('a.embedding')}), 6)
+            AS DOUBLE) AS score
+FROM embeddings b,
+     (SELECT embedding FROM embeddings WHERE vec_id = 0) a
+ORDER BY score DESC, vec_id LIMIT 10"""
+
+    o["ann_lsh_buckets"] = f"""
+SELECT vec_id, {_plane_bucket_sql('embedding')} AS lsh_bucket
+FROM embeddings"""
+
+    o["embedding_near_pairs"] = f"""
+WITH base AS (
+    SELECT vec_id AS id, embedding AS v, {_norm_sql('embedding')} AS nrm
+    FROM embeddings
+)
+SELECT id_a, id_b, cosine FROM (
+    SELECT a.id AS id_a, b.id AS id_b,
+           CAST(round({_dot_sql('a.v', 'b.v')} / (a.nrm * b.nrm), 6) AS DOUBLE) AS cosine
+    FROM base a JOIN base b ON a.id < b.id
+) WHERE cosine >= 0.35
+ORDER BY id_a, id_b"""
+
+    # pipeline_lineage + multimodal_features: intentionally no oracle
+    # (wall-clock fields / stubbed decode) → driver rows-only check.
+    return o

@@ -1,0 +1,142 @@
+import pytest
+
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+def test_text_stats_values(spark):
+    from engine.datawork.textstats import with_text_stats
+    df = spark.createDataFrame(
+        [(1, "the cat sat on the mat, happily!"), (2, ""), (3, "x y")],
+        "doc_id int, text string")
+    rows = {r["doc_id"]: r for r in with_text_stats(df).collect()}
+    assert rows[1]["tokens_ws"] == 7
+    assert rows[1]["stopword_ratio"] == round(3 / 7, 6)  # the, on, the
+    assert rows[2]["tokens_ws"] == 0 and rows[2]["quality_score"] == 0.0
+    assert rows[3]["punct_ratio"] == 0.0
+
+
+def test_lang_id_on_real_language_samples(spark):
+    from engine.datawork.textstats import with_lang_id
+    df = spark.createDataFrame([
+        (1, "en", "the cat is on the mat and it is happy with the sun"),
+        (2, "de", "der hund ist gross und die katze ist klein mit ein ball"),
+        (3, "fr", "le chien est grand et la maison est belle pour les enfants"),
+        (4, "es", "el perro es grande y la casa es bonita por los niños para todos"),
+        (5, "zh", "这是一个中文句子，用来测试语言识别。"),
+    ], "doc_id int, lang string, text string")
+    rows = with_lang_id(df).collect()
+    assert all(r["lang_pred"] == r["lang"] for r in rows), rows
+
+
+def test_lang_id_total_and_deterministic(spark, docs):
+    """On the synthetic corpus (whose `lang` labels are arbitrary — the text
+    is English-ish in every row) the predictor must still be total and only
+    emit known codes."""
+    from engine.datawork.textstats import with_lang_id
+    preds = {r["lang_pred"] for r in with_lang_id(docs).collect()}
+    assert preds <= {"en", "de", "fr", "es", "zh"}
+    assert None not in preds
+
+
+def test_exact_dedup_finds_planted_dups(spark):
+    from engine.datawork.dedup import exact_duplicates
+    df = spark.createDataFrame(
+        [(1, "same text here"), (2, "SAME   text here"), (3, "unique")],
+        "doc_id int, text string")
+    [g] = exact_duplicates(df).collect()
+    assert g["canonical_id"] == 1 and g["member_ids"] == [1, 2]
+
+
+def test_minhash_lsh_supersets_high_jaccard(spark, docs):
+    """LSH candidates must contain every pair the exact jaccard finds at 0.8."""
+    from engine.datawork.dedup import minhash_lsh_candidates, ngram_jaccard_pairs
+    exact = {(r["id_a"], r["id_b"])
+             for r in ngram_jaccard_pairs(docs, threshold=0.8).collect()}
+    cand = {(r["id_a"], r["id_b"])
+            for r in minhash_lsh_candidates(docs).collect()}
+    assert exact, "expected planted near-dups in testdata"
+    assert exact <= cand, f"LSH missed {exact - cand}"
+
+
+def test_simhash_near_pairs_align_with_jaccard(spark, docs):
+    from engine.datawork.dedup import ngram_jaccard_pairs, simhash_near_pairs
+    near = {(r["id_a"], r["id_b"]) for r in
+            simhash_near_pairs(docs, max_hamming=3).collect()}
+    exact = {(r["id_a"], r["id_b"])
+             for r in ngram_jaccard_pairs(docs, threshold=0.9).collect()}
+    assert exact, "expected planted near-dups"
+    overlap = len(exact & near) / len(exact)
+    assert overlap >= 0.8, f"simhash found only {overlap:.0%} of J≥0.9 pairs"
+
+
+def test_shingles_short_text_empty(spark):
+    from engine.datawork.dedup import shingles
+    df = spark.createDataFrame([(1, "two words"), (2, "a b c")],
+                               "doc_id int, text string")
+    got = shingles(df).collect()
+    assert {r["id"] for r in got} == {2}
+    assert [r["shingle"] for r in got] == ["a b c"]
+
+
+def test_cosine_topk_matches_numpy(spark, emb):
+    import numpy as np
+    from engine.datawork.similarity import cosine_topk
+    rows = emb.collect()
+    by_id = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+             for r in rows}
+    q = by_id[0]
+    scores = sorted(
+        ((float(np.dot(v, q) / (np.linalg.norm(v) * np.linalg.norm(q))), i)
+         for i, v in by_id.items()),
+        key=lambda t: (-t[0], t[1]))[:5]
+    got = cosine_topk(emb, [float(x) for x in by_id[0]], k=5).collect()
+    assert [r["vec_id"] for r in got] == [i for _, i in scores]
+    for r, (s, _) in zip(got, scores):
+        assert abs(r["score"] - s) < 1e-5
+
+
+def test_lsh_bucket_topk_contains_query(spark, emb):
+    from engine.datawork.similarity import lsh_bucket_topk
+    q = emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    got = lsh_bucket_topk(emb, [float(x) for x in q], k=5).collect()
+    assert got and got[0]["vec_id"] == 0  # the query's own bucket holds it
+    assert got[0]["score"] == 1.0
+
+
+def test_multimodal_features_deterministic(spark):
+    from engine.datawork.multimodal import extract_features
+    assets = spark.createDataFrame(
+        [("a1", "image", bytearray(b"\x00\x01payload")),
+         ("a2", "audio", bytearray(b"")),
+         ("a3", "video", None)],
+        "asset_id string, kind string, payload binary")
+    rows = {r["asset_id"]: r for r in extract_features(assets).collect()}
+    assert rows["a1"]["n_bytes"] == 9
+    assert len(rows["a1"]["features"]) == 16
+    assert rows["a2"]["content_hash"] == rows["a3"]["content_hash"]  # b"" == None
+    again = {r["asset_id"]: r for r in extract_features(assets).collect()}
+    assert rows["a1"]["features"] == again["a1"]["features"]
+
+
+def test_frame_sampling(spark):
+    from engine.datawork.multimodal import sample_frames
+    assets = spark.createDataFrame(
+        [("v1", "video", None, "video/mp4", 64, 64, 3500),
+         ("i1", "image", None, "image/png", 64, 64, 0)],
+        "asset_id string, kind string, payload binary, mime string, "
+        "width int, height int, duration_ms long")
+    rows = sample_frames(assets, every_ms=1000).collect()
+    assert {r["asset_id"] for r in rows} == {"v1"}
+    assert sorted(r["frame_ts_ms"] for r in rows) == [0, 1000, 2000, 3000]

@@ -1,0 +1,114 @@
+"""Driver-equivalent correctness check: run every queries() entry on Spark at
+sf0.01, run the matching oracle_sql() in DuckDB with the same views, and
+compare row count + sorted-by-name columns + order-insensitive values.
+
+Usage: python tools/check_oracles.py [--sf /root/testdata/sf0.01] [--only name]
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm_cell(v):
+    if v is None:
+        return "␀"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return f"{v:.9g}"
+    if isinstance(v, bool):
+        return str(int(v))
+    return str(v)
+
+
+def normalize(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(norm_cell(r[i]) for i in order) for r in rows)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument("--only", default=None)
+    args = ap.parse_args()
+
+    import duckdb
+    from pyspark.sql import SparkSession
+
+    sys.path.insert(0, str(REPO))
+    import __spark_entry__ as entry
+
+    spark = (SparkSession.builder.master("local[8]")
+             .appName("oracle-check")
+             .config("spark.sql.shuffle.partitions", "16")
+             .config("spark.ui.enabled", "false")
+             .getOrCreate())
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{args.sf}/{t}.parquet')")
+
+    qs = entry.queries()
+    oracles = entry.oracle_sql()
+    fails = []
+    for name, fn in qs.items():
+        if args.only and name != args.only:
+            continue
+        t0 = time.monotonic()
+        try:
+            sdf = fn(spark, args.sf)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as exc:
+            print(f"{name:28s} SPARK-ERROR {exc}")
+            fails.append(name)
+            continue
+        t_spark = time.monotonic() - t0
+        if name not in oracles:
+            print(f"{name:28s} rows-only   n={len(srows):6d}   ({t_spark:.1f}s)")
+            continue
+        try:
+            rel = con.sql(oracles[name])
+            ocols = rel.columns
+            orows = rel.fetchall()
+        except Exception as exc:
+            print(f"{name:28s} ORACLE-ERROR {str(exc)[:140]}")
+            fails.append(name)
+            continue
+        ok_cols = sorted(scols) == sorted(ocols)
+        s_norm, o_norm = normalize(srows, scols), normalize(orows, ocols)
+        ok_rows = len(srows) == len(orows)
+        ok_vals = s_norm == o_norm
+        status = "OK" if (ok_cols and ok_rows and ok_vals) else "MISMATCH"
+        print(f"{name:28s} {status:9s} n={len(srows):6d} vs {len(orows):6d} "
+              f"cols={'=' if ok_cols else '≠'} vals={'=' if ok_vals else '≠'} "
+              f"({t_spark:.1f}s)")
+        if status != "OK":
+            fails.append(name)
+            if not ok_cols:
+                print(f"   spark cols: {sorted(scols)}")
+                print(f"   duck  cols: {sorted(ocols)}")
+            if not ok_vals:
+                sset, oset = set(s_norm), set(o_norm)
+                for d in list(sset - oset)[:3]:
+                    print(f"   spark-only: {d}")
+                for d in list(oset - sset)[:3]:
+                    print(f"   duck-only : {d}")
+    print(f"\n{len(qs) - len(fails)}/{len(qs)} queries OK")
+    return 1 if fails else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
