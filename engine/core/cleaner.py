@@ -67,6 +67,17 @@ _PARAGRAPH_RULES = [
     for name, pat, is_sec in _RULE_SPECS if not is_sec
 ]
 
+# Combined OR prefilters: one search decides "no rule matches" (the common
+# case) before the per-rule loop identifies WHICH rule matched. A line/para
+# matches the union regex iff it matches some individual rule, so semantics
+# (including first-rule-wins naming) are unchanged.
+_SECTION_ANY = re.compile(
+    "|".join(f"(?:{pat})" for _, pat, is_sec in _RULE_SPECS if is_sec),
+    re.IGNORECASE | re.MULTILINE)
+_PARAGRAPH_ANY = re.compile(
+    "|".join(f"(?:{pat})" for _, pat, is_sec in _RULE_SPECS if not is_sec),
+    re.IGNORECASE)
+
 
 def clean_markdown(markdown: str) -> Tuple[str, Dict, List[Span]]:
     """Clean a page-split markdown payload.
@@ -126,7 +137,9 @@ def _drop_boilerplate_sections(content: str, base: int,
         line_start = base + offset
         offset += len(line) + 1
         if line.strip().startswith("#"):
-            hit = next((n for n, rx in _SECTION_RULES if rx.search(line)), None)
+            hit = None
+            if _SECTION_ANY.search(line):
+                hit = next((n for n, rx in _SECTION_RULES if rx.search(line)), None)
             if hit is not None:
                 skipping = True
                 removed.append(hit)
@@ -154,7 +167,9 @@ def _drop_boilerplate_paragraphs(content: str, original: str, page_start: int,
         para = raw_para.strip()
         if not para:
             continue
-        hit = next((n for n, rx in _PARAGRAPH_RULES if rx.search(para)), None)
+        hit = None
+        if _PARAGRAPH_ANY.search(para):
+            hit = next((n for n, rx in _PARAGRAPH_RULES if rx.search(para)), None)
         if hit is not None:
             n_removed += 1
             loc = original.find(para, search_from)

@@ -79,9 +79,10 @@ class _Extractor(HTMLParser):
         super().__init__(convert_charrefs=True)
         self.source = source
         self._line_starts = [0]
-        for i, ch in enumerate(source):
-            if ch == "\n":
-                self._line_starts.append(i + 1)
+        pos = source.find("\n")
+        while pos != -1:
+            self._line_starts.append(pos + 1)
+            pos = source.find("\n", pos + 1)
         self.blocks: List[_Block] = []
         self._stack: List[str] = []
         self._drop_depth = 0

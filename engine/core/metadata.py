@@ -87,11 +87,18 @@ def extract_authors(markdown: str) -> List[str]:
     return seen[:10]
 
 
+_CJK_RUN_RE = re.compile("[一-鿿]+")
+_LATIN_RUN_RE = re.compile(r"[A-Za-z]+")
+
+
 def detect_language(text: str) -> str:
-    """P17 — batch_pdf_processor.py:1999-2004."""
+    """P17 — batch_pdf_processor.py:1999-2004. Char counts computed over
+    character-class runs (same totals as per-char findall, fewer allocations)."""
     if not text:
         return "en"
-    return "zh" if len(_CJK_RE.findall(text)) > len(_LATIN_RE.findall(text)) else "en"
+    cjk = sum(m.end() - m.start() for m in _CJK_RUN_RE.finditer(text))
+    latin = sum(m.end() - m.start() for m in _LATIN_RUN_RE.finditer(text))
+    return "zh" if cjk > latin else "en"
 
 
 def extract_tickers(markdown: str) -> List[str]:

@@ -68,7 +68,7 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
     shingles) — the standard skew guard: without it one hot shingle creates a
     quadratic join blow-up at corpus scale.
     """
-    sh = shingles(df, id_col, text_col, n)
+    sh = shingles(df, id_col, text_col, n).persist()  # consumed 4×
     sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
     hot = (sh.groupBy("shingle").agg(F.count("*").alias("df_count"))
              .filter(F.col("df_count") > max_df).select("shingle"))
@@ -102,9 +102,16 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
 def minhash_lsh_candidates(df: DataFrame, id_col: str = "doc_id",
                            text_col: str = "text", n: int = 3,
                            k: int = MINHASH_K,
-                           bands: int = MINHASH_BANDS) -> DataFrame:
+                           bands: int = MINHASH_BANDS,
+                           max_bucket: int = 100) -> DataFrame:
     """Candidate near-dup pairs: docs sharing any LSH band bucket.
-    band bucket = md5 of the concatenated band slice of the signature."""
+    band bucket = md5 of the concatenated band slice of the signature.
+
+    ``max_bucket`` drops buckets holding more than that many docs — the
+    skew guard for degenerate corpora where one signature collides across
+    a large fraction of docs (a B-doc bucket costs B² join rows; a bucket
+    that big carries no dedup signal anyway, mirroring max_df in
+    ngram_jaccard_pairs)."""
     rows_per_band = k // bands
     sig = minhash_signatures(df, id_col, text_col, n, k)
     buckets = []
@@ -116,6 +123,14 @@ def minhash_lsh_candidates(df: DataFrame, id_col: str = "doc_id",
     all_buckets = buckets[0]
     for extra in buckets[1:]:
         all_buckets = all_buckets.unionByName(extra)
+    # the bucket table is consumed 3× (hot-agg + both self-join sides); it is
+    # tiny (bands × n_docs rows) while its lineage (shingle explode + 8 md5
+    # min-aggs) is expensive — persist to stop the recompute
+    all_buckets = all_buckets.persist()
+    hot = (all_buckets.groupBy("band", "bucket")
+           .agg(F.count("*").alias("bsz"))
+           .filter(F.col("bsz") > max_bucket).select("band", "bucket"))
+    all_buckets = all_buckets.join(F.broadcast(hot), ["band", "bucket"], "left_anti")
     a, b_ = all_buckets.alias("a"), all_buckets.alias("b")
     return (a.join(b_, (F.col("a.band") == F.col("b.band"))
                    & (F.col("a.bucket") == F.col("b.bucket"))
@@ -152,7 +167,7 @@ def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id",
     """Pairs with Hamming(simhash) ≤ max_hamming. Candidates via banded
     exact-match join (pigeonhole: ≤3 differing bits over 4 bands leaves ≥1
     identical band), then exact bit_count verify."""
-    sh = simhash(df, id_col, text_col, bits)
+    sh = simhash(df, id_col, text_col, bits).persist()  # both join sides
     width = bits // bands
     mask = (1 << width) - 1
     pieces = []

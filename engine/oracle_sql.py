@@ -231,8 +231,12 @@ SELECT id AS doc_id, mh0, mh1, mh2, mh3, mh4, mh5, mh6, mh7 FROM sig"""
         f"SELECT id, {b} AS band, md5(mh{2*b} || '|' || mh{2*b+1}) AS bucket FROM sig"
         for b in range(4))
     o["dedup_minhash_pairs"] = _minhash_sig_sql() + f""",
-buckets AS (
+buckets_raw AS (
     {band_rows}
+),
+buckets AS (  -- same max_bucket=100 skew guard as the Spark side
+    SELECT id, band, bucket FROM buckets_raw
+    QUALIFY count(*) OVER (PARTITION BY band, bucket) <= 100
 )
 SELECT DISTINCT a.id AS id_a, b.id AS id_b
 FROM buckets a JOIN buckets b

@@ -1,0 +1,74 @@
+"""Streaming variant: same kernel under readStream/writeStream produces the
+same rows as the batch pipeline, exactly once, with checkpointed resume."""
+
+import pytest
+
+from tools import synth
+
+
+@pytest.fixture(scope="module")
+def stream_dirs(tmp_path_factory):
+    base = tmp_path_factory.mktemp("stream")
+    src = base / "in"
+    src.mkdir()
+    synth.write_parquet(str(src / "part1.parquet"), 150)
+    return base, src
+
+
+def test_streaming_matches_batch(spark, stream_dirs):
+    from engine.spark.pipeline import extract_df
+    from engine.spark.streaming import run_stream_to_parquet
+
+    base, src = stream_dirs
+    out, ckpt = str(base / "out"), str(base / "ckpt")
+
+    q = run_stream_to_parquet(spark, str(src), out, ckpt)
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(out)
+    batch = extract_df(spark.read.parquet(str(src)))
+    assert got.count() == batch.count()
+
+    g = {(r["conv_id"], r["turn_idx"]): r["cleaned_text"]
+         for r in got.collect()}
+    b = {(r["conv_id"], r["turn_idx"]): r["cleaned_text"]
+         for r in batch.collect()}
+    assert g == b
+
+
+def test_streaming_checkpoint_no_reprocess_and_new_files(spark, stream_dirs):
+    from engine.spark.streaming import run_stream_to_parquet
+
+    base, src = stream_dirs
+    out, ckpt = str(base / "out"), str(base / "ckpt")
+
+    n_before = spark.read.parquet(out).count()
+    # restart with no new files → nothing reprocessed
+    q = run_stream_to_parquet(spark, str(src), out, ckpt)
+    q.awaitTermination(120)
+    assert spark.read.parquet(out).count() == n_before
+
+    # new arrivals → only the delta is processed
+    synth.write_parquet(str(src / "part2.parquet"), 60)
+    extra = spark.read.parquet(str(src / "part2.parquet")).count()
+    q = run_stream_to_parquet(spark, str(src), out, ckpt)
+    q.awaitTermination(120)
+    after = spark.read.parquet(out)
+    assert after.count() == n_before + extra
+    keyed = after.select("conv_id", "turn_idx").distinct().count()
+    # part2 regenerates the same conversations (same seed) → duplicates by
+    # key are EXPECTED across files; exactly-once is per input file
+    assert keyed <= after.count()
+
+
+def test_windowed_conversation_counts_plan(spark, stream_dirs):
+    """The event-time rollup compiles against the streaming source (plan
+    check; no data needed — watermark+window streaming aggs need a real
+    trigger loop that the batch-equivalence tests above already exercise)."""
+    from engine.spark.streaming import (read_transcript_stream,
+                                        streaming_conversation_counts)
+    _, src = stream_dirs
+    agg = streaming_conversation_counts(read_transcript_stream(spark, str(src)))
+    assert agg.isStreaming
+    assert set(agg.columns) == {"window", "conv_id", "turns_in_window",
+                                "bytes_in_window"}
