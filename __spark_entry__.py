@@ -179,6 +179,13 @@ def q_conversation_rollup(spark, sf_dir):
         "failed_turns", "cleaned_chars")
 
 
+def q_conversation_documents(spark, sf_dir):
+    from engine.spark.documents import conversation_documents
+    docs = conversation_documents(_extracted(spark, sf_dir))
+    return docs.select("conv_id", "n_turns",
+                       F.md5("doc_json").alias("doc_md5"), "is_valid")
+
+
 def q_pipeline_lineage(spark, sf_dir):
     """End-to-end run incl. checkpoint/lineage commit (rows-only check —
     wall-clock fields are inherently non-SQL-reproducible)."""
@@ -360,6 +367,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_tables": q_extract_tables,
         "extract_spans": q_extract_spans,
         "conversation_rollup": q_conversation_rollup,
+        "conversation_documents": q_conversation_documents,
         "pipeline_lineage": q_pipeline_lineage,
         "pricing_summary": q_pricing_summary,
         "top_customers": q_top_customers,

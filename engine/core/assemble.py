@@ -119,6 +119,130 @@ def merge_figures(base: Dict, figures_data: List[Dict]) -> Dict:
     return result
 
 
+def build_conversation_document(conv_id: str, records: List[Dict],
+                                publication: Optional[str] = None,
+                                with_figures: bool = True) -> Dict:
+    """Assemble one conversation's ordered turn records into a single
+    schema-1.3.1 document — the conversation-scope analogue of the
+    reference's page-payload aggregation (_aggregate_page_results,
+    batch_pdf_processor.py:1357-1705): entity dedup with alias index (A1),
+    doc-metadata fold with ticker union (A12/A13), passage/table/numeric
+    accumulation with the reference's dedup keys (A4/A5), figure-stub
+    extraction in batches of 15 (G4/G5 shape) and merge (A11/A7).
+
+    ``records`` must be in turn_idx order (stable-ordering invariant); page
+    provenance is re-based per turn as ``turn_idx * 1000 + page`` so page
+    numbers stay unique document-wide and invertible.
+    """
+    from .entities import EntityIndex, ticker_union
+    from .figure_stub import deterministic_fake, extract_figures_batched
+
+    idx = EntityIndex(salt=publication or "")
+    passages: List[Dict] = []
+    tables: List[Dict] = []
+    numerics: List[Dict] = []
+    figure_descriptors: List[Dict] = []
+    tickers: List[List[str]] = []
+    num_seen = set()
+    table_seen = set()
+    title = None
+    language = "en"
+
+    for rec in records:
+        t = rec.get("turn_idx", 0)
+        if title is None and rec.get("payload_kind") != "plain" and rec.get("title"):
+            title = rec["title"]
+        if rec.get("language") == "zh":
+            language = "zh"
+        tickers.append(rec.get("tickers", []))
+        for e in rec.get("entities", []):
+            idx.add(e)
+
+        def rebase(page: int) -> int:
+            return t * 1000 + (page or 0)
+
+        for p in rec.get("passages", []):
+            passages.append({**p, "page": rebase(p["page"])})
+        for tb in rec.get("tables", []):
+            if tb["table_id"] in table_seen:   # A5 table dedup (:1514-1516)
+                continue
+            table_seen.add(tb["table_id"])
+            tables.append({**tb, "page": rebase(tb["page"]),
+                           "provenance": {"page": rebase(tb["page"])}})
+        for n in rec.get("numerics", []):
+            key = (n["context"], n["value"], n["unit"], rebase(n["page"]))
+            if key in num_seen:                # A4 numeric dedup (:1545-1548)
+                continue
+            num_seen.add(key)
+            numerics.append({**n, "page": rebase(n["page"]),
+                             "provenance": {"page": rebase(n["page"])}})
+        for f in rec.get("figures", []):
+            figure_descriptors.append({
+                "path": f.get("path"), "page": rebase(f.get("page", 0)),
+                "title": f.get("label") or None, "label": f.get("label")})
+
+    all_tickers = ticker_union(*tickers)
+    base = {
+        "schema_version": SCHEMA_VERSION,
+        "doc": {
+            "doc_id": ids.doc_id(conv_id),
+            "title": title or "Untitled Document",
+            "source_uri": f"{publication}/{conv_id}" if publication else conv_id,
+            "language": language,
+            "timestamps": {"ingested_at": FIXED_TS, "extracted_at": FIXED_TS},
+            "extraction_run": {
+                "vision_model": "none",
+                "synthesis_model": "rule-based-engine",
+                "pipeline_steps": ["payload_dispatch", "rule_extraction",
+                                   "conversation_assembly"],
+                "processing_metadata": {
+                    "turns_processed": len(records),
+                    "publication": publication,
+                },
+            },
+        },
+        "passages": [{"passage_id": p["passage_id"], "text": p["text"],
+                      "page": p["page"], "section": p.get("section")}
+                     for p in passages],
+        "entities": idx.entities,
+        "data": {
+            "figures": [],
+            "tables": [{"table_id": tb["table_id"], "title": tb["title"],
+                        "page": tb["page"], "columns": tb["columns"],
+                        "rows": tb["rows"], "provenance": tb["provenance"]}
+                       for tb in tables],
+            "numerical_data": [{"num_id": n["num_id"], "value": n["value"],
+                                "unit": n["unit"],
+                                "metric_type": n["metric_type"],
+                                "context": n["context"],
+                                "provenance": n["provenance"]}
+                               for n in numerics],
+            "claims": [],
+            "relations": [],
+            "extraction_summary": {
+                "figures_count": 0,
+                "tables_count": len(tables),
+                "numerical_data_count": len(numerics),
+                "passages_count": len(passages),
+                "entities_count": len(idx.entities),
+            },
+        },
+    }
+    if all_tickers:
+        base["doc"]["tickers"] = all_tickers
+        base["doc"]["symbols"] = all_tickers
+
+    if with_figures and figure_descriptors:
+        figures = extract_figures_batched(figure_descriptors,
+                                          extract_fn=deterministic_fake)
+        base = merge_figures(base, figures)
+        base["data"]["extraction_summary"]["passages_count"] = len(passages)
+    ok, err = validate_document(base)
+    if not ok:
+        base = repair_document(base, conv_id)
+    return base
+
+
 def validate_document(doc: Dict) -> Tuple[bool, Optional[str]]:
     """V1/V4 strict checks — batch_pdf_processor.py:613-647, json_merger.py:99-141."""
     if not isinstance(doc, dict):

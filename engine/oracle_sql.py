@@ -134,6 +134,10 @@ SELECT conv_id, n_turns, max_turn_idx, conv_text_md5, tickers_csv,
        cleaned_chars
 FROM {exp('expected_convs')}"""
 
+    o["conversation_documents"] = f"""
+SELECT conv_id, n_turns, doc_md5, is_valid
+FROM {exp('expected_docs')}"""
+
     # ---- relational family over the registered views ----
     o["pricing_summary"] = """
 SELECT l_returnflag, l_linestatus,

@@ -96,10 +96,26 @@ def build_tag(tag: str, out_base: Path) -> None:
         c = convs.setdefault(key[0], {"turns": [], "tickers": set()})
         c["turns"].append((key[1], rec))
 
+    import json as _json
+
+    from engine.core.assemble import (build_conversation_document,
+                                      validate_document)
+
     conv_rows = []
+    doc_rows = []
     for conv_id in sorted(convs):
         ordered = sorted(convs[conv_id]["turns"])
         recs = [rec for _, rec in ordered]
+        for (ti, _), rec in zip(ordered, recs):
+            rec["turn_idx"] = ti
+        doc = build_conversation_document(conv_id, recs)
+        ok, _err = validate_document(doc)
+        doc_rows.append({
+            "conv_id": conv_id,
+            "n_turns": len(recs),
+            "doc_md5": _md5(_json.dumps(doc, ensure_ascii=False, sort_keys=True)),
+            "is_valid": bool(ok),
+        })
         tickers = sorted({t for rec in recs for t in rec["tickers"]})
         conv_rows.append({
             "conv_id": conv_id,
@@ -114,7 +130,8 @@ def build_tag(tag: str, out_base: Path) -> None:
             "cleaned_chars": sum(len(r["cleaned_text"]) for r in recs),
         })
 
-    def write(name, data, int32_cols=(), int64_cols=(), double_cols=()):
+    def write(name, data, int32_cols=(), int64_cols=(), double_cols=(),
+              bool_cols=()):
         if not data:
             return
         fields = []
@@ -125,6 +142,8 @@ def build_tag(tag: str, out_base: Path) -> None:
                 typ = pa.int64()
             elif k in double_cols:
                 typ = pa.float64()
+            elif k in bool_cols:
+                typ = pa.bool_()
             else:
                 typ = pa.string()
             fields.append((k, typ))
@@ -146,6 +165,8 @@ def build_tag(tag: str, out_base: Path) -> None:
           int32_cols=("max_turn_idx",),
           int64_cols=("n_turns", "passages_count", "tables_count",
                       "numerics_count", "failed_turns", "cleaned_chars"))
+    write("expected_docs.parquet", doc_rows, int32_cols=("n_turns",),
+          bool_cols=("is_valid",))
     print(f"{tag}: {len(rows)} turns, {len(passages)} passages, "
           f"{len(numerics)} numerics, {len(tables)} tables, {len(spans)} spans")
 
