@@ -243,6 +243,47 @@ def q_events_daily(spark, sf_dir):
             .orderBy("day", "event_type"))
 
 
+def q_events_sessionize(spark, sf_dir):
+    """Window-function surface: per-user sessions split on >5 min gaps, with
+    session ids assigned by a running sum over a lag comparison."""
+    from pyspark.sql import Window
+    spark.conf.set("spark.sql.session.timeZone", "UTC")  # NTZ→epoch parity
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    gap = (epoch - F.lag(epoch).over(w)) > 300
+    with_flag = ev.withColumn("new_session",
+                              F.when(gap | F.lag("ts").over(w).isNull(), 1)
+                               .otherwise(0))
+    sess = with_flag.withColumn("session_id", F.sum("new_session").over(w))
+    return (sess.groupBy("user_id", "session_id")
+            .agg(F.count("*").alias("n_events"),
+                 F.round(F.sum("value"), 4).alias("value_sum"))
+            .orderBy("user_id", "session_id"))
+
+
+def q_events_props_json(spark, sf_dir):
+    """JSON path extraction over the events.props column (J1-adjacent; the
+    heavy recovery parser is x_extract_json in engine/spark/functions.py)."""
+    ev = _t(spark, sf_dir, "events")
+    return (ev.select("event_id",
+                      F.get_json_object("props", "$.k").cast("int").alias("k"))
+            .filter(F.col("k").isNotNull()))
+
+
+def q_sql_function_surface(spark, sf_dir):
+    """The registered scalar-UDF surface driven through plain Spark SQL."""
+    from engine.spark.functions import register_all
+    register_all(spark)
+    src = spark.read.parquet(os.path.join(_synth_dir(sf_dir), "transcripts.parquet"))
+    src.createOrReplaceTempView("transcripts_v")
+    return spark.sql("""
+        SELECT conv_id, turn_idx,
+               md5(x_clean_markdown(text)) AS cleaned_md5
+        FROM transcripts_v WHERE tool = 'ocr.markdown'
+    """)
+
+
 # ---------------------------------------------------------------------------
 # text analysis / dedup / similarity over documents + embeddings
 # ---------------------------------------------------------------------------
@@ -372,6 +413,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": q_pricing_summary,
         "top_customers": q_top_customers,
         "events_daily": q_events_daily,
+        "events_sessionize": q_events_sessionize,
+        "events_props_json": q_events_props_json,
+        "sql_function_surface": q_sql_function_surface,
         "doc_text_stats": q_doc_text_stats,
         "doc_lang_id": q_doc_lang_id,
         "doc_fingerprints": q_doc_fingerprints,

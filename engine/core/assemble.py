@@ -90,6 +90,27 @@ def build_document(record: Dict, doc_name: str,
     }
 
 
+def validate_claim_evidence(claims: List[Dict], figures: List[Dict],
+                            tables: List[Dict], numerics: List[Dict]) -> List[Dict]:
+    """A9 — batch_pdf_processor.py:1632-1642: keep only evidence ids that
+    exist in the document's figure/table/numeric collections."""
+    figure_ids = {f.get("figure_id") for f in figures if f.get("figure_id")}
+    table_ids = {t.get("table_id") for t in tables if t.get("table_id")}
+    num_ids = {n.get("num_id") for n in numerics if n.get("num_id")}
+    out = []
+    for claim in claims:
+        c = dict(claim)
+        ev = c.get("evidence")
+        if isinstance(ev, dict):
+            c["evidence"] = {
+                "figure_ids": [i for i in ev.get("figure_ids", []) if i in figure_ids],
+                "table_ids": [i for i in ev.get("table_ids", []) if i in table_ids],
+                "num_ids": [i for i in ev.get("num_ids", []) if i in num_ids],
+            }
+        out.append(c)
+    return out
+
+
 def merge_figures(base: Dict, figures_data: List[Dict]) -> Dict:
     """A11 + A7 — json_merger.py:23-97."""
     result = deepcopy(base)

@@ -169,6 +169,36 @@ SELECT CAST(ts AS DATE) AS day, event_type,
        round(sum(value), 4) AS value_sum
 FROM events GROUP BY 1, 2 ORDER BY 1, 2"""
 
+    o["events_sessionize"] = """
+WITH flags AS (
+    SELECT user_id, event_id, ts, value,
+           CASE WHEN lag(ts) OVER w IS NULL
+                     OR CAST(floor(epoch(ts)) AS BIGINT)
+                        - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 300
+                THEN 1 ELSE 0 END AS new_session
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+    SELECT user_id, value,
+           CAST(sum(new_session) OVER
+                (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+    FROM flags
+)
+SELECT user_id, session_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 4) AS value_sum
+FROM sess GROUP BY user_id, session_id
+ORDER BY user_id, session_id"""
+
+    o["events_props_json"] = """
+SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL"""
+
+    o["sql_function_surface"] = f"""
+SELECT conv_id, turn_idx, cleaned_md5
+FROM {exp('expected_turns')} WHERE payload_kind = 'md_clean'"""
+
     # ---- text stats ----
     stops_en = _stoplist("en")
     o["doc_text_stats"] = f"""

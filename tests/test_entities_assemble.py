@@ -53,6 +53,19 @@ def test_build_validate_merge_roundtrip():
         assert len(rel) <= 3
 
 
+def test_claim_evidence_validation():
+    from engine.core.assemble import validate_claim_evidence
+    claims = [{"claim_id": "c1", "text": "t", "passage_id": "p",
+               "evidence": {"figure_ids": ["f1", "fX"], "table_ids": ["tX"],
+                            "num_ids": ["n1"]}},
+              {"claim_id": "c2", "text": "t2", "passage_id": "p"}]
+    out = validate_claim_evidence(
+        claims, [{"figure_id": "f1"}], [{"table_id": "t1"}], [{"num_id": "n1"}])
+    assert out[0]["evidence"] == {"figure_ids": ["f1"], "table_ids": [],
+                                  "num_ids": ["n1"]}
+    assert "evidence" not in out[1]
+
+
 def test_repair_document():
     fixed = repair_document({"passages": "not-a-list"}, "d")
     ok, err = validate_document({**fixed, "passages": []})
