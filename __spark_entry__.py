@@ -63,8 +63,10 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _extracted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pipeline output over the synthetic transcripts, memoized per scale."""
-    key = _tag(sf_dir)
+    """Pipeline output over the synthetic transcripts, memoized per
+    (session, scale) — a cached DataFrame is only valid inside the session
+    that persisted it, and the driver may build a fresh session per query."""
+    key = (id(spark), _tag(sf_dir))
     if key not in _extracted_cache:
         from engine.spark.pipeline import extract_df
         src = spark.read.parquet(os.path.join(_synth_dir(sf_dir), "transcripts.parquet"))
@@ -381,6 +383,31 @@ def q_embedding_near_pairs(spark, sf_dir):
             .orderBy("id_a", "id_b"))
 
 
+def q_pdf_payload_extract(spark, sf_dir):
+    """PDF byte-stream surface: wrap each document's text as a deterministic
+    FAKEPDF payload (base64 in the text column, tool=doc.pdf), run the full
+    extraction kernel, and emit fields a SQL oracle can recompute from the
+    raw text (single-page fake-pdf ⇒ cleaned == trimmed text for these
+    boilerplate-free word-salad docs)."""
+    from engine.spark.pipeline import extract_df
+    docs = _t(spark, sf_dir, "documents")
+    turns = docs.select(
+        F.col("doc_id").cast("string").alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.lit("tool").alias("role"),
+        F.base64(F.encode(F.concat(F.lit("%FAKEPDF-1\n"), F.col("text")),
+                          "utf-8")).alias("text"),
+        F.lit("doc.pdf").alias("tool"),
+        F.lit(None).cast("timestamp").alias("ts"))
+    ext = extract_df(turns)
+    return ext.select(
+        F.col("conv_id").cast("bigint").alias("doc_id"),
+        F.md5("cleaned_text").alias("cleaned_md5"),
+        "word_count",
+        F.col("summary.passages_count").alias("passages_count"),
+        "error")
+
+
 def q_multimodal_features(spark, sf_dir):
     """Binary-column plumbing (decode stubbed — rows-only check)."""
     from engine.datawork.multimodal import extract_features
@@ -429,6 +456,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_buckets": q_ann_lsh_buckets,
         "embedding_near_pairs": q_embedding_near_pairs,
         "multimodal_features": q_multimodal_features,
+        "pdf_payload_extract": q_pdf_payload_extract,
     }
 
 

@@ -90,6 +90,34 @@ def build_document(record: Dict, doc_name: str,
     }
 
 
+def merge_model_results(model_result: Optional[Dict],
+                        aggregated_result: Optional[Dict]) -> Dict:
+    """A10 — batch_pdf_processor.py:805-831: the aggregated result wins;
+    model values fill only empty slots (None/[]/{}), one level deep for
+    nested dicts; None/"" model values never overwrite."""
+    if not aggregated_result and not model_result:
+        return {}
+    if not aggregated_result:
+        return deepcopy(model_result or {})
+    if not model_result:
+        return deepcopy(aggregated_result)
+    merged = deepcopy(aggregated_result)
+    for key, value in model_result.items():
+        if value in (None, ""):
+            continue
+        existing = merged.get(key)
+        if existing in (None, [], {}):
+            merged[key] = deepcopy(value)
+            continue
+        if isinstance(existing, dict) and isinstance(value, dict):
+            for sub_key, sub_value in value.items():
+                if sub_value in (None, ""):
+                    continue
+                if sub_key not in existing or existing[sub_key] in (None, [], {}):
+                    existing[sub_key] = deepcopy(sub_value)
+    return merged
+
+
 def validate_claim_evidence(claims: List[Dict], figures: List[Dict],
                             tables: List[Dict], numerics: List[Dict]) -> List[Dict]:
     """A9 — batch_pdf_processor.py:1632-1642: keep only evidence ids that

@@ -32,12 +32,14 @@ KIND_MD = "md_clean"
 KIND_GROUNDED = "md_grounded"
 KIND_HTML = "html_fragment"
 KIND_PLAIN = "plain"
+KIND_PDF = "pdf_bytes"
 
 _TOOL_TO_KIND = {
     "ocr.markdown": KIND_MD,
     "ocr.grounded": KIND_GROUNDED,
     "web.html": KIND_HTML,
     "chat.plain": KIND_PLAIN,
+    "doc.pdf": KIND_PDF,
 }
 
 _HTML_SNIFF_RE = re.compile(r"<(?:html|body|div|p|article|nav|table|a)\b", re.IGNORECASE)
@@ -119,6 +121,13 @@ def _extract_turn(text: str, tool: Optional[str], doc_name: str) -> Dict:
     if kind == KIND_GROUNDED:
         markdown, _blocks, ref_spans = grounding.grounded_to_markdown(text)
         spans.extend(ref_spans)
+    elif kind == KIND_PDF:
+        from . import pdftext
+        markdown, pdf_err = pdftext.pdf_payload_to_markdown(text)
+        if pdf_err:
+            rec = empty_record(doc_name, kind, None)
+            rec["error"] = pdf_err
+            return rec
     elif kind == KIND_HTML:
         cleaned_html, html_stats, html_spans, html_tables = html_clean.clean_html(text)
         spans.extend(html_spans)

@@ -37,6 +37,23 @@ _TICKER_PATTERNS = [
 _TICKER_SPLIT_RE = re.compile(r"[,;\s]+")
 
 
+_DOC_DATE_SUFFIX_RE = re.compile(r"_(\d{4}-\d{2}-\d{2})$")
+
+
+def parse_doc_name(doc_name: str, parent: str = "") -> dict:
+    """S2 — batch_pdf_processor.py:748-777: a trailing ``_YYYY-MM-DD`` in the
+    document name becomes date_str (and is stripped from the clean name);
+    the relative parent directory is the publication ('unknown' if none)."""
+    m = _DOC_DATE_SUFFIX_RE.search(doc_name)
+    if m:
+        date_str = m.group(1)
+        clean = doc_name[:m.start()]
+    else:
+        date_str, clean = None, doc_name
+    return {"name_clean": clean, "date_str": date_str,
+            "publication": parent if parent not in ("", ".") else "unknown"}
+
+
 def extract_title(markdown: str) -> str:
     """P13 — md_to_json_engine.py:138-156."""
     m = _H1_RE.search(markdown)
@@ -87,17 +104,17 @@ def extract_authors(markdown: str) -> List[str]:
     return seen[:10]
 
 
-_CJK_RUN_RE = re.compile("[一-鿿]+")
-_LATIN_RUN_RE = re.compile(r"[A-Za-z]+")
+_NON_CJK_RE = re.compile("[^一-鿿]+")
+_NON_LATIN_RE = re.compile(r"[^A-Za-z]+")
 
 
 def detect_language(text: str) -> str:
-    """P17 — batch_pdf_processor.py:1999-2004. Char counts computed over
-    character-class runs (same totals as per-char findall, fewer allocations)."""
+    """P17 — batch_pdf_processor.py:1999-2004. Char counts via one C-level
+    sub per class (len(text) − len(text without the class) == findall count)."""
     if not text:
         return "en"
-    cjk = sum(m.end() - m.start() for m in _CJK_RUN_RE.finditer(text))
-    latin = sum(m.end() - m.start() for m in _LATIN_RUN_RE.finditer(text))
+    cjk = len(_NON_CJK_RE.sub("", text))
+    latin = len(_NON_LATIN_RE.sub("", text))
     return "zh" if cjk > latin else "en"
 
 

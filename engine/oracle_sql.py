@@ -337,6 +337,16 @@ SELECT id_a, id_b, cosine FROM (
 ) WHERE cosine >= 0.35
 ORDER BY id_a, id_b"""
 
+    o["pdf_payload_extract"] = """
+SELECT doc_id,
+       md5(trim(text)) AS cleaned_md5,
+       CAST(len(regexp_extract_all(trim(text), '\\w+')) AS INTEGER) AS word_count,
+       CAST(CASE WHEN length(trim(text)) >= 20
+                  AND NOT starts_with(trim(text), '#')
+             THEN 1 ELSE 0 END AS INTEGER) AS passages_count,
+       NULL AS error
+FROM documents"""
+
     # pipeline_lineage + multimodal_features: intentionally no oracle
     # (wall-clock fields / stubbed decode) → driver rows-only check.
     return o

@@ -17,7 +17,6 @@ stable-ordering invariant is enforced here, not assumed).
 from __future__ import annotations
 
 import json
-from typing import Iterator
 
 import pandas as pd
 

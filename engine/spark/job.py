@@ -16,9 +16,10 @@ import sys
 
 
 def build_session(master: str | None = None, app: str = "transcript-extract",
-                  shuffle_partitions: int = 32):
+                  shuffle_partitions: int = 32, driver_memory: str = "8g"):
     from pyspark.sql import SparkSession
     b = (SparkSession.builder.appName(app)
+         .config("spark.driver.memory", driver_memory)
          .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
          .config("spark.sql.adaptive.enabled", "true")
          .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

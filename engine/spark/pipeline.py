@@ -110,8 +110,9 @@ def run_pipeline(spark: SparkSession, input_path: str, output_dir: str,
         if orphans.count():
             backfill = (spark.read.schema(EXTRACTED_SCHEMA).parquet(out_path)
                         .join(F.broadcast(orphans), "conv_bucket", "left_semi")
-                        .groupBy("conv_bucket", "partition_id")
-                        .agg(F.count("*").alias("turns_processed"),
+                        .groupBy("conv_bucket")
+                        .agg(F.min("partition_id").alias("partition_id"),
+                             F.count("*").alias("turns_processed"),
                              F.sum(F.when(F.col("error").isNotNull(), 1)
                                    .otherwise(0)).alias("extraction_failures"),
                              F.sum("bytes_in").alias("bytes_parsed"))
@@ -129,8 +130,15 @@ def run_pipeline(spark: SparkSession, input_path: str, output_dir: str,
     waves_run = 0
     for wave in range(waves):
         wave_df = todo.filter(F.col("conv_bucket") % waves == wave)
+        # repartition BY THE BUCKET: each bucket lands in exactly one task, so
+        # partitionBy(conv_bucket) writes one file per bucket per wave instead
+        # of (tasks × buckets) tiny files — the classic partitionBy file
+        # explosion. Buckets are md5-even, so task balance holds; task count
+        # still comes from salt_partitions.
+        if salt_partitions:
+            wave_df = wave_df.repartition(salt_partitions, F.col("conv_bucket"))
         extracted = (
-            extract_df(wave_df.drop("conv_bucket"), n_buckets, salt_partitions)
+            extract_df(wave_df.drop("conv_bucket"), n_buckets, None)
             .sortWithinPartitions("conv_id", "turn_idx")
         )
         t_wave = time.monotonic()
@@ -145,8 +153,11 @@ def run_pipeline(spark: SparkSession, input_path: str, output_dir: str,
                     .filter(F.col("conv_bucket") % waves == wave)
                     .join(F.broadcast(done), "conv_bucket", "left_anti"))
         wall_ms = int((time.monotonic() - t_wave) * 1000)
-        lineage = (wave_out.groupBy("conv_bucket", "partition_id")
-                   .agg(F.count("*").alias("turns_processed"),
+        # bucket-granular manifest (≤ n_buckets/waves rows per wave;
+        # partition_id kept as a representative for debugging)
+        lineage = (wave_out.groupBy("conv_bucket")
+                   .agg(F.min("partition_id").alias("partition_id"),
+                        F.count("*").alias("turns_processed"),
                         F.sum(F.when(F.col("error").isNotNull(), 1).otherwise(0))
                          .alias("extraction_failures"),
                         F.sum("bytes_in").alias("bytes_parsed"))

@@ -53,6 +53,31 @@ def test_build_validate_merge_roundtrip():
         assert len(rel) <= 3
 
 
+def test_merge_model_results_fill_empty_only():
+    from engine.core.assemble import merge_model_results
+    agg = {"title": "Agg", "sector": None, "meta": {"a": 1, "b": []},
+           "items": [1]}
+    model = {"title": "Model", "sector": "Tech", "meta": {"a": 9, "b": [2]},
+             "items": [9, 9], "extra": ""}
+    merged = merge_model_results(model, agg)
+    assert merged["title"] == "Agg"          # aggregated wins
+    assert merged["sector"] == "Tech"        # None slot filled
+    assert merged["meta"] == {"a": 1, "b": [2]}  # nested: empty-only fill
+    assert merged["items"] == [1]
+    assert "extra" not in merged             # empty model value never lands
+    assert merge_model_results(None, None) == {}
+    assert merge_model_results({"x": 1}, None) == {"x": 1}
+
+
+def test_parse_doc_name():
+    from engine.core.metadata import parse_doc_name
+    got = parse_doc_name("FX_Note_2025-09-03", "barclays/fx")
+    assert got == {"name_clean": "FX_Note", "date_str": "2025-09-03",
+                   "publication": "barclays/fx"}
+    assert parse_doc_name("NoDate")["publication"] == "unknown"
+    assert parse_doc_name("NoDate")["date_str"] is None
+
+
 def test_claim_evidence_validation():
     from engine.core.assemble import validate_claim_evidence
     claims = [{"claim_id": "c1", "text": "t", "passage_id": "p",

@@ -94,6 +94,11 @@ Not intended for retail distribution.
 <script>var x = 1;</script>
 </body></html>"""),
     ("plain-eos", "chat.plain", "Short agent reply that is long enough to form a passage.<｜end of sentence｜>"),
+    ("pdf-two-pages", "doc.pdf", __import__("engine.core.pdftext", fromlist=["make_fake_pdf"]).make_fake_pdf([
+        "# PDF Report\n\nOpening page with revenue of $4.2B and growth of 3.1% to extract.",
+        "Second page body that is definitely long enough to become a passage.",
+    ])),
+    ("pdf-no-parser", "doc.pdf", __import__("base64").b64encode(b"%PDF-1.4 realpdf").decode()),
     ("plain-tiny", "chat.plain", "ok"),
     ("empty", None, ""),
 ]

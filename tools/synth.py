@@ -252,7 +252,9 @@ def write_parquet(path: str, n_turns: int, seed: int = 42) -> int:
         ("tool", pa.string()),
         ("ts", pa.timestamp("us")),
     ]))
-    pq.write_table(table, path)
+    # bounded row groups: Spark parallelizes a parquet file by row group — a
+    # single-group file is one unsplittable task (and OOMs small heaps)
+    pq.write_table(table, path, row_group_size=20_000)
     return table.num_rows
 
 
