@@ -134,9 +134,11 @@ def run_pipeline(spark: SparkSession, input_path: str, output_dir: str,
         # partitionBy(conv_bucket) writes one file per bucket per wave instead
         # of (tasks × buckets) tiny files — the classic partitionBy file
         # explosion. Buckets are md5-even, so task balance holds; task count
-        # still comes from salt_partitions.
+        # comes from salt_partitions (else spark.sql.shuffle.partitions).
         if salt_partitions:
             wave_df = wave_df.repartition(salt_partitions, F.col("conv_bucket"))
+        else:
+            wave_df = wave_df.repartition(F.col("conv_bucket"))
         extracted = (
             extract_df(wave_df.drop("conv_bucket"), n_buckets, None)
             .sortWithinPartitions("conv_id", "turn_idx")

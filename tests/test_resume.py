@@ -40,6 +40,14 @@ def test_resume_is_idempotent(spark, paths):
     assert all(r["extraction_failures"] == 0 for r in rows)
     assert all(r["bytes_parsed"] > 0 for r in rows)
 
+    # file layout: one data file per bucket (no partitionBy explosion) and
+    # one manifest row per bucket
+    from pathlib import Path
+    n_files = len(list(Path(f"{out}/extracted_turns").rglob("*.parquet")))
+    n_buckets = extracted.select("conv_bucket").distinct().count()
+    assert n_files == n_buckets
+    assert len(rows) == n_buckets
+
 
 def test_crash_between_output_and_lineage_commit(spark, paths, tmp_path):
     """The resume authority is the OUTPUT table: output committed but lineage
