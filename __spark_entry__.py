@@ -245,6 +245,69 @@ def q_events_daily(spark, sf_dir):
             .orderBy("day", "event_type"))
 
 
+def q_shipping_priority(spark, sf_dir):
+    """Q3-shaped: selective 3-way join, aggregate, top-k by revenue."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1998-06-01")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1998-06-01")
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+            .agg(F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 4).alias("revenue"))
+            .orderBy(F.col("revenue").desc(), "l_orderkey").limit(10))
+
+
+def q_regional_volume(spark, sf_dir):
+    """Q5-shaped: 6-way star join through region→nation→customer+supplier."""
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(s, li.l_suppkey == s.s_suppkey)
+            .join(c, (o.o_custkey == c.c_custkey)
+                  & (c.c_nationkey == s.s_nationkey))
+            .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+            .groupBy("n_name")
+            .agg(F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 4).alias("revenue"),
+                 F.count("*").alias("n_items"))
+            .orderBy(F.col("revenue").desc()))
+
+
+def q_events_grouping_sets(spark, sf_dir):
+    """Grouping-sets surface: (type, day) / (type) / (day) / () in one pass."""
+    _t(spark, sf_dir, "events").createOrReplaceTempView("events_v")
+    return spark.sql("""
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               count(*) AS n, round(sum(value), 4) AS value_sum
+        FROM events_v
+        GROUP BY GROUPING SETS ((event_type, CAST(ts AS DATE)),
+                                (event_type), (CAST(ts AS DATE)), ())
+    """)
+
+
+def q_asof_latest_click(spark, sf_dir):
+    """As-of join (custom operator, pure DataFrame composition): for every
+    'error' event, the user's latest 'click' at-or-before it."""
+    from engine.datawork.asof import asof_join
+    ev = _t(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error") \
+               .select("event_id", "user_id", "ts")
+    clicks = ev.filter(F.col("event_type") == "click") \
+               .select("user_id", "ts", F.col("event_id").alias("click_id"),
+                       "value")
+    joined = asof_join(errors, clicks, on="ts", by="user_id",
+                       value_cols=["click_id", "value"])
+    return joined.select("event_id", "user_id",
+                         F.col("click_id_asof").alias("click_event_id"),
+                         F.col("value_asof").alias("click_value"))
+
+
 def q_events_sessionize(spark, sf_dir):
     """Window-function surface: per-user sessions split on >5 min gaps, with
     session ids assigned by a running sum over a lag comparison."""
@@ -440,6 +503,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": q_pricing_summary,
         "top_customers": q_top_customers,
         "events_daily": q_events_daily,
+        "shipping_priority": q_shipping_priority,
+        "regional_volume": q_regional_volume,
+        "events_grouping_sets": q_events_grouping_sets,
+        "asof_latest_click": q_asof_latest_click,
         "events_sessionize": q_events_sessionize,
         "events_props_json": q_events_props_json,
         "sql_function_surface": q_sql_function_surface,

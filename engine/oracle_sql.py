@@ -169,6 +169,47 @@ SELECT CAST(ts AS DATE) AS day, event_type,
        round(sum(value), 4) AS value_sum
 FROM events GROUP BY 1, 2 ORDER BY 1, 2"""
 
+    o["shipping_priority"] = """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-06-01'
+  AND l_shipdate > TIMESTAMP '1998-06-01'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey LIMIT 10"""
+
+    o["regional_volume"] = """
+SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name ORDER BY revenue DESC"""
+
+    o["events_grouping_sets"] = """
+SELECT event_type, CAST(ts AS DATE) AS day,
+       CAST(count(*) AS BIGINT) AS n, round(sum(value), 4) AS value_sum
+FROM events
+GROUP BY GROUPING SETS ((event_type, CAST(ts AS DATE)),
+                        (event_type), (CAST(ts AS DATE)), ())"""
+
+    o["asof_latest_click"] = """
+SELECT l.event_id, l.user_id,
+       r.event_id AS click_event_id, r.value AS click_value
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error') l
+ASOF LEFT JOIN
+     (SELECT event_id, user_id, ts, value FROM events
+      WHERE event_type = 'click') r
+  ON l.user_id = r.user_id AND l.ts >= r.ts"""
+
     o["events_sessionize"] = """
 WITH flags AS (
     SELECT user_id, event_id, ts, value,
