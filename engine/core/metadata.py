@@ -77,8 +77,18 @@ def extract_date(markdown: str) -> Optional[str]:
     return None
 
 
+# Safety deviation from the reference (SURVEY §7.4 policy): the company and
+# author patterns backtrack quadratically (measured 28 s at 100 KB of
+# capitalized words — a task-stalling DoS at corpus scale; the reference has
+# the same exposure). Doc-level metadata is scanned over the first
+# METADATA_SCAN_LIMIT chars only; results are identical for every input
+# under the limit.
+METADATA_SCAN_LIMIT = 20_000
+
+
 def extract_companies(markdown: str) -> List[str]:
     """P15 — md_to_json_engine.py:174-192 (sorted, cap 20)."""
+    markdown = markdown[:METADATA_SCAN_LIMIT]
     companies = set()
     for rx in _COMPANY_PATTERNS:
         for raw in rx.findall(markdown):
@@ -98,7 +108,7 @@ def extract_authors(markdown: str) -> List[str]:
     deliberate determinism fix.
     """
     seen: List[str] = []
-    for name in _AUTHOR_RE.findall(markdown):
+    for name in _AUTHOR_RE.findall(markdown[:METADATA_SCAN_LIMIT]):
         if name not in seen:
             seen.append(name)
     return seen[:10]

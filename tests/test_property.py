@@ -49,3 +49,17 @@ def test_clean_html_never_throws(payload):
     cleaned, stats, spans, tables = clean_html(payload)
     assert isinstance(cleaned, str)
     assert stats["final_length"] == len(cleaned)
+
+
+def test_adversarial_large_payloads_complete_quickly():
+    """Backtracking guard: payloads engineered to trigger quadratic regex
+    scans must finish in bounded time (METADATA_SCAN_LIMIT deviation)."""
+    import time
+
+    from engine.core.extract import extract_turn
+    for payload in ["Abc " * 250000, "A" + " & B" * 125000,
+                    "John Smith " + "1 " * 400000]:
+        t0 = time.monotonic()
+        rec = extract_turn(payload, "chat.plain", "adv")
+        assert time.monotonic() - t0 < 20
+        assert isinstance(rec["cleaned_text"], str)
