@@ -19,15 +19,37 @@ Two query families:
 from __future__ import annotations
 
 import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 REPO = os.path.dirname(os.path.abspath(__file__))
+if REPO not in sys.path:  # robust under importlib/spec loading from any cwd
+    sys.path.insert(0, REPO)
 SYNTH = os.path.join(REPO, "data", "synth")
 EXP = os.path.join(SYNTH, "sf0.01")  # oracle scale (driver runs sf=0.01)
 
 _extracted_cache: dict = {}
+_shipped_sessions: set = set()
+
+
+def _ensure_code_shipped(spark: SparkSession) -> None:
+    """Executors must be able to import engine.* inside the Arrow UDFs no
+    matter what the driver's cwd/PYTHONPATH is — ship the package zip to the
+    session once (the spark-submit --py-files equivalent, done lazily)."""
+    key = id(spark)
+    if key in _shipped_sessions:
+        return
+    zip_path = os.path.join(REPO, "dist", "engine.zip")
+    try:
+        from tools.package import build
+        from pathlib import Path
+        build(Path(zip_path))  # cheap, always fresh
+        spark.sparkContext.addPyFile(zip_path)
+    except Exception:
+        pass  # running from the repo root still works via PYTHONPATH/cwd
+    _shipped_sessions.add(key)
 
 
 def _tag(sf_dir: str) -> str:
@@ -78,6 +100,7 @@ def _extracted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full extraction over the sf0.001 transcript table."""
+    _ensure_code_shipped(spark)
     ext = _extracted(spark, "/root/testdata/sf0.001")
     return ext.select(
         "conv_id", "turn_idx", "payload_kind",
@@ -489,8 +512,19 @@ def q_multimodal_features(spark, sf_dir):
                          .alias("feature_sum"), "error")
 
 
+def _shipped(fn: Callable) -> Callable:
+    def wrapper(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _ensure_code_shipped(spark)
+        return fn(spark, sf_dir)
+    wrapper.__name__ = fn.__name__
+    return wrapper
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {
+    return {name: _shipped(fn) for name, fn in _RAW_QUERIES.items()}
+
+
+_RAW_QUERIES: dict = {
         "extract_per_turn": q_extract_per_turn,
         "extract_kind_rollup": q_extract_kind_rollup,
         "extract_passages": q_extract_passages,
