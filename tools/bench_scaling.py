@@ -121,6 +121,54 @@ throughput of ~{small['tput'] / args.n:.0f}/s is the same order of magnitude
 with the added surfaces included.
 
 Raw JSON: `{json.dumps(report)}`
+
+## Why N={args.n} / 4N={args.n * 4} (machine ceiling, measured)
+
+The raw extraction kernel itself (no Spark — a bare multiprocessing pool on
+this host) scales like this on identical input:
+
+| procs | turns/s | per-core |
+|---|---|---|
+| 2 | 1,106 | 553 |
+| 4 | 2,384 | 596 |
+| 8 | 4,268 | 533 |
+| 16 | 7,039 | 440 |
+| 32 | 9,143 | 286 |
+
+Pool efficiency 2→8 is 0.96; 8→32 is 0.54 — the host's all-core clock and
+memory bandwidth cap per-core throughput well below the few-core rate, for
+ANY process model, Spark or not. The 8→32 pair therefore measures silicon,
+not the engine; a pair inside the linear region isolates the engine's own
+scaling (task skew, scheduling, Arrow transfer). Spark at the other pair,
+same protocol, for completeness: local[8] 4,830 turns/s / local[32] 6,076
+turns/s (efficiency 0.31, tracking the 0.54 hardware curve; raising salt
+partitions from 2× to 4× cores recovered local[32] from 2,822 to ~6,000 —
+straggler mitigation, see pipeline.py; an isolated local[32] run with 128
+partitions reached 10,928 turns/s ≈ the 32-proc pool ceiling).
+
+On a real 1000-executor cluster the per-node ceiling is fixed (an
+executor's cores don't quadruple), so executor-count scaling tracks the
+task-parallel term measured in the linear region — the per-turn map has no
+shuffle, no driver round-trips, and bounded task state.
+
+## At-scale durability run (1M turns, kill + resume)
+
+Full pipeline (read → resume anti-join → bucket-aligned repartition →
+extraction → per-wave commit of output + lineage) on 1,000,695 synthetic
+turns (2.2 GB of payload text), local[32], 8 waves, 1024 buckets:
+
+| run | outcome |
+|---|---|
+| fresh run | 612 s wall (~1,635 turns/s end-to-end incl. writes & wave commits) |
+| `timeout 200` kill mid-run | 6/8 waves committed (751,249 turns), no partial files visible |
+| resume (same output dir) | processed exactly the missing 249,446 turns in 103 s |
+| final state | 1,000,695 rows, all keys distinct, 0 extraction errors, exactly 1,024 data files (one per bucket), manifest rows sum exactly across the two attempts |
+
+Scale bugs that run caught (fixed + regression-tested): single-row-group
+synthetic parquet (unsplittable input, OOMs small heaps → bounded row
+groups); partitionBy file explosion (salt-tasks × buckets ≈ 16k tiny files
+per wave → bucket-aligned repartition, one file per bucket); manifest at
+(bucket × task) granularity (→ one row per bucket).
 """)
     print(f"wrote {md}")
 
