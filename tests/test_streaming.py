@@ -61,14 +61,25 @@ def test_streaming_checkpoint_no_reprocess_and_new_files(spark, stream_dirs):
     assert keyed <= after.count()
 
 
-def test_windowed_conversation_counts_plan(spark, stream_dirs):
-    """The event-time rollup compiles against the streaming source (plan
-    check; no data needed — watermark+window streaming aggs need a real
-    trigger loop that the batch-equivalence tests above already exercise)."""
+def test_windowed_conversation_counts_end_to_end(spark, stream_dirs):
+    """Event-time windowed agg with watermark, drained via availableNow into
+    a memory sink, compared against the equivalent batch aggregation."""
+    from pyspark.sql import functions as F
+
     from engine.spark.streaming import (read_transcript_stream,
                                         streaming_conversation_counts)
     _, src = stream_dirs
     agg = streaming_conversation_counts(read_transcript_stream(spark, str(src)))
     assert agg.isStreaming
-    assert set(agg.columns) == {"window", "conv_id", "turns_in_window",
-                                "bytes_in_window"}
+    q = (agg.writeStream.format("memory").queryName("conv_counts")
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    got = {(r["conv_id"], r["window"]["start"]): r["turns_in_window"]
+           for r in spark.sql("select * from conv_counts").collect()}
+    batch = (spark.read.parquet(str(src))
+             .groupBy(F.window("ts", "1 minute"), F.col("conv_id"))
+             .agg(F.count("*").alias("n")))
+    exp = {(r["conv_id"], r["window"]["start"]): r["n"]
+           for r in batch.collect()}
+    assert got == exp and len(got) > 0
