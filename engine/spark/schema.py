@@ -84,8 +84,10 @@ SUMMARY_TYPE = StructType([
 ])
 
 EXTRACTED_SCHEMA = StructType([
-    StructField("conv_id", StringType(), False),
-    StructField("turn_idx", IntegerType(), False),
+    # identity columns stay nullable: dirty inputs (null conv_id/turn_idx)
+    # must flow through as records, not task failures
+    StructField("conv_id", StringType(), True),
+    StructField("turn_idx", IntegerType(), True),
     StructField("role", StringType(), True),
     StructField("ts", TimestampType(), True),
     StructField("payload_kind", StringType(), False),

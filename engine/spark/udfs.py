@@ -76,7 +76,8 @@ def stable_bucket(conv_id: str, n_buckets: int) -> int:
     both sides must agree for resume anti-joins, so the bucket is md5-based
     and computed identically in the kernel and in ``bucket_col``."""
     import hashlib
-    return int.from_bytes(hashlib.md5(conv_id.encode()).digest()[:4], "big") % n_buckets
+    key = conv_id if isinstance(conv_id, str) else ""
+    return int.from_bytes(hashlib.md5(key.encode()).digest()[:4], "big") % n_buckets
 
 
 def bucket_col(n_buckets: int):
@@ -85,5 +86,6 @@ def bucket_col(n_buckets: int):
     Uses substr(md5(conv_id),1,8) parsed as hex — identical bytes to the
     kernel's md5[:4]."""
     from pyspark.sql import functions as F
-    return (F.conv(F.substring(F.md5(F.col("conv_id")), 1, 8), 16, 10)
+    key = F.coalesce(F.col("conv_id"), F.lit(""))  # null-safe, matches kernel
+    return (F.conv(F.substring(F.md5(key), 1, 8), 16, 10)
             .cast("long") % n_buckets).cast("int")

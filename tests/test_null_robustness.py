@@ -1,0 +1,53 @@
+"""Dirty-input robustness: nulls anywhere in the transcript row must flow
+through extraction and the pipeline without task failures — at 10^12 rows,
+"a null cannot happen" is never true."""
+
+import pytest
+
+
+@pytest.fixture()
+def dirty(spark):
+    return spark.createDataFrame(
+        [
+            ("c1", 0, "user", "normal turn text long enough", "chat.plain", None),
+            ("c1", 1, None, None, None, None),                 # all-null payload
+            (None, 0, "tool", "null conversation id", None, None),
+            ("c2", None, "user", "null turn_idx", "chat.plain", None),
+            ("c3", 2, "user", "", "web.html", None),           # empty html
+        ],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp")
+
+
+def test_extract_df_survives_nulls(spark, dirty):
+    from engine.spark.pipeline import extract_df
+    rows = extract_df(dirty).collect()
+    assert len(rows) == 5
+    assert all(r["error"] is None for r in rows)  # nulls are not errors
+    by_text = {r["cleaned_text"] for r in rows}
+    assert "normal turn text long enough" in by_text
+    assert "" in by_text
+    # bucket is defined for every row, including null conv_id
+    assert all(r["conv_bucket"] is not None and r["conv_bucket"] >= 0
+               for r in rows)
+
+
+def test_bucket_null_agreement(spark, dirty):
+    from pyspark.sql import functions as F
+
+    from engine.spark.udfs import bucket_col, stable_bucket
+    got = (dirty.select("conv_id")
+           .withColumn("b", bucket_col(64)).collect())
+    for r in got:
+        assert r["b"] == stable_bucket(r["conv_id"], 64)
+
+
+def test_pipeline_survives_nulls(spark, dirty, tmp_path):
+    from engine.spark.pipeline import run_pipeline
+    src = str(tmp_path / "dirty.parquet")
+    dirty.write.parquet(src)
+    stats = run_pipeline(spark, src, str(tmp_path / "out"), run_id="dirty",
+                         waves=2, n_buckets=16)
+    assert stats.turns_processed == 5
+    out = spark.read.parquet(str(tmp_path / "out/extracted_turns"))
+    assert out.count() == 5
