@@ -47,6 +47,17 @@ def _transcripts_path(n_turns: int) -> str:
         cache.parent.mkdir(parents=True, exist_ok=True)
         from tools import synth
         synth.write_parquet(str(cache), n_turns)
+    # the extract_* queries resolve the same scale via _synth_dir — share the
+    # generated file so a cold /tmp doesn't pay the python generator twice
+    tag_dir = Path("/tmp/spark_graft_synth") / Path(SF_DIR).name
+    tag_file = tag_dir / "transcripts.parquet"
+    if n_turns == 60000 and not tag_file.exists():
+        tag_dir.mkdir(parents=True, exist_ok=True)
+        try:
+            tag_file.symlink_to(cache)
+        except OSError:
+            import shutil
+            shutil.copy(cache, tag_file)
     return str(cache)
 
 
