@@ -34,11 +34,21 @@ _extracted_cache: dict = {}
 _shipped_sessions: set = set()
 
 
+def _session_key(spark: SparkSession) -> str:
+    """Stable cache key: applicationId identifies the live SparkContext
+    (id(spark) can be reused by a new session after the old one is GC'd,
+    which would hand out DataFrames persisted in a dead session)."""
+    try:
+        return spark.sparkContext.applicationId
+    except Exception:
+        return f"id-{id(spark)}"
+
+
 def _ensure_code_shipped(spark: SparkSession) -> None:
     """Executors must be able to import engine.* inside the Arrow UDFs no
     matter what the driver's cwd/PYTHONPATH is — ship the package zip to the
     session once (the spark-submit --py-files equivalent, done lazily)."""
-    key = id(spark)
+    key = _session_key(spark)
     if key in _shipped_sessions:
         return
     zip_path = os.path.join(REPO, "dist", "engine.zip")
@@ -88,7 +98,7 @@ def _extracted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pipeline output over the synthetic transcripts, memoized per
     (session, scale) — a cached DataFrame is only valid inside the session
     that persisted it, and the driver may build a fresh session per query."""
-    key = (id(spark), _tag(sf_dir))
+    key = (_session_key(spark), _tag(sf_dir))
     if key not in _extracted_cache:
         from engine.spark.pipeline import extract_df
         src = spark.read.parquet(os.path.join(_synth_dir(sf_dir), "transcripts.parquet"))

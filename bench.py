@@ -49,9 +49,11 @@ def _transcripts_path(n_turns: int) -> str:
         synth.write_parquet(str(cache), n_turns)
     # the extract_* queries resolve the same scale via _synth_dir — share the
     # generated file so a cold /tmp doesn't pay the python generator twice
-    tag_dir = Path("/tmp/spark_graft_synth") / Path(SF_DIR).name
+    from tools.build_expected import TAG_TURNS
+    tag = Path(SF_DIR).name
+    tag_dir = Path("/tmp/spark_graft_synth") / tag
     tag_file = tag_dir / "transcripts.parquet"
-    if n_turns == 60000 and not tag_file.exists():
+    if TAG_TURNS.get(tag) == n_turns and not tag_file.exists():
         tag_dir.mkdir(parents=True, exist_ok=True)
         try:
             tag_file.symlink_to(cache)

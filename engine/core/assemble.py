@@ -150,7 +150,12 @@ def merge_figures(base: Dict, figures_data: List[Dict]) -> Dict:
     summary["figures_with_data"] = sum(
         1 for f in figures_data if f.get("series"))
 
-    # A7: same-page passage linking, cap 3 (json_merger.py:75-97)
+    # A7: same-page passage linking, cap 3 (json_merger.py:75-97).
+    # NOTE (bug-compatible with the reference): figure pages are 1-based
+    # (batch_pdf_processor.py:2449-2456, 0-based path +1) while rule-engine
+    # passage pages use the 0-based-cover split convention, so a figure
+    # physically on split-page p links to passages labeled p+1 — the
+    # reference's json_merger has the identical shift and we preserve it.
     for fig in figures_data:
         page = fig.get("page", 0)
         related = [p["passage_id"] for p in result.get("passages", [])

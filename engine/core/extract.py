@@ -180,20 +180,28 @@ def _extract_turn(text: str, tool: Optional[str], doc_name: str) -> Dict:
     all_passages: List[Dict] = []
     all_tables: List[Dict] = list(html_tables)
     all_numerics: List[Dict] = []
-    find_cursor = 0
+    # per-collection cursors: repeated identical content (the same paragraph
+    # on two pages) must map to successive occurrences, not all to the first
+    cur_p = cur_t = cur_n = 0
     for pg in page_list:
         for p in passages.extract_passages(pg.content, pg.page):
-            a, b = _locate(text, p["text"], find_cursor)
+            a, b = _locate(text, p["text"], cur_p)
+            if a >= 0:
+                cur_p = max(cur_p, b)
             spans.append(Span("passage", a, b, p["passage_id"]))
             all_passages.append(p)
         for t in tables.extract_tables(pg.content, pg.page):
             raw = cleaned[pg.start + t.pop("_start"):pg.start + t.pop("_end")]
-            a, b = _locate(text, raw.strip(), find_cursor)
+            a, b = _locate(text, raw.strip(), cur_t)
+            if a >= 0:
+                cur_t = max(cur_t, b)
             spans.append(Span("table", a, b, t["table_id"]))
             all_tables.append(t)
         for n in numerics.extract_numerics(pg.content, pg.page):
             raw = pg.content[n.pop("_start"):n.pop("_end")]
-            a, b = _locate(text, raw, find_cursor)
+            a, b = _locate(text, raw, cur_n)
+            if a >= 0:
+                cur_n = max(cur_n, b)
             spans.append(Span("numeric", a, b, n["num_id"]))
             all_numerics.append(n)
 

@@ -84,7 +84,6 @@ class _Extractor(HTMLParser):
             self._line_starts.append(pos + 1)
             pos = source.find("\n", pos + 1)
         self.blocks: List[_Block] = []
-        self._stack: List[str] = []
         self._drop_depth = 0
         self._link_depth = 0
         self._current: Optional[_Block] = None
@@ -122,10 +121,9 @@ class _Extractor(HTMLParser):
             self._link_depth += 1
         if tag in _BLOCK_TAGS:
             self._open_block(tag)
-        if tag not in _VOID_TAGS:
-            self._stack.append(tag)
-        # table capture
-        if tag == "table":
+        # table capture — not inside dropped subtrees (a nav/footer table is
+        # boilerplate exactly like its surrounding text)
+        if tag == "table" and self._drop_depth == 0:
             self._table_rows = []
             self._table_start = self._abs_pos()
         elif tag == "tr" and self._table_rows is not None:
@@ -151,9 +149,6 @@ class _Extractor(HTMLParser):
             self._link_depth -= 1
         if tag in _DROP_TAGS and self._drop_depth > 0:
             self._drop_depth -= 1
-        while self._stack and self._stack and self._stack[-1] == tag:
-            self._stack.pop()
-            break
 
     def handle_data(self, data: str) -> None:
         if self._in_title and data.strip():

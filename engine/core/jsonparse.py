@@ -70,8 +70,14 @@ def extract_json(response: Any) -> Dict:
 
     text = response if isinstance(response, str) else str(response)
 
+    # Deviation from the reference: every textual parse below is accepted
+    # ONLY if it yields an object. The reference returns whatever json.loads
+    # produces ("42" → 42) despite its Dict contract and crashes downstream;
+    # we enforce the contract here.
     try:
-        return json.loads(text)
+        parsed = json.loads(text)
+        if isinstance(parsed, dict):
+            return parsed
     except json.JSONDecodeError:
         pass
 
@@ -79,7 +85,9 @@ def extract_json(response: Any) -> Dict:
         m = rx.search(text)
         if m:
             try:
-                return json.loads(m.group(1).strip())
+                parsed = json.loads(m.group(1).strip())
+                if isinstance(parsed, dict):
+                    return parsed
             except json.JSONDecodeError:
                 continue
 

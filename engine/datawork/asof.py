@@ -24,12 +24,18 @@ def asof_join(left: DataFrame, right: DataFrame, on: str, by: str,
     Right rows sort before left rows at equal timestamps (side order 0 < 1),
     so an exact-tie right row IS visible to the left row — DuckDB's
     ``ASOF JOIN ... ON l.ts >= r.ts`` semantics."""
-    l_tag = left.withColumn("_side", F.lit(1))
-    for c in value_cols:
-        l_tag = l_tag.withColumn(f"_r_{c}", F.lit(None).cast(right.schema[c].dataType))
+    # Carry ONE struct of all value columns, not each column independently —
+    # independent last(ignorenulls) carries could stitch fields from two
+    # different right rows whenever a value column is null (a row that never
+    # existed). The struct is non-null iff a right row exists, so the carry
+    # is atomic and null fields stay null, matching ASOF JOIN semantics.
+    struct_type = "struct<" + ",".join(
+        f"{c}:{right.schema[c].dataType.simpleString()}" for c in value_cols) + ">"
+    l_tag = (left.withColumn("_side", F.lit(1))
+             .withColumn("_r", F.lit(None).cast(struct_type)))
     r_tag = right.select(
         F.col(by), F.col(on), F.lit(0).alias("_side"),
-        *[F.col(c).alias(f"_r_{c}") for c in value_cols])
+        F.struct(*[F.col(c) for c in value_cols]).alias("_r"))
     for col in l_tag.columns:
         if col not in r_tag.columns:
             r_tag = r_tag.withColumn(col, F.lit(None))
@@ -37,9 +43,8 @@ def asof_join(left: DataFrame, right: DataFrame, on: str, by: str,
 
     w = (Window.partitionBy(by).orderBy(F.col(on), F.col("_side"))
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    carried = unioned
+    carried = unioned.withColumn("_carried", F.last("_r", ignorenulls=True).over(w))
+    out = carried.filter(F.col("_side") == 1)
     for c in value_cols:
-        carried = carried.withColumn(
-            f"{c}{suffix}", F.last(f"_r_{c}", ignorenulls=True).over(w))
-    return (carried.filter(F.col("_side") == 1)
-            .drop("_side", *[f"_r_{c}" for c in value_cols]))
+        out = out.withColumn(f"{c}{suffix}", F.col("_carried")[c])
+    return out.drop("_side", "_r", "_carried")

@@ -16,6 +16,11 @@ Physical design for 10^12 turns (SURVEY.md §4):
   lineage manifest (mirrors the reference's skip-completed scans,
   batch_pdf_processor.py:2562-2625) — at cluster scale the manifest is tiny
   (≤ n_buckets rows/run) so the anti-join broadcasts.
+* Resume scope is an immutable input snapshot: a bucket present in the
+  output is considered fully done, so rows ADDED to the source after a
+  bucket committed would be skipped — incremental ingestion goes through
+  the streaming path (engine/spark/streaming.py, file-granular exactly-once)
+  or a new output dir per snapshot (on Iceberg: per input snapshot id).
 * Waves: buckets are processed in ``waves`` sequential commit units; each
   wave's output + lineage rows commit together, so a killed run resumes at
   wave granularity with zero duplicate output rows. On Iceberg this is a
@@ -75,11 +80,18 @@ def completed_buckets(spark: SparkSession, out_path: str) -> DataFrame:
     rows). Buckets can only appear in the output fully written (Spark's job
     commit is all-or-nothing per wave), and reading just the partition column
     is a directory listing, not a data scan."""
+    from pyspark.errors import AnalysisException
     try:
         out = spark.read.schema(EXTRACTED_SCHEMA).parquet(out_path)
         return out.select("conv_bucket").distinct()
-    except Exception:
-        return spark.createDataFrame([], "conv_bucket int")
+    except AnalysisException as exc:
+        # ONLY "no output yet" means no completed buckets; any other read
+        # failure must abort the run — treating a transient error as an
+        # empty manifest would reprocess and APPEND duplicates.
+        msg = str(exc)
+        if "PATH_NOT_FOUND" in msg or "Path does not exist" in msg:
+            return spark.createDataFrame([], "conv_bucket int")
+        raise
 
 
 def run_pipeline(spark: SparkSession, input_path: str, output_dir: str,

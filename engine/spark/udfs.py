@@ -49,8 +49,17 @@ def extract_batches(batches: Iterator[pd.DataFrame], n_buckets: int = 1024
         n = len(pdf)
         if n == 0:
             continue
+        # NOTE: a single null turn_idx in a batch makes Arrow hand the whole
+        # column over as float64 ('5' renders as '5.0'), which would silently
+        # poison doc_name → doc_id for every row in the batch — normalize per
+        # value, never via the column dtype.
+        def _doc_name(conv, idx) -> str:
+            conv_s = conv if isinstance(conv, str) else "None"
+            idx_s = "None" if pd.isna(idx) else str(int(idx))
+            return f"{conv_s}:{idx_s}"
+
         records = [
-            extract_turn(text, tool, f"{conv}:{idx}")
+            extract_turn(text, tool, _doc_name(conv, idx))
             for text, tool, conv, idx in zip(
                 pdf["text"], pdf["tool"], pdf["conv_id"], pdf["turn_idx"])
         ]

@@ -53,3 +53,14 @@ def test_link_density_drop():
     farm = "<div>" + " ".join(f'<a href="/{i}">link {i} text</a>' for i in range(10)) + "</div>"
     cleaned, _, _, _ = clean_html(farm)
     assert cleaned == ""
+
+
+def test_boilerplate_subtree_tables_not_captured():
+    doc = ("<body><article><p>Real prose that is long enough and has the "
+           "usual words in it to be kept by the scorer.</p>"
+           "<table><tr><th>k</th></tr><tr><td>1</td></tr></table></article>"
+           "<footer><table><tr><th>Links</th></tr><tr><td>Privacy</td></tr>"
+           "</table></footer></body>")
+    _, _, _, tables = clean_html(doc)
+    assert len(tables) == 1
+    assert tables[0]["columns"] == ["k"]

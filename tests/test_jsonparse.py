@@ -25,3 +25,11 @@ def test_text_fallbacks():
 def test_unbalanced_braces():
     assert extract_json("{ broken { json") == {}
     assert extract_json('bad {"a": } then {"b": 1}') == {"b": 1}
+
+
+def test_non_object_json_rejected():
+    # contract: only objects come back; scalars/arrays in text are not docs
+    assert extract_json("42") == {}
+    assert extract_json("null") == {}
+    assert extract_json("[1, 2]") == {}
+    assert extract_json('```json\n[1]\n```') == {}

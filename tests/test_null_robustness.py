@@ -51,3 +51,19 @@ def test_pipeline_survives_nulls(spark, dirty, tmp_path):
     assert stats.turns_processed == 5
     out = spark.read.parquet(str(tmp_path / "out/extracted_turns"))
     assert out.count() == 5
+
+
+def test_doc_id_immune_to_null_poisoned_batches(spark):
+    """A null turn_idx in an Arrow batch floats the whole column; doc_name
+    (→ doc_id) for the clean rows in that batch must stay 'conv:5', never
+    'conv:5.0'."""
+    from engine.core.extract import extract_turn
+    from engine.spark.pipeline import extract_df
+    df = spark.createDataFrame(
+        [("c1", 5, "user", "clean row text here", "chat.plain", None),
+         ("c1", None, "user", "dirty row", "chat.plain", None)],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp").coalesce(1)  # force one batch
+    rows = {r["turn_idx"]: r for r in extract_df(df).collect()}
+    exp = extract_turn("clean row text here", "chat.plain", "c1:5")
+    assert rows[5]["doc_id"] == exp["doc_id"]
