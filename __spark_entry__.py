@@ -448,6 +448,16 @@ def q_dedup_simhash_pairs(spark, sf_dir):
     return simhash_near_pairs(docs, max_hamming=3).orderBy("id_a", "id_b")
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Connected components over the MinHash-LSH candidate pairs (iterative
+    label propagation; oracle = recursive CTE transitive closure)."""
+    from engine.datawork.clusters import duplicate_clusters
+    from engine.datawork.dedup import minhash_lsh_candidates
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_candidates(docs)
+    return duplicate_clusters(pairs).orderBy("doc_id")
+
+
 def q_ann_cosine_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
@@ -563,6 +573,7 @@ _RAW_QUERIES: dict = {
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
+        "dedup_clusters": q_dedup_clusters,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_buckets": q_ann_lsh_buckets,
         "embedding_near_pairs": q_embedding_near_pairs,

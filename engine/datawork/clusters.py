@@ -1,0 +1,61 @@
+"""Duplicate-cluster assignment: connected components over near-dup pairs.
+
+Dedup pipelines need clusters, not pairs (keep one canonical doc per
+component). This is iterative label propagation — the canonical min-id
+of every node's component — expressed as pure DataFrame joins:
+
+    label(v) ← min(label(v), min over neighbors u of label(u))
+
+repeated until fixpoint. Each iteration is one shuffle join + aggregate;
+convergence takes O(component diameter) rounds (near-dup clusters are tiny,
+so 2–4 in practice, with a hard cap). This is the engine's exemplar of an
+iterative algorithm the SQL oracle expresses with a recursive CTE.
+
+Scale notes: the edge list is pairs from the LSH candidates (bounded by the
+bucket guards), labels is |nodes| rows; both are shuffled by id each round.
+Intermediate labels are localCheckpoint-ed every few rounds so the lineage
+does not grow unboundedly with iterations (the classic iterative-Spark
+pitfall).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def duplicate_clusters(pairs: DataFrame, max_iterations: int = 15,
+                       checkpoint_every: int = 1) -> DataFrame:
+    """(id_a, id_b) undirected near-dup pairs → (doc_id, cluster_id) where
+    cluster_id = min id in the connected component. Only nodes that appear
+    in at least one pair are returned (singletons are their own cluster
+    trivially)."""
+    # cut the (possibly expensive) pair-generation lineage out of the loop:
+    # every iteration and every convergence count would otherwise recompute it
+    edges = (pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+             .union(pairs.select(F.col("id_b").alias("src"),
+                                 F.col("id_a").alias("dst")))
+             .distinct().persist())
+    labels = (edges.select(F.col("src").alias("id")).distinct()
+              .withColumn("label", F.col("id")))
+
+    for i in range(max_iterations):
+        neighbor_min = (edges.join(labels, edges.dst == labels.id)
+                        .groupBy("src").agg(F.min("label").alias("nbr_label")))
+        new_labels = (labels.join(neighbor_min, labels.id == neighbor_min.src,
+                                  "left")
+                      .select(labels.id,
+                              F.least(F.col("label"),
+                                      F.coalesce(F.col("nbr_label"),
+                                                 F.col("label")))
+                              .alias("label")))
+        if (i + 1) % checkpoint_every == 0:
+            new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), F.col("n.id") == F.col("o.id"))
+                   .filter(F.col("n.label") != F.col("o.label")).count())
+        labels = new_labels
+        if changed == 0:
+            break
+
+    return labels.select(F.col("id").alias("doc_id"),
+                         F.col("label").alias("cluster_id"))

@@ -352,6 +352,33 @@ SELECT id_a, id_b, hamming FROM (
       ON a.band = b.band AND a.piece = b.piece AND a.id < b.id
 ) WHERE hamming <= 3 ORDER BY id_a, id_b"""
 
+    o["dedup_clusters"] = _minhash_sig_sql() + f""",
+buckets_raw AS (
+    {band_rows}
+),
+buckets AS (
+    SELECT id, band, bucket FROM buckets_raw
+    QUALIFY count(*) OVER (PARTITION BY band, bucket) <= 100
+),
+pairs AS (
+    SELECT DISTINCT a.id AS id_a, b.id AS id_b
+    FROM buckets a JOIN buckets b
+      ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+),
+edges AS (
+    SELECT id_a AS src, id_b AS dst FROM pairs
+    UNION SELECT id_b, id_a FROM pairs
+),
+reach AS (
+    WITH RECURSIVE r(src, dst) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT r.src, e.dst FROM r JOIN edges e ON r.dst = e.src
+    ) SELECT * FROM r
+)
+SELECT src AS doc_id, min(dst) AS cluster_id
+FROM reach GROUP BY src ORDER BY doc_id"""
+
     # ---- similarity ----
     o["ann_cosine_topk"] = f"""
 SELECT b.vec_id,

@@ -140,3 +140,16 @@ def test_frame_sampling(spark):
     rows = sample_frames(assets, every_ms=1000).collect()
     assert {r["asset_id"] for r in rows} == {"v1"}
     assert sorted(r["frame_ts_ms"] for r in rows) == [0, 1000, 2000, 3000]
+
+
+def test_duplicate_clusters_label_propagation(spark):
+    from engine.datawork.clusters import duplicate_clusters
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4),          # chain → cluster 1
+         (10, 11),                        # pair → cluster 10
+         (20, 21), (21, 22), (20, 22)],   # triangle → cluster 20
+        "id_a bigint, id_b bigint")
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in duplicate_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10,
+                   20: 20, 21: 20, 22: 20}
