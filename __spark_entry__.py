@@ -345,10 +345,11 @@ def q_events_sessionize(spark, sf_dir):
     """Window-function surface: per-user sessions split on >5 min gaps, with
     session ids assigned by a running sum over a lag comparison."""
     from pyspark.sql import Window
-    spark.conf.set("spark.sql.session.timeZone", "UTC")  # NTZ→epoch parity
     ev = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    epoch = F.col("ts").cast("timestamp").cast("long")
+    # NTZ-native epoch seconds — no session-timezone dependence (and no
+    # global conf mutation): whole seconds since a fixed NTZ origin
+    epoch = F.expr("timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
     gap = (epoch - F.lag(epoch).over(w)) > 300
     with_flag = ev.withColumn("new_session",
                               F.when(gap | F.lag("ts").over(w).isNull(), 1)

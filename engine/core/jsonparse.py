@@ -114,6 +114,8 @@ def extract_json(response: Any) -> Dict:
                 start = i
             depth += 1
         elif ch == "}":
+            if depth == 0:
+                continue  # stray '}' before any '{' must not poison the scan
             depth -= 1
             if depth == 0 and start != -1:
                 try:

@@ -33,7 +33,10 @@ def asof_join(left: DataFrame, right: DataFrame, on: str, by: str,
         f"{c}:{right.schema[c].dataType.simpleString()}" for c in value_cols) + ">"
     l_tag = (left.withColumn("_side", F.lit(1))
              .withColumn("_r", F.lit(None).cast(struct_type)))
-    r_tag = right.select(
+    # a right row with a NULL timestamp can never satisfy l.on >= r.on —
+    # but nulls sort FIRST in the window, so it would otherwise be carried
+    # into every left row; drop them up front
+    r_tag = right.filter(F.col(on).isNotNull()).select(
         F.col(by), F.col(on), F.lit(0).alias("_side"),
         F.struct(*[F.col(c) for c in value_cols]).alias("_r"))
     for col in l_tag.columns:
@@ -41,7 +44,11 @@ def asof_join(left: DataFrame, right: DataFrame, on: str, by: str,
             r_tag = r_tag.withColumn(col, F.lit(None))
     unioned = l_tag.unionByName(r_tag.select(l_tag.columns))
 
-    w = (Window.partitionBy(by).orderBy(F.col(on), F.col("_side"))
+    # xxhash64(_r) as the final key makes the choice among right rows tied on
+    # (by, on) deterministic across runs/partitionings (ASOF semantics leave
+    # the tie choice unspecified; SQL engines pick arbitrarily)
+    w = (Window.partitionBy(by)
+         .orderBy(F.col(on), F.col("_side"), F.xxhash64("_r"))
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     carried = unioned.withColumn("_carried", F.last("_r", ignorenulls=True).over(w))
     out = carried.filter(F.col("_side") == 1)

@@ -34,7 +34,9 @@ def duplicate_clusters(pairs: DataFrame, max_iterations: int = 15,
     edges = (pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
              .union(pairs.select(F.col("id_b").alias("src"),
                                  F.col("id_a").alias("dst")))
-             .distinct().persist())
+             .distinct())
+    from engine.datawork.dedup import _cache_slot
+    edges = _cache_slot("cluster_edges", edges)
     labels = (edges.select(F.col("src").alias("id")).distinct()
               .withColumn("label", F.col("id")))
 
@@ -56,6 +58,11 @@ def duplicate_clusters(pairs: DataFrame, max_iterations: int = 15,
         labels = new_labels
         if changed == 0:
             break
+    else:
+        raise RuntimeError(
+            f"duplicate_clusters did not converge in {max_iterations} "
+            f"iterations ({changed} labels still changing) — a component's "
+            f"diameter exceeds the cap; raise max_iterations")
 
     return labels.select(F.col("id").alias("doc_id"),
                          F.col("label").alias("cluster_id"))

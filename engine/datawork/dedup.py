@@ -29,6 +29,22 @@ MINHASH_BANDS = 4   # bands of 2 → catches J ≳ 0.5 pairs reliably
 SIMHASH_BITS = 32
 SIMHASH_BANDS = 4   # bands of 8 bits → all pairs with Hamming ≤ 3 share ≥1 band
 
+# Bounded-cache registry: each helper persists one small intermediate table
+# per call; re-invocations (bench loops, long driver sessions) would leak
+# cached blocks forever, so each slot unpersists its predecessor.
+_CACHE_SLOTS: dict = {}
+
+
+def _cache_slot(name: str, df: DataFrame) -> DataFrame:
+    prev = _CACHE_SLOTS.get(name)
+    if prev is not None:
+        try:
+            prev.unpersist()
+        except Exception:
+            pass
+    _CACHE_SLOTS[name] = df.persist()
+    return _CACHE_SLOTS[name]
+
 
 def shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
              n: int = 3) -> DataFrame:
@@ -68,7 +84,7 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
     shingles) — the standard skew guard: without it one hot shingle creates a
     quadratic join blow-up at corpus scale.
     """
-    sh = shingles(df, id_col, text_col, n).persist()  # consumed 4×
+    sh = _cache_slot("jaccard_shingles", shingles(df, id_col, text_col, n))  # consumed 4×
     sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
     hot = (sh.groupBy("shingle").agg(F.count("*").alias("df_count"))
              .filter(F.col("df_count") > max_df).select("shingle"))
@@ -125,8 +141,8 @@ def minhash_lsh_candidates(df: DataFrame, id_col: str = "doc_id",
         all_buckets = all_buckets.unionByName(extra)
     # the bucket table is consumed 3× (hot-agg + both self-join sides); it is
     # tiny (bands × n_docs rows) while its lineage (shingle explode + 8 md5
-    # min-aggs) is expensive — persist to stop the recompute
-    all_buckets = all_buckets.persist()
+    # min-aggs) is expensive — cache to stop the recompute (bounded slot)
+    all_buckets = _cache_slot("minhash_buckets", all_buckets)
     hot = (all_buckets.groupBy("band", "bucket")
            .agg(F.count("*").alias("bsz"))
            .filter(F.col("bsz") > max_bucket).select("band", "bucket"))
@@ -167,7 +183,7 @@ def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id",
     """Pairs with Hamming(simhash) ≤ max_hamming. Candidates via banded
     exact-match join (pigeonhole: ≤3 differing bits over 4 bands leaves ≥1
     identical band), then exact bit_count verify."""
-    sh = simhash(df, id_col, text_col, bits).persist()  # both join sides
+    sh = _cache_slot("simhash_sigs", simhash(df, id_col, text_col, bits))  # both join sides
     width = bits // bands
     mask = (1 << width) - 1
     pieces = []

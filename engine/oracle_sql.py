@@ -321,9 +321,13 @@ ORDER BY id_a, id_b"""
     o["dedup_ngram_jaccard"] = f"""
 WITH {_SHINGLES},
 sizes AS (SELECT id, count(*) AS sz FROM shingles GROUP BY id),
+cold AS (  -- mirror the Spark side's max_df=1000 hot-shingle drop
+    SELECT id, sh FROM shingles
+    QUALIFY count(*) OVER (PARTITION BY sh) <= 1000
+),
 inter AS (
     SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
-    FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.id < b.id
+    FROM cold a JOIN cold b ON a.sh = b.sh AND a.id < b.id
     GROUP BY 1, 2
 )
 SELECT id_a, id_b, jaccard FROM (

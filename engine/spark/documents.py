@@ -52,23 +52,26 @@ def _plain(v):
 def _assemble_group(pdf: pd.DataFrame) -> pd.DataFrame:
     from engine.core.assemble import build_conversation_document, validate_document
 
-    conv_id = pdf["conv_id"].iloc[0]
-    pdf = pdf.sort_values("turn_idx")
-    records = []
-    for _, row in pdf.iterrows():
-        records.append({
-            "turn_idx": int(row["turn_idx"]),
-            "payload_kind": row["payload_kind"],
-            "title": row["title"],
-            "language": row["language"],
-            "tickers": _plain(row["tickers"]),
-            "passages": _plain(row["passages"]),
-            "tables": _plain(row["tables"]),
-            "numerics": _plain(row["numerics"]),
-            "entities": _plain(row["entities"]),
-            "figures": _plain(row["figures"]),
-        })
+    raw_conv = pdf["conv_id"].iloc[0]
+    conv_id = raw_conv if isinstance(raw_conv, str) else "None"
+    n_rows = len(pdf)
     try:
+        # dirty-row tolerance: turn_idx arrives float64 when any row is null
+        pdf = pdf.sort_values("turn_idx", na_position="last")
+        records = []
+        for _, row in pdf.iterrows():
+            records.append({
+                "turn_idx": 0 if pd.isna(row["turn_idx"]) else int(row["turn_idx"]),
+                "payload_kind": row["payload_kind"],
+                "title": row["title"],
+                "language": row["language"],
+                "tickers": _plain(row["tickers"]),
+                "passages": _plain(row["passages"]),
+                "tables": _plain(row["tables"]),
+                "numerics": _plain(row["numerics"]),
+                "entities": _plain(row["entities"]),
+                "figures": _plain(row["figures"]),
+            })
         doc = build_conversation_document(conv_id, records)
         ok, err = validate_document(doc)
         return pd.DataFrame([{
@@ -76,9 +79,9 @@ def _assemble_group(pdf: pd.DataFrame) -> pd.DataFrame:
             "doc_json": json.dumps(doc, ensure_ascii=False, sort_keys=True),
             "is_valid": bool(ok), "error": err,
         }])
-    except Exception as exc:  # never throw
+    except Exception as exc:  # never throw — dirty group becomes an error row
         return pd.DataFrame([{
-            "conv_id": conv_id, "n_turns": len(records),
+            "conv_id": conv_id, "n_turns": n_rows,
             "doc_json": "{}", "is_valid": False,
             "error": f"{type(exc).__name__}: {exc}",
         }])

@@ -43,3 +43,15 @@ def test_asof_carry_is_atomic_across_null_fields(spark):
                       value_cols=["rid", "value"]).collect()
     assert row["rid_asof"] == "r2"
     assert row["value_asof"] is None  # NOT 2.0 stitched from r1
+
+
+def test_asof_ignores_null_right_timestamps(spark):
+    left = spark.createDataFrame(
+        [("e1", 1, _ts("2024-01-01T12:00"))],
+        "event_id string, user_id int, ts timestamp")
+    right = spark.createDataFrame(
+        [("rX", 1, None, 9.9)],
+        "rid string, user_id int, ts timestamp, value double")
+    [row] = asof_join(left, right, on="ts", by="user_id",
+                      value_cols=["rid", "value"]).collect()
+    assert row["rid_asof"] is None and row["value_asof"] is None

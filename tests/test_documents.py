@@ -77,3 +77,19 @@ def test_entity_dedup_across_turns():
     doc = build_conversation_document("c", [r1, r2])
     names = [e["name"] for e in doc["entities"]]
     assert names.count("Acme Corp") == 1
+
+
+def test_conversation_documents_tolerates_dirty_rows(spark):
+    from engine.spark.documents import conversation_documents
+    from engine.spark.pipeline import extract_df
+    dirty = spark.createDataFrame(
+        [("cX", 0, "user", "a normal turn with enough text", "chat.plain", None),
+         ("cX", None, "user", None, None, None),
+         (None, 1, "user", "null conversation", "chat.plain", None)],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp")
+    rows = {r["conv_id"]: r for r in
+            conversation_documents(extract_df(dirty)).collect()}
+    assert set(rows) == {"cX", "None"}
+    assert rows["cX"]["n_turns"] == 2
+    assert rows["cX"]["is_valid"]

@@ -33,3 +33,8 @@ def test_non_object_json_rejected():
     assert extract_json("null") == {}
     assert extract_json("[1, 2]") == {}
     assert extract_json('```json\n[1]\n```') == {}
+
+
+def test_stray_close_brace_before_object():
+    # deviation: the reference's scan goes depth-negative and loses the object
+    assert extract_json('} then {"a": 1}') == {"a": 1}
