@@ -90,13 +90,15 @@ def filter_figures(markdown: str) -> Tuple[List[Dict], List[str], List[Span]]:
         for m in _FIGURE_RE.finditer(pg.content):
             path = m.group("path").strip()
             filename = path.rsplit("/", 1)[-1]
-            blob = f"{(m.group('label') or '').strip()}\n{_context(pg.content, m.start(), m.end())}"
+            label = (m.group("label") or "").strip()
+            context = _context(pg.content, m.start(), m.end())
+            blob = f"{label}\n{context}"
             candidates.append({
                 "page": pg.page,
-                "label": (m.group("label") or "").strip(),
+                "label": label,
                 "path": path,
                 "filename": filename,
-                "context": _context(pg.content, m.start(), m.end()),
+                "context": context,
                 "_drop": _is_disclosure(blob) or _is_price_chart(blob),
                 "_start": pg.start + m.start(),
                 "_end": pg.start + m.end(),
