@@ -164,6 +164,10 @@ turns (2.2 GB of payload text), local[32], 8 waves, 1024 buckets:
 | resume after kill | processed exactly the missing 249,446 turns; re-run of a complete output processes 0 and skips 1,000,695 |
 | final state | 1,000,695 rows, all keys distinct, 0 extraction errors, exactly 1,024 data files (one per bucket), manifest rows sum exactly across attempts |
 
+Sustained throughput grows with input (fixed costs amortize): bench.py at
+240k turns measures **13,205 turns/s** for the extraction stage at
+local[32] (18.2 s for 240,179 turns), vs ~7k turns/s at the default 60k.
+
 Scale bugs that run caught (fixed + regression-tested): single-row-group
 synthetic parquet (unsplittable input, OOMs small heaps → bounded row
 groups); partitionBy file explosion (salt-tasks × buckets ≈ 16k tiny files
