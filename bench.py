@@ -8,7 +8,7 @@ Env knobs:
   SPARK_GRAFT_SF_DIR   table dir (default /root/testdata/sf0.1)
   SPARK_GRAFT_CPUS     local[N] (default 32)
   BENCH_TURNS          transcript rows for the throughput section
-                       (default 60000)
+                       (default 120000)
 
 The headline metric is extraction throughput (turns/sec) over the seeded
 synthetic transcript table — the workload BASELINE.json names. The reference
@@ -30,7 +30,7 @@ sys.path.insert(0, str(REPO))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-BENCH_TURNS = int(os.environ.get("BENCH_TURNS", "60000"))
+BENCH_TURNS = int(os.environ.get("BENCH_TURNS", "120000"))
 
 BENCH_QUERIES = [
     "extract_per_turn", "extract_kind_rollup", "conversation_rollup",
