@@ -50,14 +50,26 @@ def parse_refs(text: str) -> List[Tuple[str, str, str]]:
     return REF_RE.findall(text)
 
 
+_DET_FAST_RE = re.compile(
+    r"^\[\s*(\[\s*-?\d+\s*(?:,\s*-?\d+\s*){3}\]\s*(?:,\s*)?)+\]$")
+_INT_RE = re.compile(r"-?\d+")
+
+
 def parse_det_boxes(det_payload: str) -> Optional[List[List[int]]]:
     """P8 — safe replacement for the reference's ``eval`` (:488).
 
     Accepts the same literal grammar (a list of 4-number lists); returns None
     on anything else, mirroring the reference's exception-swallowing path.
+    The common integer form is parsed with a regex fast path (ast.literal_eval
+    compiles a code object per call); anything else falls back to the full
+    literal parser (floats, odd spacing).
     """
+    payload = det_payload.strip()
+    if _DET_FAST_RE.match(payload):
+        nums = [int(x) for x in _INT_RE.findall(payload)]
+        return [nums[i:i + 4] for i in range(0, len(nums), 4)]
     try:
-        value = ast.literal_eval(det_payload.strip())
+        value = ast.literal_eval(payload)
     except (ValueError, SyntaxError, MemoryError, RecursionError):
         return None
     if not isinstance(value, (list, tuple)):
