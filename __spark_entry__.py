@@ -401,6 +401,12 @@ def q_doc_lang_id(spark, sf_dir):
     return with_lang_id(docs).select("doc_id", "lang", "lang_pred")
 
 
+def q_doc_repetition(spark, sf_dir):
+    from engine.datawork.textstats import with_repetition
+    docs = _t(spark, sf_dir, "documents")
+    return with_repetition(docs).select("doc_id", "repetition_ratio")
+
+
 def q_doc_fingerprints(spark, sf_dir):
     from engine.datawork.textstats import with_fingerprint
     docs = _t(spark, sf_dir, "documents")
@@ -568,6 +574,7 @@ _RAW_QUERIES: dict = {
         "doc_text_stats": q_doc_text_stats,
         "doc_lang_id": q_doc_lang_id,
         "doc_fingerprints": q_doc_fingerprints,
+        "doc_repetition": q_doc_repetition,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_sigs": q_dedup_minhash_sigs,
         "dedup_minhash_pairs": q_dedup_minhash_pairs,

@@ -84,6 +84,25 @@ def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("lang_pred", pred)
 
 
+def with_repetition(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
+    """Runaway-repetition score — the text-level analogue of the reference's
+    no-repeat-ngram logits guard (process/ngram_norepeat.py:7-40, SURVEY
+    §2.6 G3): distinct-to-total n-gram ratio per doc. A model stuck in a
+    loop repeats n-grams, driving the ratio toward 0; clean prose sits near
+    1. Pure column expressions (transform over a word-window sequence)."""
+    w = F.split(F.trim(F.lower(F.col(text_col))), WS_SPLIT_RE)
+    grams = F.when(
+        F.size(w) >= n,
+        F.transform(F.sequence(F.lit(1), F.size(w) - (n - 1)),
+                    lambda i: F.concat_ws(" ", F.slice(w, i, n)))
+    ).otherwise(F.array().cast("array<string>"))
+    total = F.size(grams)
+    distinct = F.size(F.array_distinct(grams))
+    return df.withColumn(
+        "repetition_ratio",
+        F.when(total > 0, F.round(distinct / total, 6)).otherwise(F.lit(1.0)))
+
+
 def fingerprint(text: Column) -> Column:
     """Document fingerprint: md5 of lowercase whitespace-collapsed text."""
     return F.md5(F.regexp_replace(F.lower(F.trim(text)), WS_SPLIT_RE, " "))

@@ -289,6 +289,21 @@ SELECT doc_id, lang,
        END AS lang_pred
 FROM hits"""
 
+    o["doc_repetition"] = f"""
+WITH g AS (
+    SELECT doc_id,
+           CASE WHEN len({_WORDS}) >= 3
+                THEN list_transform(range(1, len({_WORDS}) - 1),
+                                    i -> array_to_string(({_WORDS})[i:i+2], ' '))
+                ELSE [] END AS grams
+    FROM documents
+)
+SELECT doc_id,
+       CAST(CASE WHEN len(grams) > 0
+                 THEN round(len(list_distinct(grams)) / len(grams), 6)
+                 ELSE 1.0 END AS DOUBLE) AS repetition_ratio
+FROM g"""
+
     fp = "md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))"
     o["doc_fingerprints"] = f"SELECT doc_id, {fp} AS fingerprint FROM documents"
 

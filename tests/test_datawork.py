@@ -153,3 +153,17 @@ def test_duplicate_clusters_label_propagation(spark):
            for r in duplicate_clusters(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10,
                    20: 20, 21: 20, 22: 20}
+
+
+def test_repetition_ratio(spark):
+    from engine.datawork.textstats import with_repetition
+    df = spark.createDataFrame(
+        [(1, "spam spam spam spam spam spam"),      # one distinct 3-gram
+         (2, "all words here are fully distinct"),  # all distinct
+         (3, "ab"), (4, "")],                       # too short → 1.0
+        "doc_id int, text string")
+    rows = {r["doc_id"]: r["repetition_ratio"]
+            for r in with_repetition(df).collect()}
+    assert rows[1] == 0.25  # 1 distinct / 4 total
+    assert rows[2] == 1.0
+    assert rows[3] == 1.0 and rows[4] == 1.0
