@@ -50,8 +50,12 @@ def parse_refs(text: str) -> List[Tuple[str, str, str]]:
     return REF_RE.findall(text)
 
 
-_DET_FAST_RE = re.compile(
-    r"^\[\s*(\[\s*-?\d+\s*(?:,\s*-?\d+\s*){3}\]\s*(?:,\s*)?)+\]$")
+# exact mirror of the literal grammar for the common integer case: no
+# leading zeros (SyntaxError in literal_eval) and mandatory commas BETWEEN
+# boxes (a missing comma is a malformed Subscript the reference rejects)
+_DET_INT = r"-?(?:0|[1-9]\d*)"
+_DET_BOX = rf"\[\s*{_DET_INT}\s*(?:,\s*{_DET_INT}\s*){{3}}\]"
+_DET_FAST_RE = re.compile(rf"^\[\s*{_DET_BOX}(?:\s*,\s*{_DET_BOX})*\s*,?\s*\]$")
 _INT_RE = re.compile(r"-?\d+")
 
 

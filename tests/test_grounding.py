@@ -46,3 +46,13 @@ def test_grounded_conversion_image_rewrite_and_page_convention():
 def test_coloneqq_rewrite():
     md, _, _ = grounded_to_markdown("x \\coloneqq y \\eqqcolon z")
     assert ":= y =:" in md
+
+
+def test_det_fast_path_matches_literal_grammar():
+    # grammar edges: missing comma between boxes and leading zeros are
+    # SyntaxErrors in the literal parser and must stay rejected
+    assert parse_det_boxes("[[1,2,3,4][5,6,7,8]]") is None
+    assert parse_det_boxes("[[01,2,3,4]]") is None
+    assert parse_det_boxes("[[1,2,3,4],]") == [[1, 2, 3, 4]]   # trailing comma ok
+    assert parse_det_boxes("[[-0,2,3,4]]") == [[0, 2, 3, 4]]
+    assert parse_det_boxes("[[+1,2,3,4]]") == [[1, 2, 3, 4]]   # via fallback

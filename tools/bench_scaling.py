@@ -166,7 +166,8 @@ turns (2.2 GB of payload text), local[32], 8 waves, 1024 buckets:
 
 Sustained throughput grows with input (fixed costs amortize): bench.py at
 240k turns measures **13,205 turns/s** for the extraction stage at
-local[32] (18.2 s for 240,179 turns), vs ~7k turns/s at the default 60k.
+local[32] (18.2 s for 240,179 turns); the bench default is 120k turns
+(~11k turns/s).
 
 Scale bugs that run caught (fixed + regression-tested): single-row-group
 synthetic parquet (unsplittable input, OOMs small heaps → bounded row
