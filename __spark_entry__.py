@@ -521,6 +521,16 @@ def q_pdf_payload_extract(spark, sf_dir):
         "error")
 
 
+def q_embedding_near_pairs_lsh(spark, sf_dir):
+    """The SCALE path for embedding near-dup: self-join within LSH buckets
+    (misses cross-bucket pairs by design; recall is plane-count-tunable).
+    Oracle reproduces the plane buckets + per-bucket join exactly."""
+    from engine.datawork.similarity import cosine_pairs_above
+    emb = _t(spark, sf_dir, "embeddings")
+    return (cosine_pairs_above(emb, threshold=0.35, bucketed=True)
+            .orderBy("id_a", "id_b"))
+
+
 def q_multimodal_features(spark, sf_dir):
     """Binary-column plumbing (decode stubbed — rows-only check)."""
     from engine.datawork.multimodal import extract_features
@@ -585,6 +595,7 @@ _RAW_QUERIES: dict = {
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_buckets": q_ann_lsh_buckets,
         "embedding_near_pairs": q_embedding_near_pairs,
+        "embedding_near_pairs_lsh": q_embedding_near_pairs_lsh,
         "multimodal_features": q_multimodal_features,
         "pdf_payload_extract": q_pdf_payload_extract,
     }

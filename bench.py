@@ -37,7 +37,7 @@ BENCH_QUERIES = [
     "pricing_summary", "top_customers", "events_daily",
     "doc_text_stats", "doc_lang_id", "dedup_minhash_pairs",
     "dedup_ngram_jaccard", "dedup_simhash_pairs",
-    "ann_cosine_topk", "ann_lsh_buckets", "embedding_near_pairs",
+    "ann_cosine_topk", "ann_lsh_buckets", "embedding_near_pairs_lsh",
 ]
 
 

@@ -424,6 +424,19 @@ SELECT id_a, id_b, cosine FROM (
 ) WHERE cosine >= 0.35
 ORDER BY id_a, id_b"""
 
+    o["embedding_near_pairs_lsh"] = f"""
+WITH base AS (
+    SELECT vec_id AS id, embedding AS v, {_norm_sql('embedding')} AS nrm,
+           {_plane_bucket_sql('embedding')} AS bkt
+    FROM embeddings
+)
+SELECT id_a, id_b, cosine FROM (
+    SELECT a.id AS id_a, b.id AS id_b,
+           CAST(round({_dot_sql('a.v', 'b.v')} / (a.nrm * b.nrm), 6) AS DOUBLE) AS cosine
+    FROM base a JOIN base b ON a.bkt = b.bkt AND a.id < b.id
+) WHERE cosine >= 0.35
+ORDER BY id_a, id_b"""
+
     o["pdf_payload_extract"] = """
 SELECT doc_id,
        md5(trim(text)) AS cleaned_md5,
