@@ -64,3 +64,47 @@ def test_spans_point_into_original():
     assert md[para.start:para.end] == "© Copyright 2025 X."
     for s in spans:
         assert s.start == -1 or (0 <= s.start <= s.end <= len(md))
+
+
+def test_every_section_rule_triggers():
+    cases = {
+        "analyst_certification": "## Analyst Certification",
+        "important_disclosures": "# Important Disclosures",
+        "risk_disclosure": "## Risk Disclosures",
+        "availability_disclosures": "## Availability of Disclosures",
+        "information_sources": "## Disclosures regarding Information Sources",
+        "rating_system": "## Guide to the Stock Rating System",
+        "price_target": "## Guide to the Firm Price Target",
+        "distribution_ratings": "## Distribution of Ratings",
+        "disclosure_legend": "## Disclosure Legend",
+        "legal_entities": "## Legal Entities Involved in Producing the report",
+        "regional_legal_uk": "## United Kingdom / EEA",
+        "regional_legal_americas": "## Americas",
+        "regional_legal_japan": "## Japan",
+        "regional_legal_hongkong": "## Hong Kong",
+        "regional_legal_middleeast": "## Middle East",
+        "regional_legal_australia": "## Australia",
+        "regional_legal_singapore": "## Singapore",
+        "conference_schedule": "## Conference Schedule",
+        "disclaimer": "## Disclaimers",
+    }
+    for name, header in cases.items():
+        md = f"keep this intro line\n\n{header}\n\ndropped body text"
+        cleaned, stats, _ = clean_markdown(md)
+        assert stats["removed_section_names"] == [name], (name, stats)
+        assert "dropped body" not in cleaned, name
+
+
+def test_every_paragraph_rule_triggers():
+    cases = {
+        "trademark_bloomberg": "Bloomberg® is a trademark of someone.",
+        "copyright_barclays": "Barclays Bank PLC retains all rights.",
+        "copyright_generic": "© Copyright 2031 Example Corp.",
+        "analyst_contact": "Reach us at Tel: +44 20 7777 0000 today.",
+    }
+    for name, para in cases.items():
+        md = f"kept paragraph stays here\n\n{para}"
+        cleaned, stats, spans = clean_markdown(md)
+        assert stats["removed_paragraphs"] == 1, name
+        labels = [s.label for s in spans if s.kind == "removed_paragraph"]
+        assert labels == [name], (name, labels)
