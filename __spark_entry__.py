@@ -522,13 +522,26 @@ def q_pdf_payload_extract(spark, sf_dir):
 
 
 def q_embedding_near_pairs_lsh(spark, sf_dir):
-    """The SCALE path for embedding near-dup: self-join within LSH buckets
-    (misses cross-bucket pairs by design; recall is plane-count-tunable).
-    Oracle reproduces the plane buckets + per-bucket join exactly."""
+    """The SCALE path for embedding near-dup: banded hyperplane LSH
+    (16 bands × 4 planes → candidates from any-band exact match) + exact
+    cosine verify — precision 1.0, recall 1-(1-p^4)^16 (≈0.91 at τ=0.35,
+    ≥0.999 at τ=0.8; measured by tools/recall_report.py). Oracle reproduces
+    the banded buckets + candidate join + verify exactly."""
     from engine.datawork.similarity import cosine_pairs_above
     emb = _t(spark, sf_dir, "embeddings")
     return (cosine_pairs_above(emb, threshold=0.35, bucketed=True)
             .orderBy("id_a", "id_b"))
+
+
+def q_ann_lsh_topk_probe(spark, sf_dir):
+    """Multi-probe ANN: top-10 by cosine among vectors whose 8-plane bucket
+    is within Hamming 1 of the query's (probe_bits=1 — reads 9 bucket
+    partitions instead of 1 at scale, for a large recall gain)."""
+    from engine.datawork.similarity import lsh_bucket_topk
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in
+            emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]]
+    return lsh_bucket_topk(emb, qvec, k=10, probe_bits=1)
 
 
 def q_multimodal_features(spark, sf_dir):
@@ -596,6 +609,7 @@ _RAW_QUERIES: dict = {
         "ann_lsh_buckets": q_ann_lsh_buckets,
         "embedding_near_pairs": q_embedding_near_pairs,
         "embedding_near_pairs_lsh": q_embedding_near_pairs_lsh,
+        "ann_lsh_topk_probe": q_ann_lsh_topk_probe,
         "multimodal_features": q_multimodal_features,
         "pdf_payload_extract": q_pdf_payload_extract,
     }

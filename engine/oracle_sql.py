@@ -74,10 +74,11 @@ def _norm_sql(a: str) -> str:
     return f"sqrt({_dot_sql(a, a)})"
 
 
-def _plane_bucket_sql(col: str) -> str:
+def _plane_bucket_sql(col: str, n_planes: int | None = None) -> str:
     from engine.datawork.similarity import lsh_planes
     cases = []
-    for p in lsh_planes():
+    planes = lsh_planes(n_planes) if n_planes else lsh_planes()
+    for p in planes:
         arr = "[" + ", ".join(repr(v) for v in p) + "]"
         dot = (f"list_sum(list_transform(range(1, 65), "
                f"i -> CAST({col}[i] AS DOUBLE) * ({arr})[i]))")
@@ -424,18 +425,50 @@ SELECT id_a, id_b, cosine FROM (
 ) WHERE cosine >= 0.35
 ORDER BY id_a, id_b"""
 
+    from engine.datawork.similarity import LSH_BANDS, LSH_ROWS
     o["embedding_near_pairs_lsh"] = f"""
-WITH base AS (
+WITH base AS (  -- banded LSH: {LSH_BANDS} bands × {LSH_ROWS} planes, exact verify
     SELECT vec_id AS id, embedding AS v, {_norm_sql('embedding')} AS nrm,
-           {_plane_bucket_sql('embedding')} AS bkt
+           {_plane_bucket_sql('embedding', LSH_BANDS * LSH_ROWS)} AS sig
     FROM embeddings
+),
+banded AS (
+    SELECT id, b AS band, substr(sig, CAST(b * {LSH_ROWS} + 1 AS INTEGER), {LSH_ROWS}) AS bucket
+    FROM base, UNNEST(range(0, {LSH_BANDS})) AS t(b)
+),
+cand AS (
+    SELECT DISTINCT ca.id AS id_a, cb.id AS id_b
+    FROM banded ca JOIN banded cb
+      ON ca.band = cb.band AND ca.bucket = cb.bucket AND ca.id < cb.id
 )
 SELECT id_a, id_b, cosine FROM (
-    SELECT a.id AS id_a, b.id AS id_b,
-           CAST(round({_dot_sql('a.v', 'b.v')} / (a.nrm * b.nrm), 6) AS DOUBLE) AS cosine
-    FROM base a JOIN base b ON a.bkt = b.bkt AND a.id < b.id
+    SELECT c.id_a, c.id_b,
+           CAST(round({_dot_sql('x.v', 'y.v')} / (x.nrm * y.nrm), 6) AS DOUBLE) AS cosine
+    FROM cand c JOIN base x ON x.id = c.id_a JOIN base y ON y.id = c.id_b
 ) WHERE cosine >= 0.35
 ORDER BY id_a, id_b"""
+
+    # multi-probe top-k: candidates = vectors whose 8-plane bucket is within
+    # Hamming 1 of the query's bucket (probe_bits=1); data-independent SQL —
+    # the query bucket is computed in the same statement.
+    _ham = " + ".join(
+        f"(CASE WHEN substr(bkt, {i}, 1) = substr(qb, {i}, 1) THEN 0 ELSE 1 END)"
+        for i in range(1, 9))
+    o["ann_lsh_topk_probe"] = f"""
+WITH q AS (
+    SELECT embedding AS qv, {_plane_bucket_sql('embedding')} AS qb
+    FROM embeddings WHERE vec_id = 0
+),
+scored AS (
+    SELECT b.vec_id, {_plane_bucket_sql('b.embedding')} AS bkt, q.qb,
+           CAST(round({_dot_sql('b.embedding', 'q.qv')}
+                / ({_norm_sql('b.embedding')} * {_norm_sql('q.qv')}), 6)
+                AS DOUBLE) AS score
+    FROM embeddings b, q
+)
+SELECT vec_id, score FROM scored
+WHERE {_ham} <= 1
+ORDER BY score DESC, vec_id LIMIT 10"""
 
     o["pdf_payload_extract"] = """
 SELECT doc_id,

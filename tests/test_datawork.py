@@ -115,6 +115,35 @@ def test_lsh_bucket_topk_contains_query(spark, emb):
     assert got[0]["score"] == 1.0
 
 
+def test_banded_lsh_recall(spark, emb):
+    """The banded near-pair path must catch ≥90% of true pairs at τ=0.8
+    (1-(1-p^4)^16 ≥ 0.999 there) and a solid majority at τ=0.35, with
+    perfect precision (every emitted pair is exact-verified)."""
+    from engine.datawork.similarity import cosine_pairs_above
+    truth = {(r["id_a"], r["id_b"]): r["cosine"] for r in
+             cosine_pairs_above(emb, threshold=0.35, bucketed=False).collect()}
+    got = {(r["id_a"], r["id_b"]): r["cosine"] for r in
+           cosine_pairs_above(emb, threshold=0.35, bucketed=True).collect()}
+    assert truth, "expected planted near pairs in testdata"
+    assert set(got) <= set(truth)  # precision 1.0
+    recall_035 = len(got) / len(truth)
+    assert recall_035 >= 0.75, f"banded recall at τ=0.35 only {recall_035:.0%}"
+    hi_truth = {k for k, c in truth.items() if c >= 0.8}
+    if hi_truth:
+        hi_got = {k for k in got if k in hi_truth}
+        assert len(hi_got) / len(hi_truth) >= 0.9
+
+
+def test_lsh_topk_probe_superset_of_home_bucket(spark, emb):
+    from engine.datawork.similarity import lsh_bucket_topk
+    q = [float(x) for x in
+         emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    home = {r["vec_id"] for r in lsh_bucket_topk(emb, q, k=100).collect()}
+    probed = {r["vec_id"] for r in
+              lsh_bucket_topk(emb, q, k=100, probe_bits=1).collect()}
+    assert home <= probed or len(probed) == 100
+
+
 def test_multimodal_features_deterministic(spark):
     from engine.datawork.multimodal import extract_features
     assets = spark.createDataFrame(
