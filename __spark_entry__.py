@@ -424,11 +424,15 @@ def q_dedup_exact(spark, sf_dir):
 
 
 def q_dedup_minhash_sigs(spark, sf_dir):
-    from engine.datawork.dedup import minhash_signatures
+    """Full k=64 signature, digested to one md5 so the compare stays narrow
+    (the oracle concatenates the same 64 mins in the same order)."""
+    from engine.datawork.dedup import MINHASH_K, minhash_signatures
     docs = _t(spark, sf_dir, "documents")
     return (minhash_signatures(docs)
             .select(F.col("id").alias("doc_id"),
-                    *[F.col(f"mh{i}") for i in range(8)]))
+                    F.md5(F.concat_ws(
+                        "|", *[F.col(f"mh{i}") for i in range(MINHASH_K)]))
+                     .alias("sig_md5")))
 
 
 def q_dedup_minhash_pairs(spark, sf_dir):

@@ -24,8 +24,10 @@ from pyspark.sql import DataFrame, functions as F
 
 from .textstats import fingerprint
 
-MINHASH_K = 8       # signature length
-MINHASH_BANDS = 4   # bands of 2 → catches J ≳ 0.5 pairs reliably
+MINHASH_K = 64      # signature length (production-scale; 8 was demo-sized)
+MINHASH_BANDS = 16  # bands of 4 → s-curve midpoint (1/16)^(1/4) = 0.5;
+#                     P[catch] at J=0.8 is 1-(1-0.8^4)^16 ≈ 0.9998, at
+#                     J=0.5 ≈ 0.64 (measured: tools/recall_report.py)
 SIMHASH_BITS = 32
 SIMHASH_BANDS = 4   # bands of 8 bits → all pairs with Hamming ≤ 3 share ≥1 band
 

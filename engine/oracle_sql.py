@@ -32,8 +32,9 @@ shingles AS (
 
 
 def _minhash_sig_sql() -> str:
+    from engine.datawork.dedup import MINHASH_K
     mins = ",\n        ".join(
-        f"min(md5('{i}:' || sh)) AS mh{i}" for i in range(8))
+        f"min(md5('{i}:' || sh)) AS mh{i}" for i in range(MINHASH_K))
     return f"""
 WITH {_SHINGLES},
 sig AS (
@@ -315,12 +316,20 @@ SELECT fingerprint, min(id) AS canonical_id,
        string_agg(CAST(id AS VARCHAR), ',' ORDER BY id) AS member_csv
 FROM fp GROUP BY fingerprint HAVING count(*) > 1"""
 
-    o["dedup_minhash_sigs"] = _minhash_sig_sql() + """
-SELECT id AS doc_id, mh0, mh1, mh2, mh3, mh4, mh5, mh6, mh7 FROM sig"""
+    from engine.datawork.dedup import MINHASH_BANDS, MINHASH_K
+    _rows_per_band = MINHASH_K // MINHASH_BANDS
+    # concat_ws (variadic) — a 64-way `||` chain overflows DuckDB's binder
+    # recursion limit; Spark's concat_ws('|', ...) is the same function
+    _sig_concat = "concat_ws('|', " + ", ".join(
+        f"mh{i}" for i in range(MINHASH_K)) + ")"
+    o["dedup_minhash_sigs"] = _minhash_sig_sql() + f"""
+SELECT id AS doc_id, md5({_sig_concat}) AS sig_md5 FROM sig"""
 
     band_rows = "\n    UNION ALL\n    ".join(
-        f"SELECT id, {b} AS band, md5(mh{2*b} || '|' || mh{2*b+1}) AS bucket FROM sig"
-        for b in range(4))
+        "SELECT id, {b} AS band, md5({cols}) AS bucket FROM sig".format(
+            b=b, cols=" || '|' || ".join(
+                f"mh{b * _rows_per_band + r}" for r in range(_rows_per_band)))
+        for b in range(MINHASH_BANDS))
     o["dedup_minhash_pairs"] = _minhash_sig_sql() + f""",
 buckets_raw AS (
     {band_rows}
