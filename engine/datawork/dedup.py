@@ -65,14 +65,28 @@ def shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
 
 
 def exact_duplicates(df: DataFrame, id_col: str = "doc_id",
-                     text_col: str = "text") -> DataFrame:
-    """Exact dedup groups: fingerprint → (canonical id, group size, members)."""
-    return (df.select(F.col(id_col).alias("id"),
-                      fingerprint(F.col(text_col)).alias("fingerprint"))
+                     text_col: str = "text",
+                     max_members: int = 100) -> DataFrame:
+    """Exact dedup groups: fingerprint → (canonical id, group size, members).
+
+    ``member_ids`` is capped at the ``max_members`` smallest ids — and the
+    cap is applied BEFORE the collect (row_number window + when-null filter,
+    which collect_list skips), so the aggregation buffer is bounded even for
+    a fingerprint with 10M duplicates (boilerplate pages at 100 TB).
+    ``group_size`` always carries the true count. The window and the groupBy
+    share the fingerprint hash partitioning, so this stays one shuffle.
+    """
+    from pyspark.sql import Window
+    fp = df.select(F.col(id_col).alias("id"),
+                   fingerprint(F.col(text_col)).alias("fingerprint"))
+    rk = F.row_number().over(Window.partitionBy("fingerprint").orderBy("id"))
+    return (fp.withColumn("rk", rk)
             .groupBy("fingerprint")
             .agg(F.min("id").alias("canonical_id"),
                  F.count("*").alias("group_size"),
-                 F.array_sort(F.collect_list("id")).alias("member_ids"))
+                 F.array_sort(F.collect_list(
+                     F.when(F.col("rk") <= max_members, F.col("id"))))
+                  .alias("member_ids"))
             .filter(F.col("group_size") > 1))
 
 

@@ -313,7 +313,9 @@ FROM g"""
 WITH fp AS (SELECT doc_id AS id, {fp} AS fingerprint FROM documents)
 SELECT fingerprint, min(id) AS canonical_id,
        CAST(count(*) AS BIGINT) AS group_size,
-       string_agg(CAST(id AS VARCHAR), ',' ORDER BY id) AS member_csv
+       array_to_string(list_transform(
+           (list_sort(list(id)))[1:100], x -> CAST(x AS VARCHAR)), ',')
+         AS member_csv  -- mirrors the Spark side's max_members=100 cap
 FROM fp GROUP BY fingerprint HAVING count(*) > 1"""
 
     from engine.datawork.dedup import MINHASH_BANDS, MINHASH_K

@@ -59,6 +59,19 @@ def test_exact_dedup_finds_planted_dups(spark):
     assert g["canonical_id"] == 1 and g["member_ids"] == [1, 2]
 
 
+def test_exact_dedup_caps_member_list_at_10k_group(spark):
+    """A 10k-way duplicate group (boilerplate page at corpus scale) must
+    report the true group_size but cap member_ids at max_members — and the
+    cap is applied pre-aggregation so the agg buffer stays bounded."""
+    from engine.datawork.dedup import exact_duplicates
+    df = spark.range(10_000).select(
+        F.col("id").alias("doc_id"), F.lit("same boilerplate page").alias("text"))
+    [g] = exact_duplicates(df).collect()
+    assert g["group_size"] == 10_000
+    assert g["canonical_id"] == 0
+    assert g["member_ids"] == list(range(100))
+
+
 def test_minhash_lsh_supersets_high_jaccard(spark, docs):
     """LSH candidates must contain every pair the exact jaccard finds at 0.8."""
     from engine.datawork.dedup import minhash_lsh_candidates, ngram_jaccard_pairs
