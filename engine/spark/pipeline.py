@@ -155,21 +155,24 @@ def run_pipeline(spark: SparkSession, input_path: str, output_dir: str,
             extract_df(wave_df.drop("conv_bucket"), n_buckets, None)
             .sortWithinPartitions("conv_id", "turn_idx")
         )
+        # persist through the write so the lineage aggregate reads the cached
+        # wave instead of re-listing + re-scanning the whole committed output
+        # (the round-1 O(waves × output) pattern). The cache holds exactly
+        # what the all-or-nothing write commits, so the numbers are
+        # identical; extraction is deterministic, so a recompute on cache
+        # loss also is. MEMORY_AND_DISK: a wave is output/waves — it spills,
+        # never evicts-and-lies.
+        from pyspark import StorageLevel
+        extracted = extracted.persist(StorageLevel.MEMORY_AND_DISK)
         t_wave = time.monotonic()
         extracted.write.mode("append").partitionBy("conv_bucket").parquet(out_path)
 
-        # lineage rows for this wave, derived from the committed output.
-        # Explicit schema (read works even when the first wave was empty);
-        # anti-join against `done` so buckets committed by a previous attempt
-        # of this run are not double-counted. Column pruning makes this
-        # read-back touch only 4 small columns.
-        wave_out = (spark.read.schema(EXTRACTED_SCHEMA).parquet(out_path)
-                    .filter(F.col("conv_bucket") % waves == wave)
-                    .join(F.broadcast(done), "conv_bucket", "left_anti"))
         wall_ms = int((time.monotonic() - t_wave) * 1000)
         # bucket-granular manifest (≤ n_buckets/waves rows per wave;
-        # partition_id kept as a representative for debugging)
-        lineage = (wave_out.groupBy("conv_bucket")
+        # partition_id kept as a representative for debugging). The wave
+        # DataFrame is already resume-filtered (todo = src anti-join done),
+        # so no double-count is possible for re-attempted runs.
+        lineage = (extracted.groupBy("conv_bucket")
                    .agg(F.min("partition_id").alias("partition_id"),
                         F.count("*").alias("turns_processed"),
                         F.sum(F.when(F.col("error").isNotNull(), 1).otherwise(0))
@@ -181,8 +184,14 @@ def run_pipeline(spark: SparkSession, input_path: str, output_dir: str,
                    .withColumn("completed_at",
                                F.lit(datetime.now(timezone.utc)).cast("timestamp"))
                    .select([f.name for f in LINEAGE_SCHEMA.fields]))
-        n_wave = lineage.agg(F.sum("turns_processed")).collect()[0][0] or 0
-        lineage.write.mode("append").parquet(lineage_path)
+        # one aggregation pass: the manifest is ≤ n_buckets/waves rows, so
+        # collect it (scalar-scale), sum locally, write it back from the
+        # driver — not a driver-side loop over data, a loop over the manifest
+        lin_rows = lineage.collect()
+        n_wave = sum(r["turns_processed"] for r in lin_rows)
+        (spark.createDataFrame(lin_rows, LINEAGE_SCHEMA)
+         .coalesce(1).write.mode("append").parquet(lineage_path))
+        extracted.unpersist()
         total_processed += int(n_wave)
         waves_run += 1
 
