@@ -32,13 +32,11 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 BENCH_TURNS = int(os.environ.get("BENCH_TURNS", "120000"))
 
-BENCH_QUERIES = [
-    "extract_per_turn", "extract_kind_rollup", "conversation_rollup",
-    "pricing_summary", "top_customers", "events_daily",
-    "doc_text_stats", "doc_lang_id", "dedup_minhash_pairs",
-    "dedup_ngram_jaccard", "dedup_simhash_pairs",
-    "ann_cosine_topk", "ann_lsh_buckets", "embedding_near_pairs_lsh",
-]
+# every queries() entry is timed (BENCH_QUERIES=None → all), so a regression
+# in ANY driver query is visible round-over-round; override with a
+# comma-separated BENCH_QUERIES env for quick local iteration
+BENCH_QUERIES = (os.environ["BENCH_QUERIES"].split(",")
+                 if os.environ.get("BENCH_QUERIES") else None)
 
 
 def _transcripts_path(n_turns: int) -> str:
@@ -94,7 +92,7 @@ def main() -> None:
     # ---- per-query timings at SF_DIR scale ----
     qs = entry.queries()
     timings = {}
-    for name in BENCH_QUERIES:
+    for name in (BENCH_QUERIES or list(qs)):
         t0 = time.monotonic()
         try:
             qs[name](spark, SF_DIR).count()

@@ -71,40 +71,52 @@ def extract_df(df: DataFrame, n_buckets: int = DEFAULT_BUCKETS,
         lambda it: extract_batches(it, n_buckets), schema=EXTRACTED_SCHEMA)
 
 
-def completed_buckets(spark: SparkSession, out_path: str) -> DataFrame:
+def completed_buckets(spark: SparkSession, out_sink) -> DataFrame:
     """Distinct conv_buckets already committed to the OUTPUT table.
 
     The output is the resume authority, not the lineage manifest: a wave
     commits output first, lineage second, so a crash between the two commits
     must not cause the wave to be reprocessed (that would duplicate output
-    rows). Buckets can only appear in the output fully written (Spark's job
-    commit is all-or-nothing per wave), and reading just the partition column
-    is a directory listing, not a data scan."""
+    rows). Buckets can only appear in the output fully written (the commit
+    is all-or-nothing per wave: parquet job-commit / Iceberg snapshot), and
+    reading just the partition column is a directory/manifest listing, not
+    a data scan."""
     from pyspark.errors import AnalysisException
     try:
-        out = spark.read.schema(EXTRACTED_SCHEMA).parquet(out_path)
+        out = out_sink.read(EXTRACTED_SCHEMA)
         return out.select("conv_bucket").distinct()
     except AnalysisException as exc:
         # ONLY "no output yet" means no completed buckets; any other read
         # failure must abort the run — treating a transient error as an
         # empty manifest would reprocess and APPEND duplicates.
         msg = str(exc)
-        if "PATH_NOT_FOUND" in msg or "Path does not exist" in msg:
+        if ("PATH_NOT_FOUND" in msg or "Path does not exist" in msg
+                or "TABLE_OR_VIEW_NOT_FOUND" in msg):
             return spark.createDataFrame([], "conv_bucket int")
         raise
 
 
 def run_pipeline(spark: SparkSession, input_path: str, output_dir: str,
                  run_id: str, n_buckets: int = DEFAULT_BUCKETS,
-                 waves: int = 4, salt_partitions: Optional[int] = None) -> RunStats:
-    """End-to-end batch run with resume. Idempotent per (run_id, bucket)."""
+                 waves: int = 4, salt_partitions: Optional[int] = None,
+                 table_format: str = "parquet") -> RunStats:
+    """End-to-end batch run with resume. Idempotent per (run_id, bucket).
+
+    ``table_format="iceberg"`` writes catalog tables
+    ``{output_dir}.extracted_turns`` / ``{output_dir}.lineage`` (one snapshot
+    per wave commit) instead of parquet directories — same protocol, V2
+    writer; requires iceberg runtime jars (see engine/spark/sinks.py).
+    """
+    from .sinks import TableSink
     t_start = time.monotonic()
-    out_path = f"{output_dir}/extracted_turns"
-    lineage_path = f"{output_dir}/lineage"
+    sep = "." if table_format == "iceberg" else "/"
+    out_sink = TableSink(spark, f"{output_dir}{sep}extracted_turns",
+                         table_format, partition_col="conv_bucket")
+    lineage_sink = TableSink(spark, f"{output_dir}{sep}lineage", table_format)
 
     src = spark.read.parquet(input_path).withColumn("conv_bucket", bucket_col(n_buckets))
 
-    done = completed_buckets(spark, out_path)
+    done = completed_buckets(spark, out_sink)
     done_count = done.count()
     # resume anti-join — broadcast: the manifest is ≤ n_buckets rows
     todo = src.join(F.broadcast(done), "conv_bucket", "left_anti")
@@ -114,13 +126,13 @@ def run_pipeline(spark: SparkSession, input_path: str, output_dir: str,
     # the manifest from the output (wave=-1 marks backfilled rows)
     if done_count:
         try:
-            lin_buckets = (spark.read.parquet(lineage_path)
+            lin_buckets = (lineage_sink.read()
                            .select("conv_bucket").distinct())
         except Exception:
             lin_buckets = spark.createDataFrame([], "conv_bucket int")
         orphans = done.join(F.broadcast(lin_buckets), "conv_bucket", "left_anti")
         if orphans.count():
-            backfill = (spark.read.schema(EXTRACTED_SCHEMA).parquet(out_path)
+            backfill = (out_sink.read(EXTRACTED_SCHEMA)
                         .join(F.broadcast(orphans), "conv_bucket", "left_semi")
                         .groupBy("conv_bucket")
                         .agg(F.min("partition_id").alias("partition_id"),
@@ -135,7 +147,7 @@ def run_pipeline(spark: SparkSession, input_path: str, output_dir: str,
                                     F.lit(datetime.now(timezone.utc))
                                     .cast("timestamp"))
                         .select([f.name for f in LINEAGE_SCHEMA.fields]))
-            backfill.write.mode("append").parquet(lineage_path)
+            lineage_sink.append(backfill)
 
     total_processed = 0
     skipped = 0
@@ -165,7 +177,7 @@ def run_pipeline(spark: SparkSession, input_path: str, output_dir: str,
         from pyspark import StorageLevel
         extracted = extracted.persist(StorageLevel.MEMORY_AND_DISK)
         t_wave = time.monotonic()
-        extracted.write.mode("append").partitionBy("conv_bucket").parquet(out_path)
+        out_sink.append(extracted)
 
         wall_ms = int((time.monotonic() - t_wave) * 1000)
         # bucket-granular manifest (≤ n_buckets/waves rows per wave;
@@ -189,8 +201,8 @@ def run_pipeline(spark: SparkSession, input_path: str, output_dir: str,
         # driver — not a driver-side loop over data, a loop over the manifest
         lin_rows = lineage.collect()
         n_wave = sum(r["turns_processed"] for r in lin_rows)
-        (spark.createDataFrame(lin_rows, LINEAGE_SCHEMA)
-         .coalesce(1).write.mode("append").parquet(lineage_path))
+        lineage_sink.append(
+            spark.createDataFrame(lin_rows, LINEAGE_SCHEMA).coalesce(1))
         extracted.unpersist()
         total_processed += int(n_wave)
         waves_run += 1

@@ -1,0 +1,84 @@
+"""Table sinks: parquet directory-append (sandbox default) or Iceberg
+catalog-table append, behind one dispatch point.
+
+The pipeline's commit protocol maps 1:1 onto Iceberg (README "Iceberg
+note"): each wave's output append is one atomic commit — a directory-append
+job-commit on parquet, a snapshot on Iceberg — and the resume scan reads the
+committed bucket set. This module makes that mapping code instead of prose:
+``run_pipeline(..., table_format="iceberg")`` appends to catalog tables via
+``DataFrame.writeTo`` (DataSourceV2), creating them partitioned by
+``conv_bucket`` on first write. The sandbox has no iceberg-spark-runtime
+jars, so the iceberg path raises a clear error here and is exercised only by
+the dispatch/gating tests; on a jar-equipped cluster it is the same
+code path (reference analogue: the resume scans of
+batch_pdf_processor.py:2562-2625, which re-list the filesystem instead).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+FORMATS = ("parquet", "iceberg")
+
+
+def _require_iceberg(spark: SparkSession) -> None:
+    """Fail fast with an actionable message when the runtime lacks the
+    Iceberg classes (sandbox default)."""
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.iceberg.spark.source.IcebergSource")
+    except Exception:
+        raise RuntimeError(
+            "table_format='iceberg' needs iceberg-spark-runtime on the "
+            "cluster classpath and a configured catalog "
+            "(spark.sql.catalog.<name>); this runtime has neither — "
+            "use table_format='parquet' or submit with "
+            "--packages org.apache.iceberg:iceberg-spark-runtime-3.5_2.12")
+
+
+class TableSink:
+    """One logical output table. ``target`` is a directory path for parquet
+    or a catalog table identifier (``cat.db.table``) for iceberg."""
+
+    def __init__(self, spark: SparkSession, target: str,
+                 table_format: str = "parquet",
+                 partition_col: str | None = None):
+        if table_format not in FORMATS:
+            raise ValueError(f"table_format must be one of {FORMATS}, "
+                             f"got {table_format!r}")
+        if table_format == "iceberg":
+            _require_iceberg(spark)
+        self.spark = spark
+        self.target = target
+        self.format = table_format
+        self.partition_col = partition_col
+
+    def append(self, df: DataFrame) -> None:
+        """One atomic commit (job-commit on parquet, snapshot on iceberg)."""
+        if self.format == "parquet":
+            w = df.write.mode("append")
+            if self.partition_col:
+                w = w.partitionBy(self.partition_col)
+            w.parquet(self.target)
+            return
+        try:
+            w = df.writeTo(self.target)
+            w.append()
+        except Exception as exc:
+            if "TABLE_OR_VIEW_NOT_FOUND" not in str(exc):
+                raise
+            w = df.writeTo(self.target).using("iceberg")
+            if self.partition_col:
+                w = w.partitionedBy(F.col(self.partition_col))
+            w.create()
+
+    def read(self, schema=None) -> DataFrame:
+        """The committed table. Raises AnalysisException when it does not
+        exist yet — callers decide whether that means 'empty' (see
+        pipeline.completed_buckets)."""
+        if self.format == "parquet":
+            r = self.spark.read
+            if schema is not None:
+                r = r.schema(schema)
+            return r.parquet(self.target)
+        return self.spark.read.table(self.target)

@@ -87,3 +87,28 @@ def test_bucket_is_process_stable(spark, paths):
           .withColumn("sql_bucket", bucket_col(64)))
     for r in df.collect():
         assert r["sql_bucket"] == stable_bucket(r["conv_id"], 64)
+
+
+def test_iceberg_sink_gated_with_clear_error(spark, tmp_path):
+    """table_format='iceberg' must fail fast and actionably when the runtime
+    lacks the Iceberg jars (this sandbox), not half-write anything."""
+    import pytest
+
+    from engine.spark.sinks import TableSink
+
+    with pytest.raises(RuntimeError, match="iceberg-spark-runtime"):
+        TableSink(spark, "cat.db.t", "iceberg")
+    with pytest.raises(ValueError, match="table_format"):
+        TableSink(spark, str(tmp_path), "orc")
+    assert (tmp_path / "nothing").exists() is False
+
+
+def test_parquet_sink_roundtrip(spark, tmp_path):
+    from engine.spark.sinks import TableSink
+
+    sink = TableSink(spark, str(tmp_path / "t"), "parquet",
+                     partition_col="b")
+    df = spark.createDataFrame([(1, 0), (2, 1)], "x int, b int")
+    sink.append(df)
+    sink.append(df)
+    assert sink.read().count() == 4
