@@ -23,8 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
-def duplicate_clusters(pairs: DataFrame, max_iterations: int = 15,
-                       checkpoint_every: int = 1) -> DataFrame:
+def duplicate_clusters(pairs: DataFrame, max_iterations: int = 15) -> DataFrame:
     """(id_a, id_b) undirected near-dup pairs → (doc_id, cluster_id) where
     cluster_id = min id in the connected component. Only nodes that appear
     in at least one pair are returned (singletons are their own cluster
@@ -43,19 +42,21 @@ def duplicate_clusters(pairs: DataFrame, max_iterations: int = 15,
     for i in range(max_iterations):
         neighbor_min = (edges.join(labels, edges.dst == labels.id)
                         .groupBy("src").agg(F.min("label").alias("nbr_label")))
+        # ONE action per round: carry the old label through the propagation
+        # join, checkpoint (materializes + truncates lineage), then the
+        # convergence count is a filter over the checkpointed rows — no
+        # second label-join/shuffle per round (round-1 inefficiency).
         new_labels = (labels.join(neighbor_min, labels.id == neighbor_min.src,
                                   "left")
                       .select(labels.id,
+                              F.col("label").alias("old_label"),
                               F.least(F.col("label"),
                                       F.coalesce(F.col("nbr_label"),
                                                  F.col("label")))
-                              .alias("label")))
-        if (i + 1) % checkpoint_every == 0:
-            new_labels = new_labels.localCheckpoint(eager=True)
-        changed = (new_labels.alias("n")
-                   .join(labels.alias("o"), F.col("n.id") == F.col("o.id"))
-                   .filter(F.col("n.label") != F.col("o.label")).count())
-        labels = new_labels
+                              .alias("label"))
+                      .localCheckpoint(eager=True))
+        changed = new_labels.filter(F.col("label") != F.col("old_label")).count()
+        labels = new_labels.select("id", "label")
         if changed == 0:
             break
     else:
