@@ -537,6 +537,16 @@ def q_embedding_near_pairs_lsh(spark, sf_dir):
             .orderBy("id_a", "id_b"))
 
 
+def q_dedup_guard_report(spark, sf_dir):
+    """Skew-guard telemetry (hot shingles / hot LSH buckets and the rows
+    they carry) — lets a 100 TB operator see when the quadratic-join guards
+    start eating dedup signal. Oracle recomputes each count."""
+    from engine.datawork.dedup import guard_report
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    return guard_report(docs, emb)
+
+
 def q_ann_lsh_topk_probe(spark, sf_dir):
     """Multi-probe ANN: top-10 by cosine among vectors whose 8-plane bucket
     is within Hamming 1 of the query's (probe_bits=1 — reads 9 bucket
@@ -609,6 +619,7 @@ _RAW_QUERIES: dict = {
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "dedup_clusters": q_dedup_clusters,
+        "dedup_guard_report": q_dedup_guard_report,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_buckets": q_ann_lsh_buckets,
         "embedding_near_pairs": q_embedding_near_pairs,

@@ -410,6 +410,40 @@ reach AS (
 SELECT src AS doc_id, min(dst) AS cluster_id
 FROM reach GROUP BY src ORDER BY doc_id"""
 
+    from engine.datawork.similarity import (LSH_BANDS as _EB,
+                                            LSH_ROWS as _ER)
+    o["dedup_guard_report"] = _minhash_sig_sql() + f""",
+mbuckets AS (
+    {band_rows}
+),
+mcnt AS (SELECT band, bucket, count(*) AS cnt FROM mbuckets GROUP BY 1, 2),
+scnt AS (SELECT sh, count(*) AS cnt FROM shingles GROUP BY sh),
+ebase AS (
+    SELECT vec_id AS id, {_plane_bucket_sql('embedding', _EB * _ER)} AS esig
+    FROM embeddings
+),
+ebanded AS (
+    SELECT id, b AS band,
+           substr(esig, CAST(b * {_ER} + 1 AS INTEGER), {_ER}) AS bucket
+    FROM ebase, UNNEST(range(0, {_EB})) AS t(b)
+),
+ecnt AS (SELECT band, bucket, count(*) AS cnt FROM ebanded GROUP BY 1, 2)
+SELECT 'jaccard_max_df' AS guard, CAST(1000 AS INTEGER) AS threshold,
+       CAST(count(CASE WHEN cnt > 1000 THEN 1 END) AS BIGINT) AS hot_keys,
+       CAST(coalesce(sum(CASE WHEN cnt > 1000 THEN cnt END), 0) AS BIGINT)
+         AS dropped_rows
+FROM scnt
+UNION ALL
+SELECT 'minhash_max_bucket', CAST(100 AS INTEGER),
+       CAST(count(CASE WHEN cnt > 100 THEN 1 END) AS BIGINT),
+       CAST(coalesce(sum(CASE WHEN cnt > 100 THEN cnt END), 0) AS BIGINT)
+FROM mcnt
+UNION ALL
+SELECT 'embed_max_bucket', CAST(200 AS INTEGER),
+       CAST(count(CASE WHEN cnt > 200 THEN 1 END) AS BIGINT),
+       CAST(coalesce(sum(CASE WHEN cnt > 200 THEN cnt END), 0) AS BIGINT)
+FROM ecnt"""
+
     # ---- similarity ----
     o["ann_cosine_topk"] = f"""
 SELECT b.vec_id,

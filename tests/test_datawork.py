@@ -128,6 +128,23 @@ def test_lsh_bucket_topk_contains_query(spark, emb):
     assert got[0]["score"] == 1.0
 
 
+def test_guard_report_counts_planted_hot_shingle(spark):
+    """2000 docs sharing one boilerplate shingle: the jaccard guard at
+    max_df=1000 must report exactly 1 hot key carrying 2000 rows."""
+    from engine.datawork.dedup import guard_report
+    df = spark.range(2000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("shared boilerplate line unique"),
+                 F.col("id").cast("string")).alias("text"))
+    rows = {r["guard"]: r for r in guard_report(df).collect()}
+    # each doc's shingles: "shared boilerplate line" (hot, df=2000) and
+    # "boilerplate line uniqueN" (df=1)
+    g = rows["jaccard_max_df"]
+    assert g["hot_keys"] == 1 and g["dropped_rows"] == 2000
+    assert "minhash_max_bucket" in rows  # near-dup sigs collide → buckets fill
+    assert "embed_max_bucket" not in rows  # emb not passed
+
+
 def test_banded_lsh_recall(spark, emb):
     """The banded near-pair path must catch ≥90% of true pairs at τ=0.8
     (1-(1-p^4)^16 ≥ 0.999 there) and a solid majority at τ=0.35, with
