@@ -58,13 +58,28 @@ def infer_kind(text: str, tool: Optional[str]) -> str:
     return KIND_PLAIN
 
 
-def _locate(original: str, snippet: str, from_: int = 0) -> Tuple[int, int]:
-    """Best-effort span of `snippet` inside `original`; (-1,-1) if absent."""
+_RETRY_BUDGET = 64  # unanchored rescans per turn (see _locate)
+
+
+def _locate(original: str, snippet: str, from_: int = 0,
+            retry_budget: Optional[List[int]] = None) -> Tuple[int, int]:
+    """Best-effort span of `snippet` inside `original`; (-1,-1) if absent.
+
+    A failed anchored find retries from 0 (repeated identical content whose
+    cursor already passed the next copy), but each retry is a full O(n) scan
+    — a pathological turn with thousands of repeated passages would go
+    quadratic. ``retry_budget`` is a per-turn cap on those rescans (the same
+    DoS posture as the 20k-char metadata scan caps); spans past the budget
+    degrade to (-1,-1), never the wrong offset."""
     if not snippet:
         return -1, -1
     pos = original.find(snippet, from_)
-    if pos < 0:
-        pos = original.find(snippet)  # retry unanchored
+    if pos < 0 and from_ > 0:  # from_ == 0 already WAS the unanchored scan
+        if retry_budget is None:
+            pos = original.find(snippet)
+        elif retry_budget[0] > 0:
+            retry_budget[0] -= 1
+            pos = original.find(snippet)
     return (pos, pos + len(snippet)) if pos >= 0 else (-1, -1)
 
 
@@ -183,23 +198,24 @@ def _extract_turn(text: str, tool: Optional[str], doc_name: str) -> Dict:
     # per-collection cursors: repeated identical content (the same paragraph
     # on two pages) must map to successive occurrences, not all to the first
     cur_p = cur_t = cur_n = 0
+    retry_budget = [_RETRY_BUDGET]
     for pg in page_list:
         for p in passages.extract_passages(pg.content, pg.page):
-            a, b = _locate(text, p["text"], cur_p)
+            a, b = _locate(text, p["text"], cur_p, retry_budget)
             if a >= 0:
                 cur_p = max(cur_p, b)
             spans.append(Span("passage", a, b, p["passage_id"]))
             all_passages.append(p)
         for t in tables.extract_tables(pg.content, pg.page):
             raw = cleaned[pg.start + t.pop("_start"):pg.start + t.pop("_end")]
-            a, b = _locate(text, raw.strip(), cur_t)
+            a, b = _locate(text, raw.strip(), cur_t, retry_budget)
             if a >= 0:
                 cur_t = max(cur_t, b)
             spans.append(Span("table", a, b, t["table_id"]))
             all_tables.append(t)
         for n in numerics.extract_numerics(pg.content, pg.page):
             raw = pg.content[n.pop("_start"):n.pop("_end")]
-            a, b = _locate(text, raw, cur_n)
+            a, b = _locate(text, raw, cur_n, retry_budget)
             if a >= 0:
                 cur_n = max(cur_n, b)
             spans.append(Span("numeric", a, b, n["num_id"]))
