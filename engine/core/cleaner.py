@@ -79,6 +79,20 @@ _PARAGRAPH_ANY = re.compile(
     re.IGNORECASE)
 
 
+def _paragraph_may_match(para: str) -> bool:
+    """Literal prescan ahead of _PARAGRAPH_ANY: every paragraph rule needs at
+    least one of these substrings (trademark→'bloomberg', barclays-copyright→
+    'barclays'/'©', generic-copyright→'©', contact→'@' or '<kw>:'), so a
+    paragraph containing none of them cannot match any rule. `in` is a
+    memchr-speed scan vs ~44 µs for the union regex on a typical paragraph —
+    and almost every paragraph is a miss."""
+    if "@" in para or "©" in para:
+        return True
+    low = para.lower()
+    return ("bloomberg" in low or "barclays" in low or "tel:" in low
+            or "phone:" in low or "email:" in low)
+
+
 def clean_markdown(markdown: str) -> Tuple[str, Dict, List[Span]]:
     """Clean a page-split markdown payload.
 
@@ -168,7 +182,7 @@ def _drop_boilerplate_paragraphs(content: str, original: str, page_start: int,
         if not para:
             continue
         hit = None
-        if _PARAGRAPH_ANY.search(para):
+        if _paragraph_may_match(para) and _PARAGRAPH_ANY.search(para):
             hit = next((n for n, rx in _PARAGRAPH_RULES if rx.search(para)), None)
         if hit is not None:
             n_removed += 1

@@ -68,8 +68,18 @@ def extract_title(markdown: str) -> str:
     return "Untitled Document"
 
 
+# one-scan prefilter: the union regex misses iff every individual pattern
+# misses, and most payloads carry no date at all — this turns the common
+# case from three full-document scans into one
+_DATE_ANY = re.compile("|".join(p.pattern for p in _DATE_PATTERNS),
+                       re.IGNORECASE)
+
+
 def extract_date(markdown: str) -> Optional[str]:
-    """P14 — md_to_json_engine.py:158-172."""
+    """P14 — md_to_json_engine.py:158-172. Pattern PRIORITY (not first
+    position) decides, exactly like the reference's sequential loop."""
+    if not _DATE_ANY.search(markdown):
+        return None
     for rx in _DATE_PATTERNS:
         m = rx.search(markdown)
         if m:
@@ -120,8 +130,12 @@ _NON_LATIN_RE = re.compile(r"[^A-Za-z]+")
 
 def detect_language(text: str) -> str:
     """P17 — batch_pdf_processor.py:1999-2004. Char counts via one C-level
-    sub per class (len(text) − len(text without the class) == findall count)."""
+    sub per class (len(text) − len(text without the class) == findall count).
+    Zero CJK chars (the overwhelming case) ⇒ cjk=0 ⇒ 'en' without either
+    count — one cheap search instead of two allocation-heavy subs."""
     if not text:
+        return "en"
+    if not _CJK_RE.search(text):
         return "en"
     cjk = len(_NON_CJK_RE.sub("", text))
     latin = len(_NON_LATIN_RE.sub("", text))
