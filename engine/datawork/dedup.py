@@ -48,10 +48,26 @@ def _cache_slot(name: str, df: DataFrame) -> DataFrame:
     return _CACHE_SLOTS[name]
 
 
+def _ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Rebalance tiny-split inputs before a CPU-heavy explode/hash stage.
+
+    A small corpus written as one parquet file arrives as ONE input split,
+    so everything up to the first shuffle runs on one core (measured: the
+    sf0.1 MinHash signature stage spent 4+ s single-task). Big inputs have
+    plentiful splits and pass through untouched — the guard only pays a
+    (cheap, narrow) repartition when the scan parallelism is below the
+    cluster's."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < min(target, 8):
+        return df.repartition(target)
+    return df
+
+
 def shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
              n: int = 3) -> DataFrame:
     """(id, shingle) distinct pairs; shingle = n-gram of whitespace words.
     Built-ins only: split → slice windows via transform(sequence)."""
+    df = _ensure_parallelism(df)
     w = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
     # guard: sequence(1, 0) would generate a DESCENDING [1, 0] in Spark, so
     # short texts get an explicit empty gram list
@@ -119,16 +135,48 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
             .select("id_a", "id_b", "jaccard"))
 
 
+MINHASH_PRIME = 4294967311  # smallest prime > 2^32
+
+
 def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text", n: int = 3,
                        k: int = MINHASH_K) -> DataFrame:
-    """k-permutation MinHash via min(md5(seed || shingle)) — md5's uniformity
-    makes the lexicographic min over hex digests a valid permutation min, and
-    DuckDB computes the identical value."""
+    """k-permutation MinHash via Carter-Wegman universal hashing: ONE md5
+    per shingle supplies two 32-bit halves (a, b); permutation i is
+    (a + i·(2b+1)) mod P with P the smallest prime > 2^32 (2b+1 keeps the
+    multiplier odd, so no permutation degenerates). 1 digest + k integer
+    ops per row instead of k digests — the standard production shape — and
+    every operation is exact 64-bit integer arithmetic DuckDB reproduces
+    (max value ≈ 2^32 + k·2^33 ≪ 2^63)."""
     sh = shingles(df, id_col, text_col, n)
-    sigs = [F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"mh{i}")
+    dig = F.md5("shingle")
+    base = sh.select(
+        "id",
+        F.conv(F.substring(dig, 1, 8), 16, 10).cast("long").alias("ha"),
+        (F.conv(F.substring(dig, 9, 8), 16, 10).cast("long") * 2 + 1).alias("hb"))
+    sigs = [F.min((F.col("ha") + i * F.col("hb")) % MINHASH_PRIME).alias(f"mh{i}")
             for i in range(k)]
-    return sh.groupBy("id").agg(*sigs)
+    return base.groupBy("id").agg(*sigs)
+
+
+def minhash_band_buckets(df: DataFrame, id_col: str = "doc_id",
+                         text_col: str = "text", n: int = 3,
+                         k: int = MINHASH_K,
+                         bands: int = MINHASH_BANDS) -> DataFrame:
+    """(id, band, bucket) rows — band bucket = md5 of the band's signature
+    slice. ONE explode over a struct array, not a bands-way union: a union
+    re-runs the whole signature aggregation per branch (measured 16× the
+    work at bands=16), the explode computes it once."""
+    rows_per_band = k // bands
+    sig = minhash_signatures(df, id_col, text_col, n, k)
+    entries = [
+        F.struct(F.lit(b).alias("band"),
+                 F.md5(F.concat_ws("|", *[
+                     F.col(f"mh{b * rows_per_band + r}")
+                     for r in range(rows_per_band)])).alias("bucket"))
+        for b in range(bands)]
+    return (sig.select("id", F.explode(F.array(*entries)).alias("bb"))
+            .select("id", "bb.band", "bb.bucket"))
 
 
 def minhash_lsh_candidates(df: DataFrame, id_col: str = "doc_id",
@@ -144,19 +192,9 @@ def minhash_lsh_candidates(df: DataFrame, id_col: str = "doc_id",
     a large fraction of docs (a B-doc bucket costs B² join rows; a bucket
     that big carries no dedup signal anyway, mirroring max_df in
     ngram_jaccard_pairs)."""
-    rows_per_band = k // bands
-    sig = minhash_signatures(df, id_col, text_col, n, k)
-    buckets = []
-    for b in range(bands):
-        cols = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
-        buckets.append(
-            sig.select("id", F.lit(b).alias("band"),
-                       F.md5(F.concat_ws("|", *cols)).alias("bucket")))
-    all_buckets = buckets[0]
-    for extra in buckets[1:]:
-        all_buckets = all_buckets.unionByName(extra)
+    all_buckets = minhash_band_buckets(df, id_col, text_col, n, k, bands)
     # the bucket table is consumed 3× (hot-agg + both self-join sides); it is
-    # tiny (bands × n_docs rows) while its lineage (shingle explode + 8 md5
+    # tiny (bands × n_docs rows) while its lineage (shingle explode + k
     # min-aggs) is expensive — cache to stop the recompute (bounded slot)
     all_buckets = _cache_slot("minhash_buckets", all_buckets)
     hot = (all_buckets.groupBy("band", "bucket")
@@ -198,14 +236,7 @@ def guard_report(docs: DataFrame, emb: DataFrame | None = None,
     jacc = one("jaccard_max_df", max_df,
                sh.groupBy("shingle").agg(F.count("*").alias("cnt")))
 
-    rows_per_band = MINHASH_K // MINHASH_BANDS
-    sig = minhash_signatures(docs, id_col, text_col, n)
-    buckets = None
-    for b in range(MINHASH_BANDS):
-        cols = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
-        part = sig.select("id", F.lit(b).alias("band"),
-                          F.md5(F.concat_ws("|", *cols)).alias("bucket"))
-        buckets = part if buckets is None else buckets.unionByName(part)
+    buckets = minhash_band_buckets(docs, id_col, text_col, n)
     mh = one("minhash_max_bucket", max_bucket,
              buckets.groupBy("band", "bucket").agg(F.count("*").alias("cnt")))
 
@@ -235,6 +266,7 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     token count): vote_b = 2·s_b − n > 0 ⟺ 2·s_b > n. Branch-free aggregate
     expressions codegen ~6× faster than the per-bit CASE votes this replaced
     (2.25 s → 0.36 s for the sf0.1 signature stage)."""
+    df = _ensure_parallelism(df)
     w = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
     tok = (df.select(F.col(id_col).alias("id"), F.explode(w).alias("token"))
              .withColumn("h", F.conv(F.substring(F.md5("token"), 1, 8), 16, 10)

@@ -32,14 +32,21 @@ shingles AS (
 
 
 def _minhash_sig_sql() -> str:
-    from engine.datawork.dedup import MINHASH_K
+    from engine.datawork.dedup import MINHASH_K, MINHASH_PRIME
     mins = ",\n        ".join(
-        f"min(md5('{i}:' || sh)) AS mh{i}" for i in range(MINHASH_K))
+        f"min((ha + {i} * hb) % {MINHASH_PRIME}) AS mh{i}"
+        for i in range(MINHASH_K))
     return f"""
 WITH {_SHINGLES},
+hashed AS (
+    SELECT id,
+           CAST(('0x' || substr(md5(sh), 1, 8)) AS BIGINT) AS ha,
+           2 * CAST(('0x' || substr(md5(sh), 9, 8)) AS BIGINT) + 1 AS hb
+    FROM shingles
+),
 sig AS (
     SELECT id, {mins}
-    FROM shingles GROUP BY id
+    FROM hashed GROUP BY id
 )"""
 
 
