@@ -141,8 +141,10 @@ def cosine_pairs_above(df: DataFrame, threshold: float = 0.95,
     more than that many vectors before the self-join — a degenerate bucket
     of B vectors costs B² join rows; mirrors max_df in ngram_jaccard_pairs.
     """
-    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
-                     norm(F.col(vec_col)).alias("nrm"))
+    from .dedup import _ensure_parallelism
+    base = _ensure_parallelism(df).select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+        norm(F.col(vec_col)).alias("nrm"))
     dotprod = F.aggregate(
         F.zip_with(F.col("a.v").cast("array<double>"),
                    F.col("b.v").cast("array<double>"), lambda x, y: x * y),
