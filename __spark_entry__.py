@@ -370,6 +370,34 @@ def q_events_props_json(spark, sf_dir):
             .filter(F.col("k").isNotNull()))
 
 
+def q_events_stream_window(spark, sf_dir):
+    """Structured Streaming surface: tumbling 1-day event-time windows with
+    a watermark, drained with Trigger.AvailableNow into a memory sink. With
+    a static input nothing is late, so the streaming answer must equal the
+    batch SQL aggregation — which is exactly what the oracle checks."""
+    ev_path = os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(ev_path).schema
+    # the streaming file source wants a directory; the table is one file —
+    # stream the parent dir with a filename glob
+    stream = (spark.readStream.schema(schema)
+              .option("pathGlobFilter", "events.parquet").parquet(sf_dir))
+    # watermarks need an instant (TIMESTAMP); the table carries NTZ wall
+    # time. The session runs in UTC, so the cast is wall-time-preserving
+    # and the 1-day windows align with the oracle's CAST(ts AS DATE).
+    stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    agg = (stream.withWatermark("ts", "1 hour")
+           .groupBy(F.window("ts", "1 day"), F.col("event_type"))
+           .agg(F.count("*").alias("n"),
+                F.round(F.sum("value"), 4).alias("value_sum")))
+    name = "events_stream_window_sink"
+    q = (agg.writeStream.format("memory").queryName(name)
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.table(name).select(
+        F.to_date(F.col("window.start")).alias("day"),
+        "event_type", "n", "value_sum")
+
+
 def q_sql_function_surface(spark, sf_dir):
     """The registered scalar-UDF surface driven through plain Spark SQL."""
     from engine.spark.functions import register_all
@@ -607,6 +635,7 @@ _RAW_QUERIES: dict = {
         "asof_latest_click": q_asof_latest_click,
         "events_sessionize": q_events_sessionize,
         "events_props_json": q_events_props_json,
+        "events_stream_window": q_events_stream_window,
         "sql_function_surface": q_sql_function_surface,
         "doc_text_stats": q_doc_text_stats,
         "doc_lang_id": q_doc_lang_id,

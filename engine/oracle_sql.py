@@ -241,6 +241,12 @@ SELECT user_id, session_id,
 FROM sess GROUP BY user_id, session_id
 ORDER BY user_id, session_id"""
 
+    o["events_stream_window"] = """
+SELECT CAST(ts AS DATE) AS day, event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(value), 4) AS value_sum
+FROM events GROUP BY 1, 2"""
+
     o["events_props_json"] = """
 SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
 FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL"""
