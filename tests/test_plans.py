@@ -52,3 +52,35 @@ def test_resume_antijoin_broadcasts(spark):
                .join(F.broadcast(done), "conv_bucket", "left_anti"))
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_banded_lsh_pairs_is_equi_join_not_cartesian(spark):
+    """The near-dup scale path must candidate-join on (band, bucket) —
+    a hash/sort-merge equi join — never a nested-loop cross product."""
+    from engine.datawork.similarity import cosine_pairs_above
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    plan = fmt(cosine_pairs_above(emb, threshold=0.35, bucketed=True))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("SortMergeJoin" in plan or "BroadcastHashJoin" in plan
+            or "ShuffledHashJoin" in plan)
+
+
+def test_minhash_candidates_equi_join_and_single_sig_agg(spark):
+    """Band buckets come from ONE explode over the signature aggregate —
+    the plan must not contain a per-band union re-running the aggregation
+    (16 HashAggregate pairs), and the self-join must be an equi join."""
+    from engine.datawork.dedup import minhash_band_buckets
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = fmt(minhash_band_buckets(docs))
+    assert plan.count("HashAggregate") <= 4  # partial+final (+AQE dupes)
+    assert "Union" not in plan
+    assert "Generate" in plan  # the explode
+
+
+def test_guard_hot_key_drop_broadcasts(spark):
+    from engine.datawork.dedup import minhash_lsh_candidates
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = fmt(minhash_lsh_candidates(docs))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
