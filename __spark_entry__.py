@@ -565,6 +565,37 @@ def q_embedding_near_pairs_lsh(spark, sf_dir):
             .orderBy("id_a", "id_b"))
 
 
+def q_dedup_apply(spark, sf_dir):
+    """End-to-end dedup ACTION: cluster the MinHash-LSH near-dups, keep one
+    canonical doc per cluster, pass untouched docs through."""
+    from engine.datawork.clusters import duplicate_clusters
+    from engine.datawork.corpus import deduplicated_corpus
+    from engine.datawork.dedup import minhash_lsh_candidates
+    docs = _t(spark, sf_dir, "documents")
+    clusters = duplicate_clusters(minhash_lsh_candidates(docs))
+    return (deduplicated_corpus(docs, clusters)
+            .select("doc_id", "lang", "source", "n_chars"))
+
+
+def q_token_vocab_topk(spark, sf_dir):
+    """Corpus vocabulary (top 200 tokens by count, deterministic ties)."""
+    from engine.datawork.corpus import token_vocabulary
+    return token_vocabulary(_t(spark, sf_dir, "documents"))
+
+
+def q_corpus_sample(spark, sf_dir):
+    """Reproducible 10% hash sample (train/eval split pinning)."""
+    from engine.datawork.corpus import hash_sample
+    return (hash_sample(_t(spark, sf_dir, "documents"))
+            .select("doc_id", "lang", "source", "n_chars"))
+
+
+def q_doc_length_quantiles(spark, sf_dir):
+    """Per-language exact length percentiles (continuous interpolation)."""
+    from engine.datawork.corpus import length_quantiles
+    return length_quantiles(_t(spark, sf_dir, "documents"))
+
+
 def q_dedup_guard_report(spark, sf_dir):
     """Skew-guard telemetry (hot shingles / hot LSH buckets and the rows
     they carry) — lets a 100 TB operator see when the quadratic-join guards
@@ -649,6 +680,10 @@ _RAW_QUERIES: dict = {
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "dedup_clusters": q_dedup_clusters,
         "dedup_guard_report": q_dedup_guard_report,
+        "dedup_apply": q_dedup_apply,
+        "token_vocab_topk": q_token_vocab_topk,
+        "corpus_sample": q_corpus_sample,
+        "doc_length_quantiles": q_doc_length_quantiles,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_buckets": q_ann_lsh_buckets,
         "embedding_near_pairs": q_embedding_near_pairs,

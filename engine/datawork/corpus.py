@@ -1,0 +1,67 @@
+"""Corpus-level operations a training-data pipeline runs after dedup/stats:
+apply the dedup decision, build a vocabulary, draw reproducible samples,
+summarize length distributions.
+
+All pure DataFrame algebra with exact DuckDB twins (engine/oracle_sql.py).
+Scale shapes: vocabulary is one hash aggregate with map-side partial
+aggregation + TakeOrdered (never a full sort); sampling is a stateless
+hash filter (reproducible across runs/engines, no RNG); dedup-apply is an
+anti-join against the (tiny) non-canonical member list.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def deduplicated_corpus(docs: DataFrame, clusters: DataFrame,
+                        id_col: str = "doc_id") -> DataFrame:
+    """Keep one canonical doc per duplicate cluster: drop every clustered
+    doc whose id is not its cluster's min id. ``clusters`` is
+    (doc_id, cluster_id) from duplicate_clusters; docs not in any cluster
+    pass through. The drop list is ≤ |clustered docs| rows — broadcast."""
+    losers = (clusters.filter(F.col("doc_id") != F.col("cluster_id"))
+              .select(F.col("doc_id").alias(id_col)))
+    return docs.join(F.broadcast(losers), id_col, "left_anti")
+
+
+def token_vocabulary(docs: DataFrame, text_col: str = "text",
+                     top_k: int = 200) -> DataFrame:
+    """Corpus vocabulary: lower-cased whitespace tokens with counts, top-k
+    by (count desc, token asc — deterministic tie-break). One shuffle with
+    map-side combine; top-k is a TakeOrdered, not a global sort."""
+    from .dedup import _ensure_parallelism
+    w = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    tok = (_ensure_parallelism(docs)
+           .filter(F.trim(F.col(text_col)) != "")
+           .select(F.explode(w).alias("token")))
+    return (tok.groupBy("token").agg(F.count("*").alias("n"))
+            .orderBy(F.col("n").desc(), F.col("token"))
+            .limit(top_k))
+
+
+def hash_sample(docs: DataFrame, percent: int = 10,
+                id_col: str = "doc_id") -> DataFrame:
+    """Reproducible ``percent``% sample: keep rows whose md5(id) bucket
+    (first 8 hex digits mod 100) falls below the cutoff. Deterministic
+    across engines, runs, and partitionings — the property RNG-based
+    df.sample lacks; the standard way to pin a train/eval split."""
+    bucket = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8),
+                    16, 10).cast("long") % 100
+    return docs.filter(bucket < percent)
+
+
+def length_quantiles(docs: DataFrame, group_col: str = "lang",
+                     value_col: str = "n_chars") -> DataFrame:
+    """Per-group exact length percentiles (continuous interpolation — the
+    same definition as DuckDB's quantile_cont). For 100 TB swap
+    percentile → percentile_approx and accept the documented error bound;
+    the exact version IS the oracle here."""
+    pct = F.percentile(F.col(value_col), F.array(
+        F.lit(0.5), F.lit(0.9), F.lit(0.99)))
+    return (docs.groupBy(group_col)
+            .agg(F.count("*").alias("n_docs"), pct.alias("q"))
+            .select(group_col, "n_docs",
+                    F.round(F.col("q")[0], 4).alias("p50"),
+                    F.round(F.col("q")[1], 4).alias("p90"),
+                    F.round(F.col("q")[2], 4).alias("p99")))

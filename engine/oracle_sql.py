@@ -423,6 +423,60 @@ reach AS (
 SELECT src AS doc_id, min(dst) AS cluster_id
 FROM reach GROUP BY src ORDER BY doc_id"""
 
+    # dedup ACTION: clusters (same CTE chain as dedup_clusters), then keep
+    # docs that are unclustered or are their cluster's canonical (min id)
+    o["dedup_apply"] = _minhash_sig_sql() + f""",
+buckets_raw AS (
+    {band_rows}
+),
+buckets AS (
+    SELECT id, band, bucket FROM buckets_raw
+    QUALIFY count(*) OVER (PARTITION BY band, bucket) <= 100
+),
+pairs AS (
+    SELECT DISTINCT a.id AS id_a, b.id AS id_b
+    FROM buckets a JOIN buckets b
+      ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+),
+edges AS (
+    SELECT id_a AS src, id_b AS dst FROM pairs
+    UNION SELECT id_b, id_a FROM pairs
+),
+reach AS (
+    WITH RECURSIVE r(src, dst) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT r.src, e.dst FROM r JOIN edges e ON r.dst = e.src
+    ) SELECT * FROM r
+),
+losers AS (
+    SELECT src AS doc_id FROM reach GROUP BY src
+    HAVING src != min(dst)
+)
+SELECT d.doc_id, d.lang, d.source, d.n_chars
+FROM documents d LEFT JOIN losers l ON d.doc_id = l.doc_id
+WHERE l.doc_id IS NULL"""
+
+    o["token_vocab_topk"] = f"""
+SELECT token, CAST(count(*) AS BIGINT) AS n
+FROM (SELECT doc_id, {_WORDS} AS ws FROM documents
+      WHERE trim(text) != '') w,
+     UNNEST(ws) AS t(token)
+GROUP BY token
+ORDER BY n DESC, token LIMIT 200"""
+
+    o["corpus_sample"] = """
+SELECT doc_id, lang, source, n_chars FROM documents
+WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+      % 100 < 10"""
+
+    o["doc_length_quantiles"] = """
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       round(quantile_cont(n_chars, 0.5), 4) AS p50,
+       round(quantile_cont(n_chars, 0.9), 4) AS p90,
+       round(quantile_cont(n_chars, 0.99), 4) AS p99
+FROM documents GROUP BY lang"""
+
     from engine.datawork.similarity import (LSH_BANDS as _EB,
                                             LSH_ROWS as _ER)
     o["dedup_guard_report"] = _minhash_sig_sql() + f""",

@@ -226,3 +226,47 @@ def test_repetition_ratio(spark):
     assert rows[1] == 0.25  # 1 distinct / 4 total
     assert rows[2] == 1.0
     assert rows[3] == 1.0 and rows[4] == 1.0
+
+
+def test_deduplicated_corpus_keeps_canonical_only(spark):
+    from engine.datawork.corpus import deduplicated_corpus
+    docs = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (9, "z")], "doc_id bigint, text string")
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 3)], "doc_id bigint, cluster_id bigint")
+    kept = sorted(r["doc_id"] for r in
+                  deduplicated_corpus(docs, clusters).collect())
+    assert kept == [1, 3, 9]  # 2 dropped (non-canonical), 9 unclustered
+
+
+def test_hash_sample_deterministic_and_disjoint(spark, docs):
+    from engine.datawork.corpus import hash_sample
+    s1 = {r["doc_id"] for r in hash_sample(docs, 10).collect()}
+    s2 = {r["doc_id"] for r in hash_sample(docs, 10).collect()}
+    assert s1 == s2  # reproducible split
+    s30 = {r["doc_id"] for r in hash_sample(docs, 30).collect()}
+    assert s1 <= s30  # cutoff sampling nests
+    n = docs.count()
+    assert 0.02 * n < len(s1) < 0.25 * n  # roughly 10%
+
+
+def test_token_vocabulary_counts_and_tiebreak(spark):
+    from engine.datawork.corpus import token_vocabulary
+    df = spark.createDataFrame(
+        [(1, "b a b"), (2, "a c  B"), (3, "")], "doc_id int, text string")
+    rows = token_vocabulary(df, top_k=10).collect()
+    assert [(r["token"], r["n"]) for r in rows] == [
+        ("a", 2), ("b", 3)][::-1] + [("c", 1)]
+
+
+def test_length_quantiles_match_numpy(spark, docs):
+    import numpy as np
+    from engine.datawork.corpus import length_quantiles
+    rows = {r["lang"]: r for r in length_quantiles(docs).collect()}
+    vals = {}
+    for r in docs.select("lang", "n_chars").collect():
+        vals.setdefault(r["lang"], []).append(r["n_chars"])
+    for lang, xs in vals.items():
+        assert rows[lang]["n_docs"] == len(xs)
+        assert abs(rows[lang]["p90"]
+                   - round(float(np.percentile(xs, 90)), 4)) < 1e-6
