@@ -75,14 +75,16 @@ class _Block:
 
 
 class _Extractor(HTMLParser):
-    def __init__(self, source: str) -> None:
+    def __init__(self, source: str, fast: bool = False) -> None:
         super().__init__(convert_charrefs=True)
         self.source = source
+        self._fast_pos: Optional[int] = None
         self._line_starts = [0]
-        pos = source.find("\n")
-        while pos != -1:
-            self._line_starts.append(pos + 1)
-            pos = source.find("\n", pos + 1)
+        if not fast:  # the line index exists only for getpos()-based offsets
+            pos = source.find("\n")
+            while pos != -1:
+                self._line_starts.append(pos + 1)
+                pos = source.find("\n", pos + 1)
         self.blocks: List[_Block] = []
         self._drop_depth = 0
         self._link_depth = 0
@@ -98,6 +100,8 @@ class _Extractor(HTMLParser):
 
     # -- offset helpers ----------------------------------------------------
     def _abs_pos(self) -> int:
+        if self._fast_pos is not None:  # driven by _fast_feed
+            return self._fast_pos
         line, col = self.getpos()
         return self._line_starts[line - 1] + col
 
@@ -193,6 +197,98 @@ class _Extractor(HTMLParser):
         })
 
 
+# ---------------------------------------------------------------------------
+# Fast tokenizer (gated). The stdlib HTMLParser dominates the HTML turn cost
+# (~1.3 ms/turn: tolerant attr regexes, per-event bookkeeping). For the
+# overwhelmingly common "simple" documents we drive the SAME _Extractor
+# handlers from a regex tokenizer instead — but only when a strict grammar
+# proves the simple tokenizer and HTMLParser read the document identically:
+#   * every '<' opens a well-formed start tag (quoted values may not contain
+#     < or >; unquoted values may not contain / — the one case where
+#     HTMLParser's self-closing detection gets subtle) or a strict </name>
+#     end tag;
+#   * every `</script` / `</style` occurrence is a full `</script>` form
+#     (inside CDATA content HTMLParser's partial-endtag recovery differs);
+#   * comments, doctypes, PIs, bare '<' in text → not simple → stdlib.
+# Possessive quantifiers (Python 3.11) keep the gate scan linear.
+# Equality is enforced by differential tests over the full synthetic corpus
+# plus adversarial cases (tests/test_html_clean.py) and the frozen goldens.
+# ---------------------------------------------------------------------------
+_ATTR = r"""\s++[a-zA-Z-][a-zA-Z0-9-]*+(?:=(?:"[^"<>]*+"|'[^'<>]*+'|[^\s<>"'/]++))?"""
+# Start-tag variants keep HTMLParser's self-closing detection provable: a
+# closing '/' is legal only right after the tag name (<br/>) or after
+# whitespace (<br />). '/' straight after an unquoted or quoted value
+# (<a href=x/>) is where HTMLParser folds it into the value — rejected.
+_FAST_GATE = re.compile(rf"""\A
+(?:
+    [^<]++
+  | </[a-zA-Z][a-zA-Z0-9]*+\s*+>
+  | <[a-zA-Z][a-zA-Z0-9]*+/?+>
+  | <[a-zA-Z][a-zA-Z0-9]*+(?:{_ATTR})*+\s++/?+>
+  | <[a-zA-Z][a-zA-Z0-9]*+(?:{_ATTR})++>
+)*+\Z""", re.VERBOSE)
+_CDATA_PARTIAL = re.compile(r"</\s*(?:script|style)", re.IGNORECASE)
+_CDATA_FULL = re.compile(r"</\s*(?:script|style)\s*>", re.IGNORECASE)
+_FAST_TAG = re.compile(
+    r"""<(/?)([a-zA-Z][a-zA-Z0-9]*+)((?:"[^"<>]*+"|'[^'<>]*+'|[^<>"'])*+)>""")
+_CDATA_END = {t: re.compile(rf"</\s*{t}", re.IGNORECASE)
+              for t in ("script", "style")}
+
+
+def _is_simple_html(source: str) -> bool:
+    if _FAST_GATE.fullmatch(source) is None:
+        return False
+    for m in _CDATA_PARTIAL.finditer(source):
+        if _CDATA_FULL.match(source, m.start()) is None:
+            return False
+    return True
+
+
+def _fast_feed(ext: _Extractor, source: str) -> None:
+    """Drive _Extractor's handlers with the same events, payloads, and
+    positions HTMLParser would produce on a gate-approved document."""
+    from html import unescape
+    pos, n = 0, len(source)
+    cdata: Optional[str] = None
+    while pos < n:
+        if cdata is not None:
+            m = _CDATA_END[cdata].search(source, pos)
+            if m is None:  # unterminated script/style: raw data to EOF
+                ext._fast_pos = pos
+                ext.handle_data(source[pos:])
+                return
+            if m.start() > pos:
+                ext._fast_pos = pos
+                ext.handle_data(source[pos:m.start()])  # raw — no charrefs
+            ext._fast_pos = m.start()
+            ext.handle_endtag(cdata)
+            pos = source.index(">", m.start()) + 1  # gate: '</name \s* >'
+            cdata = None
+            continue
+        lt = source.find("<", pos)
+        if lt < 0:
+            lt = n
+        if lt > pos:
+            ext._fast_pos = pos
+            ext.handle_data(unescape(source[pos:lt]))
+            pos = lt
+        if pos >= n:
+            return
+        m = _FAST_TAG.match(source, pos)  # gate guarantees a match
+        closing, name, interior = m.group(1), m.group(2).lower(), m.group(3)
+        ext._fast_pos = pos
+        if closing:
+            ext.handle_endtag(name)
+        elif interior.endswith("/"):  # '<br/>': starttag + endtag, no cdata
+            ext.handle_starttag(name, [])
+            ext.handle_endtag(name)
+        else:
+            ext.handle_starttag(name, [])
+            if name in ("script", "style"):
+                cdata = name
+        pos = m.end()
+
+
 def _classify(block: _Block) -> bool:
     if block.dropped_tree:
         return False
@@ -220,10 +316,19 @@ def clean_html(source: str) -> Tuple[str, Dict, List[Span], List[Dict]]:
     level so downstream markdown operators see structure). Heading blocks
     with no following kept prose are themselves dropped (jusText edge rule).
     """
-    parser = _Extractor(source)
+    fast = _is_simple_html(source)
+    parser = _Extractor(source, fast=fast)
     try:
-        parser.feed(source)
-        parser.close()
+        if fast:
+            try:
+                _fast_feed(parser, source)
+            except Exception:  # any fast-path surprise → stdlib, not degrade
+                parser = _Extractor(source)
+                parser.feed(source)
+                parser.close()
+        else:
+            parser.feed(source)
+            parser.close()
     except Exception:
         # never throw: fall back to tag-stripped text
         stripped = _WS_RE.sub(" ", re.sub(r"<[^>]+>", " ", source)).strip()

@@ -64,3 +64,71 @@ def test_boilerplate_subtree_tables_not_captured():
     _, _, _, tables = clean_html(doc)
     assert len(tables) == 1
     assert tables[0]["columns"] == ["k"]
+
+
+# ---------------------------------------------------------------------------
+# fast-tokenizer differential guarantees
+# ---------------------------------------------------------------------------
+
+def _blocks_via(src, fast):
+    from engine.core import html_clean as hc
+    ext = hc._Extractor(src, fast=fast)
+    if fast:
+        hc._fast_feed(ext, src)
+    else:
+        ext.feed(src)
+        ext.close()
+    ext._flush()
+    return ([(b.tag, b.text, b.start, b.end, b.link_chars, b.dropped_tree)
+             for b in ext.blocks], ext.title, ext.tables)
+
+
+def test_fast_tokenizer_matches_stdlib_on_corpus():
+    """Every gate-approved document must produce byte-identical blocks,
+    offsets, title, and tables under both backends."""
+    from engine.core import html_clean as hc
+    from tools import synth
+    html = [r["text"] for r in synth.build_rows(4000, seed=13)
+            if r["tool"] == "web.html"]
+    assert html
+    checked = 0
+    for src in html:
+        if not hc._is_simple_html(src):
+            continue
+        checked += 1
+        assert _blocks_via(src, True) == _blocks_via(src, False), src[:300]
+    assert checked > len(html) * 0.9  # the corpus should take the fast path
+
+
+def test_fast_tokenizer_matches_stdlib_on_edge_cases():
+    from engine.core import html_clean as hc
+    cases = [
+        "", "no tags", "<p>a & b</p>", "<p>trailing &", "<p>&#65;&#x42;</p>",
+        "<P>UP</P>", "<br/><br />", '<a href="/x">l</a>',
+        "<style>a > b {}</style><p>x</p>", "<title>t &amp; t</title>",
+        "<script>s='</script>'</script><p>after</p>", "<p >sp</p >",
+        "<table><tr><th>h</th></tr><tr><td>1</td></tr></table>",
+    ]
+    for src in cases:
+        if hc._is_simple_html(src):
+            assert _blocks_via(src, True) == _blocks_via(src, False), src
+
+
+def test_gate_rejects_constructs_the_fast_path_cannot_prove():
+    from engine.core.html_clean import _is_simple_html
+    for src in ["<!-- c --><p>x</p>", "<!DOCTYPE html><p>x</p>",
+                "<?pi?><p>x</p>", "<p>a < b</p>",
+                "<script>1 < 2</script>", '<a href=x/>slash-val</a>',
+                "<p", "</p attr>x", '<a title="a>b">q</a>']:
+        assert not _is_simple_html(src), src
+
+
+def test_gate_scan_is_linear_on_pathological_input():
+    """Possessive quantifiers: a near-miss giant tag must fail fast, not
+    backtrack exponentially."""
+    import time
+    from engine.core.html_clean import _is_simple_html
+    evil = "<a " + "x=1 " * 20000 + "\x00>"  # NUL breaks the attr grammar
+    t0 = time.perf_counter()
+    assert not _is_simple_html(evil)
+    assert time.perf_counter() - t0 < 1.0
