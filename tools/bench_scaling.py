@@ -159,15 +159,15 @@ turns (2.2 GB of payload text), local[32], 8 waves, 1024 buckets:
 
 | run | outcome |
 |---|---|
-| fresh run (final code) | **169 s wall ≈ 5,911 turns/s end-to-end** incl. writes & all 8 wave commits (was 612 s before the file-layout fixes) |
+| fresh run (round-1 build) | **169 s wall ≈ 5,911 turns/s end-to-end** incl. writes & all 8 wave commits (was 612 s before the file-layout fixes); round-2 re-runs of the same workload measure 147–225 s run-to-run on this host — see the wave-lineage A/B section for the controlled phase comparison |
 | `timeout 200` kill mid-run (earlier build) | 6/8 waves committed (751,249 turns), no partial files visible |
 | resume after kill | processed exactly the missing 249,446 turns; re-run of a complete output processes 0 and skips 1,000,695 |
 | final state | 1,000,695 rows, all keys distinct, 0 extraction errors, exactly 1,024 data files (one per bucket), manifest rows sum exactly across attempts |
 
-Sustained throughput grows with input (fixed costs amortize): bench.py at
-240k turns measures **13,205 turns/s** for the extraction stage at
-local[32] (18.2 s for 240,179 turns); the bench default is 120k turns
-(~11k turns/s).
+Sustained throughput grows with input (fixed costs amortize): round-2
+bench.py measures **18,553 turns/s** at the 120k-turn default (was ~11k
+in round 1) — the kernel prescans plus the gated fast HTML tokenizer,
+local[32].
 
 Scale bugs that run caught (fixed + regression-tested): single-row-group
 synthetic parquet (unsplittable input, OOMs small heaps → bounded row
