@@ -117,7 +117,11 @@ def run_pipeline(spark: SparkSession, input_path: str, output_dir: str,
     src = spark.read.parquet(input_path).withColumn("conv_bucket", bucket_col(n_buckets))
 
     done = completed_buckets(spark, out_sink)
-    done_count = done.count()
+    # the committed-bucket set is ≤ n_buckets ints — collect it once so the
+    # driver can skip fully-committed waves without launching a job (a no-op
+    # resume otherwise pays one full input scan PER WAVE)
+    done_values = {r["conv_bucket"] for r in done.collect()}
+    done_count = len(done_values)
     # resume anti-join — broadcast: the manifest is ≤ n_buckets rows
     todo = src.join(F.broadcast(done), "conv_bucket", "left_anti")
 
@@ -153,6 +157,11 @@ def run_pipeline(spark: SparkSession, input_path: str, output_dir: str,
     skipped = 0
     waves_run = 0
     for wave in range(waves):
+        wave_buckets = [b for b in range(wave, n_buckets, waves)
+                        if b not in done_values]
+        if not wave_buckets:  # wave fully committed by a prior attempt
+            waves_run += 1
+            continue
         wave_df = todo.filter(F.col("conv_bucket") % waves == wave)
         # repartition BY THE BUCKET: each bucket lands in exactly one task, so
         # partitionBy(conv_bucket) writes one file per bucket per wave instead
@@ -167,24 +176,24 @@ def run_pipeline(spark: SparkSession, input_path: str, output_dir: str,
             extract_df(wave_df.drop("conv_bucket"), n_buckets, None)
             .sortWithinPartitions("conv_id", "turn_idx")
         )
-        # persist through the write so the lineage aggregate reads the cached
-        # wave instead of re-listing + re-scanning the whole committed output
-        # (the round-1 O(waves × output) pattern). The cache holds exactly
-        # what the all-or-nothing write commits, so the numbers are
-        # identical; extraction is deterministic, so a recompute on cache
-        # loss also is. MEMORY_AND_DISK: a wave is output/waves — it spills,
-        # never evicts-and-lies.
-        from pyspark import StorageLevel
-        extracted = extracted.persist(StorageLevel.MEMORY_AND_DISK)
         t_wave = time.monotonic()
         out_sink.append(extracted)
 
         wall_ms = int((time.monotonic() - t_wave) * 1000)
+        # lineage from the committed output, listing ONLY this wave's
+        # not-yet-done partition directories (round 1 re-listed and
+        # re-scanned the whole output per wave — O(waves × output) listings
+        # across a run; a persist-through-the-write variant costs more than
+        # this 4-column scan of the freshly written files). A non-done
+        # bucket had no committed rows before this wave's all-or-nothing
+        # write, so these dirs hold exactly this wave's rows — no
+        # prior-attempt anti-join needed.
+        wave_out = out_sink.read_partitions(wave_buckets, EXTRACTED_SCHEMA)
+        if wave_out is None:  # a wave whose buckets had zero input rows
+            wave_out = spark.createDataFrame([], EXTRACTED_SCHEMA)
         # bucket-granular manifest (≤ n_buckets/waves rows per wave;
-        # partition_id kept as a representative for debugging). The wave
-        # DataFrame is already resume-filtered (todo = src anti-join done),
-        # so no double-count is possible for re-attempted runs.
-        lineage = (extracted.groupBy("conv_bucket")
+        # partition_id kept as a representative for debugging)
+        lineage = (wave_out.groupBy("conv_bucket")
                    .agg(F.min("partition_id").alias("partition_id"),
                         F.count("*").alias("turns_processed"),
                         F.sum(F.when(F.col("error").isNotNull(), 1).otherwise(0))
@@ -203,7 +212,6 @@ def run_pipeline(spark: SparkSession, input_path: str, output_dir: str,
         n_wave = sum(r["turns_processed"] for r in lin_rows)
         lineage_sink.append(
             spark.createDataFrame(lin_rows, LINEAGE_SCHEMA).coalesce(1))
-        extracted.unpersist()
         total_processed += int(n_wave)
         waves_run += 1
 
