@@ -42,15 +42,26 @@ def duplicate_clusters(pairs: DataFrame, max_iterations: int = 15) -> DataFrame:
     for i in range(max_iterations):
         neighbor_min = (edges.join(labels, edges.dst == labels.id)
                         .groupBy("src").agg(F.min("label").alias("nbr_label")))
+        # path compression: each node also adopts its label's label
+        # (pointer doubling) — without it, min propagation needs
+        # O(component diameter) rounds and a 40-doc duplicate CHAIN would
+        # blow the iteration cap; with it convergence is O(log diameter).
+        lbl2 = labels.select(F.col("id").alias("l_id"),
+                             F.col("label").alias("l_label"))
+        compressed = (labels.join(lbl2, labels.label == lbl2.l_id, "left")
+                      .select(labels.id, labels.label,
+                              F.coalesce(F.col("l_label"), F.col("label"))
+                              .alias("label2")))
         # ONE action per round: carry the old label through the propagation
         # join, checkpoint (materializes + truncates lineage), then the
         # convergence count is a filter over the checkpointed rows — no
         # second label-join/shuffle per round (round-1 inefficiency).
-        new_labels = (labels.join(neighbor_min, labels.id == neighbor_min.src,
-                                  "left")
-                      .select(labels.id,
+        new_labels = (compressed.join(neighbor_min,
+                                      compressed.id == neighbor_min.src,
+                                      "left")
+                      .select(compressed.id,
                               F.col("label").alias("old_label"),
-                              F.least(F.col("label"),
+                              F.least(F.col("label2"),
                                       F.coalesce(F.col("nbr_label"),
                                                  F.col("label")))
                               .alias("label"))

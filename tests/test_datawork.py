@@ -270,3 +270,15 @@ def test_length_quantiles_match_numpy(spark, docs):
         assert rows[lang]["n_docs"] == len(xs)
         assert abs(rows[lang]["p90"]
                    - round(float(np.percentile(xs, 90)), 4)) < 1e-6
+
+
+def test_duplicate_clusters_long_chain_converges_fast(spark):
+    """A 60-node duplicate CHAIN (worst-case diameter) must converge inside
+    the 15-round cap — path compression makes rounds O(log diameter); plain
+    min propagation would need 59 rounds."""
+    from engine.datawork.clusters import duplicate_clusters
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(60)], "id_a bigint, id_b bigint")
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in duplicate_clusters(pairs).collect()}
+    assert got == {i: 0 for i in range(61)}
