@@ -63,3 +63,56 @@ def test_adversarial_large_payloads_complete_quickly():
         rec = extract_turn(payload, "chat.plain", "adv")
         assert time.monotonic() - t0 < 20
         assert isinstance(rec["cleaned_text"], str)
+
+
+# -- fast-HTML-tokenizer differential property --------------------------------
+
+_tag_names = st.sampled_from(
+    ["p", "div", "a", "span", "h1", "h2", "li", "td", "tr", "table",
+     "nav", "script", "style", "title", "br", "article"])
+_texts = st.text(
+    alphabet=st.sampled_from(list("abc &;#xAZ09.\n\t!—é<>/'\"")), max_size=40)
+_attrs = st.sampled_from(
+    ["", ' href="/x"', " class='c d'", " data-x=1", ' a="1" b="2"', " x"])
+
+
+@st.composite
+def _html_doc(draw):
+    parts = []
+    for _ in range(draw(st.integers(0, 12))):
+        kind = draw(st.integers(0, 3))
+        if kind == 0:
+            parts.append(draw(_texts))
+        elif kind == 1:
+            t = draw(_tag_names)
+            parts.append(f"<{t}{draw(_attrs)}>{draw(_texts)}</{t}>")
+        elif kind == 2:
+            parts.append(f"<br{draw(st.sampled_from(['', '/', ' /']))}>")
+        else:
+            t = draw(st.sampled_from(["script", "style"]))
+            body = draw(_texts)
+            parts.append(f"<{t}>{body}</{t}>")
+    return "".join(parts)
+
+
+@given(_html_doc())
+@settings(max_examples=200, deadline=None)
+def test_fast_html_tokenizer_differential(doc):
+    """Whenever the gate approves a generated document, the fast tokenizer
+    and stdlib HTMLParser must agree on every block, offset, title, and
+    table — and clean_html must never throw either way."""
+    from engine.core import html_clean as hc
+    hc.clean_html(doc)  # total function on any input
+    if not hc._is_simple_html(doc):
+        return
+    def run(fast):
+        ext = hc._Extractor(doc, fast=fast)
+        if fast:
+            hc._fast_feed(ext, doc)
+        else:
+            ext.feed(doc)
+            ext.close()
+        ext._flush()
+        return ([(b.tag, b.text, b.start, b.end, b.link_chars,
+                  b.dropped_tree) for b in ext.blocks], ext.title, ext.tables)
+    assert run(True) == run(False), repr(doc)
