@@ -398,6 +398,47 @@ def q_events_stream_window(spark, sf_dir):
         "event_type", "n", "value_sum")
 
 
+def q_events_stream_sessionize(spark, sf_dir):
+    """Custom STATEFUL streaming operator (applyInPandasWithState): per-user
+    gap sessions with session state carried across micro-batches. The input
+    is staged as two files — all events, then per-user flush sentinels —
+    and maxFilesPerTrigger=1 forces two genuine micro-batches, so open
+    sessions really live in the state store between triggers. The drained
+    result must equal the batch window-function sessionization (oracle)."""
+    import os as _os
+    import tempfile
+    from engine.spark.streaming import stateful_sessionize
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.col("ts").cast("timestamp").alias("ts"),
+        "value")
+    stage = tempfile.mkdtemp(prefix="stream_sess_")
+    ev.coalesce(1).write.mode("overwrite").parquet(stage)
+    sent = (ev.groupBy("user_id")
+            .agg(F.max("ts").alias("mx"))
+            .select("user_id", F.lit(-1).alias("event_id"),
+                    (F.col("mx") + F.expr("INTERVAL 1 HOUR")).alias("ts"),
+                    F.lit(0.0).alias("value")))
+    sent.coalesce(1).write.mode("append").parquet(stage)
+    # file order = modification time; pin the sentinel file strictly later
+    parts = sorted(p for p in _os.listdir(stage) if p.endswith(".parquet"))
+    newest = max((_os.path.join(stage, p) for p in parts),
+                 key=lambda p: _os.path.getmtime(p))
+    _os.utime(newest, (_os.path.getmtime(newest) + 60,) * 2)
+
+    stream = (spark.readStream.schema(ev.schema)
+              .option("pathGlobFilter", "*.parquet")
+              .option("maxFilesPerTrigger", "1").parquet(stage))
+    sessions = stateful_sessionize(stream, gap_s=300)
+    name = "events_stream_sessionize_sink"
+    q = (sessions.writeStream.format("memory").queryName(name)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return (spark.table(name)
+            .select("user_id", "session_id", "n_events",
+                    F.round("value_sum", 4).alias("value_sum"))
+            .orderBy("user_id", "session_id"))
+
+
 def q_sql_function_surface(spark, sf_dir):
     """The registered scalar-UDF surface driven through plain Spark SQL."""
     from engine.spark.functions import register_all
@@ -667,6 +708,7 @@ _RAW_QUERIES: dict = {
         "events_sessionize": q_events_sessionize,
         "events_props_json": q_events_props_json,
         "events_stream_window": q_events_stream_window,
+        "events_stream_sessionize": q_events_stream_sessionize,
         "sql_function_surface": q_sql_function_surface,
         "doc_text_stats": q_doc_text_stats,
         "doc_lang_id": q_doc_lang_id,

@@ -247,6 +247,9 @@ SELECT CAST(ts AS DATE) AS day, event_type,
        round(sum(value), 4) AS value_sum
 FROM events GROUP BY 1, 2"""
 
+    # the stateful-streaming sessionizer must reproduce the batch answer
+    o["events_stream_sessionize"] = o["events_sessionize"]
+
     o["events_props_json"] = """
 SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
 FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL"""

@@ -52,6 +52,66 @@ def run_stream_to_parquet(spark: SparkSession, input_dir: str,
     return q.start()
 
 
+SESSION_OUT_SCHEMA = ("user_id int, session_id bigint, "
+                      "n_events bigint, value_sum double")
+SESSION_STATE_SCHEMA = ("last_ts long, session_id long, "
+                        "n_events long, value_sum double")
+
+
+def stateful_sessionize(stream: DataFrame, gap_s: int = 300) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-user
+    sessions split on > ``gap_s`` event-time gaps, session state carried
+    ACROSS micro-batches. An event with user_id IS NULL-safe value and
+    ``event_id < 0`` is a flush sentinel: it closes the user's open session
+    (how a bounded replay drains final state; an unbounded run would use a
+    timeout instead).
+
+    Emitted rows are completed sessions only — numbering and aggregates
+    must equal the batch window-function sessionization (the oracle).
+    """
+    import pandas as pd
+
+    def fn(key, pdf_iter, state):
+        (user_id,) = key
+        pdf = pd.concat(list(pdf_iter), ignore_index=True)
+        pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+        if state.exists:
+            last_ts, session_id, n_events, value_sum = state.get
+        else:
+            last_ts, session_id, n_events, value_sum = None, 0, 0, 0.0
+        out = []
+        for ts, event_id, value in zip(pdf["ts"], pdf["event_id"],
+                                       pdf["value"]):
+            if event_id < 0:  # sentinel: close the open session
+                if n_events:
+                    out.append((user_id, session_id, n_events, value_sum))
+                last_ts, session_id, n_events, value_sum = None, 0, 0, 0.0
+                continue
+            epoch = int(ts.value // 1_000_000_000)
+            if last_ts is None:
+                session_id += 1
+                n_events, value_sum = 0, 0.0
+            elif epoch - last_ts > gap_s:
+                out.append((user_id, session_id, n_events, value_sum))
+                session_id += 1
+                n_events, value_sum = 0, 0.0
+            last_ts = epoch
+            n_events += 1
+            value_sum += float(value)
+        if n_events:
+            state.update((last_ts, session_id, n_events, value_sum))
+        elif state.exists:
+            state.remove()
+        if out:
+            yield pd.DataFrame(out, columns=["user_id", "session_id",
+                                             "n_events", "value_sum"])
+
+    return (stream.groupBy("user_id")
+            .applyInPandasWithState(fn, SESSION_OUT_SCHEMA,
+                                    SESSION_STATE_SCHEMA, "append",
+                                    "NoTimeout"))
+
+
 def streaming_conversation_counts(stream: DataFrame,
                                   watermark: str = "10 minutes") -> DataFrame:
     """Event-time pattern exemplar: late-tolerant per-conversation turn

@@ -83,3 +83,54 @@ def test_windowed_conversation_counts_end_to_end(spark, stream_dirs):
     exp = {(r["conv_id"], r["window"]["start"]): r["n"]
            for r in batch.collect()}
     assert got == exp and len(got) > 0
+
+
+def test_stateful_sessionize_carries_state_across_microbatches(spark, tmp_path):
+    """A session whose events span two files (→ two availableNow
+    micro-batches with maxFilesPerTrigger=1) must come out as ONE session:
+    the open session lives in the state store between triggers."""
+    import os
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from engine.spark.streaming import stateful_sessionize
+
+    stage = str(tmp_path / "in")
+    schema = "user_id int, event_id int, ts timestamp, value double"
+    f1 = spark.createDataFrame(
+        [(1, 10, "2024-01-01 00:00:00", 1.0),
+         (1, 11, "2024-01-01 00:02:00", 2.0),     # same session, batch 1
+         (2, 20, "2024-01-01 00:00:00", 5.0)],
+        "user_id int, event_id int, ts string, value double"
+    ).select("user_id", "event_id", F.col("ts").cast("timestamp").alias("ts"),
+             "value")
+    f2 = spark.createDataFrame(
+        [(1, 12, "2024-01-01 00:04:00", 4.0),     # continues user 1 session
+         (1, 13, "2024-01-01 01:00:00", 8.0),     # new session (gap > 300 s)
+         (1, -1, "2024-01-01 09:00:00", 0.0),     # flush sentinels
+         (2, -1, "2024-01-01 09:00:00", 0.0)],
+        "user_id int, event_id int, ts string, value double"
+    ).select("user_id", "event_id", F.col("ts").cast("timestamp").alias("ts"),
+             "value")
+    f1.coalesce(1).write.mode("overwrite").parquet(stage)
+    _time.sleep(0.05)
+    f2.coalesce(1).write.mode("append").parquet(stage)
+    newest = max((os.path.join(stage, p) for p in os.listdir(stage)
+                  if p.endswith(".parquet")), key=os.path.getmtime)
+    os.utime(newest, (os.path.getmtime(newest) + 60,) * 2)
+
+    stream = (spark.readStream.schema(schema)
+              .option("pathGlobFilter", "*.parquet")
+              .option("maxFilesPerTrigger", "1").parquet(stage))
+    q = (stateful_sessionize(stream, gap_s=300)
+         .writeStream.format("memory").queryName("sess_carry_sink")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    rows = {(r["user_id"], r["session_id"]): (r["n_events"], r["value_sum"])
+            for r in spark.table("sess_carry_sink").collect()}
+    assert rows == {
+        (1, 1): (3, 7.0),   # 3 events ACROSS the batch boundary, one session
+        (1, 2): (1, 8.0),
+        (2, 1): (1, 5.0),
+    }
