@@ -1,0 +1,87 @@
+"""spark-submit entry point for the corpus/dedup operator suite.
+
+    spark-submit --py-files engine.zip engine/datawork/job.py \
+        --op dedup-apply --input <documents parquet> --output <dir>
+
+Ops (all read a documents-shaped table: doc_id + text [+ any extra
+columns, passed through where the op allows]):
+
+    exact-dups      fingerprint groups (capped member lists)
+    minhash-pairs   MinHash-LSH candidate near-dup pairs
+    clusters        duplicate clusters (connected components over pairs)
+    dedup-apply     the deduplicated corpus (one canonical doc per cluster)
+    guard-report    skew-guard telemetry (hot shingles / hot buckets)
+    vocab           top-k token vocabulary
+    sample          reproducible hash sample (--percent)
+    quantiles       per-group length quantiles (--group-col)
+
+Also runnable as ``python -m engine.datawork.job`` for local smoke.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def run_op(spark, op: str, input_path: str, percent: int = 10,
+           group_col: str = "lang", top_k: int = 200):
+    docs = spark.read.parquet(input_path)
+    if op == "exact-dups":
+        from .dedup import exact_duplicates
+        return exact_duplicates(docs)
+    if op == "minhash-pairs":
+        from .dedup import minhash_lsh_candidates
+        return minhash_lsh_candidates(docs)
+    if op == "clusters":
+        from .clusters import duplicate_clusters
+        from .dedup import minhash_lsh_candidates
+        return duplicate_clusters(minhash_lsh_candidates(docs))
+    if op == "dedup-apply":
+        from .clusters import duplicate_clusters
+        from .corpus import deduplicated_corpus
+        from .dedup import minhash_lsh_candidates
+        clusters = duplicate_clusters(minhash_lsh_candidates(docs))
+        return deduplicated_corpus(docs, clusters)
+    if op == "guard-report":
+        from .dedup import guard_report
+        return guard_report(docs)
+    if op == "vocab":
+        from .corpus import token_vocabulary
+        return token_vocabulary(docs, top_k=top_k)
+    if op == "sample":
+        from .corpus import hash_sample
+        return hash_sample(docs, percent=percent)
+    if op == "quantiles":
+        from .corpus import length_quantiles
+        return length_quantiles(docs, group_col=group_col)
+    raise SystemExit(f"unknown --op {op!r}")
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--op", required=True,
+                    choices=["exact-dups", "minhash-pairs", "clusters",
+                             "dedup-apply", "guard-report", "vocab",
+                             "sample", "quantiles"])
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--percent", type=int, default=10)
+    ap.add_argument("--group-col", default="lang")
+    ap.add_argument("--top-k", type=int, default=200)
+    ap.add_argument("--master", default=None,
+                    help="local override; omit under spark-submit")
+    args = ap.parse_args(argv)
+
+    from engine.spark.job import build_session
+    spark = build_session(args.master, app=f"datawork-{args.op}")
+    out = run_op(spark, args.op, args.input, args.percent,
+                 args.group_col, args.top_k)
+    out.write.mode("overwrite").parquet(args.output)
+    n = spark.read.parquet(args.output).count()
+    print(f"op={args.op} rows={n} output={args.output}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

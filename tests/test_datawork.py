@@ -282,3 +282,15 @@ def test_duplicate_clusters_long_chain_converges_fast(spark):
     got = {r["doc_id"]: r["cluster_id"]
            for r in duplicate_clusters(pairs).collect()}
     assert got == {i: 0 for i in range(61)}
+
+
+def test_datawork_job_cli(spark, tmp_path):
+    """The spark-submit entry point for the corpus suite: op dispatch and
+    parquet round-trip (session reused, no CLI subprocess)."""
+    from engine.datawork.job import run_op
+    out = run_op(spark, "sample", "/root/testdata/sf0.001/documents.parquet",
+                 percent=30)
+    assert 0 < out.count() < 100
+    got = run_op(spark, "quantiles",
+                 "/root/testdata/sf0.001/documents.parquet")
+    assert {r["lang"] for r in got.collect()}
