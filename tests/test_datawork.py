@@ -288,9 +288,11 @@ def test_datawork_job_cli(spark, tmp_path):
     """The spark-submit entry point for the corpus suite: op dispatch and
     parquet round-trip (session reused, no CLI subprocess)."""
     from engine.datawork.job import run_op
+    total = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet").count()
     out = run_op(spark, "sample", "/root/testdata/sf0.001/documents.parquet",
                  percent=30)
-    assert 0 < out.count() < 100
+    assert 0 < out.count() < total
     got = run_op(spark, "quantiles",
                  "/root/testdata/sf0.001/documents.parquet")
     assert {r["lang"] for r in got.collect()}
