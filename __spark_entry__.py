@@ -382,9 +382,12 @@ def q_events_stream_window(spark, sf_dir):
     stream = (spark.readStream.schema(schema)
               .option("pathGlobFilter", "events.parquet").parquet(sf_dir))
     # watermarks need an instant (TIMESTAMP); the table carries NTZ wall
-    # time. The session runs in UTC, so the cast is wall-time-preserving
-    # and the 1-day windows align with the oracle's CAST(ts AS DATE).
-    stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    # time. Reinterpret the NTZ wall clock as a UTC instant via NTZ-native
+    # epoch seconds — no session-timezone dependence anywhere in the chain
+    # (a plain cast would shift day boundaries on a non-UTC host).
+    epoch = F.expr(
+        "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+    stream = stream.withColumn("ts", F.timestamp_seconds(epoch))
     agg = (stream.withWatermark("ts", "1 hour")
            .groupBy(F.window("ts", "1 day"), F.col("event_type"))
            .agg(F.count("*").alias("n"),
@@ -393,9 +396,14 @@ def q_events_stream_window(spark, sf_dir):
     q = (agg.writeStream.format("memory").queryName(name)
          .outputMode("complete").trigger(availableNow=True).start())
     q.awaitTermination()
+    # window.start is an epoch-aligned instant; derive the calendar day with
+    # tz-free date arithmetic (unix_timestamp + date_add), matching the
+    # oracle's CAST(ts AS DATE) over NTZ wall time
+    day = F.date_add(F.to_date(F.lit("1970-01-01")),
+                     (F.unix_timestamp(F.col("window.start")) / 86400)
+                     .cast("int"))
     return spark.table(name).select(
-        F.to_date(F.col("window.start")).alias("day"),
-        "event_type", "n", "value_sum")
+        day.alias("day"), "event_type", "n", "value_sum")
 
 
 def q_events_stream_sessionize(spark, sf_dir):
@@ -405,25 +413,20 @@ def q_events_stream_sessionize(spark, sf_dir):
     and maxFilesPerTrigger=1 forces two genuine micro-batches, so open
     sessions really live in the state store between triggers. The drained
     result must equal the batch window-function sessionization (oracle)."""
-    import os as _os
     import tempfile
-    from engine.spark.streaming import stateful_sessionize
+    from engine.spark.streaming import stage_ordered_batches, stateful_sessionize
     ev = _t(spark, sf_dir, "events").select(
         "user_id", "event_id", F.col("ts").cast("timestamp").alias("ts"),
         "value")
-    stage = tempfile.mkdtemp(prefix="stream_sess_")
-    ev.coalesce(1).write.mode("overwrite").parquet(stage)
     sent = (ev.groupBy("user_id")
             .agg(F.max("ts").alias("mx"))
             .select("user_id", F.lit(-1).alias("event_id"),
                     (F.col("mx") + F.expr("INTERVAL 1 HOUR")).alias("ts"),
                     F.lit(0.0).alias("value")))
-    sent.coalesce(1).write.mode("append").parquet(stage)
-    # file order = modification time; pin the sentinel file strictly later
-    parts = sorted(p for p in _os.listdir(stage) if p.endswith(".parquet"))
-    newest = max((_os.path.join(stage, p) for p in parts),
-                 key=lambda p: _os.path.getmtime(p))
-    _os.utime(newest, (_os.path.getmtime(newest) + 60,) * 2)
+    stage = tempfile.mkdtemp(prefix="stream_sess_")
+    # explicit, strictly-increasing mtimes pin the micro-batch order on any
+    # filesystem (an mtime tie could otherwise run the sentinels first)
+    stage_ordered_batches([ev, sent], stage)
 
     stream = (spark.readStream.schema(ev.schema)
               .option("pathGlobFilter", "*.parquet")

@@ -253,10 +253,12 @@ def _fast_feed(ext: _Extractor, source: str) -> None:
     while pos < n:
         if cdata is not None:
             m = _CDATA_END[cdata].search(source, pos)
-            if m is None:  # unterminated script/style: raw data to EOF
-                ext._fast_pos = pos
-                ext.handle_data(source[pos:])
-                return
+            if m is None:
+                # unterminated script/style: HTMLParser DROPS cdata content
+                # that never sees its end tag — punt to the stdlib backend
+                # (clean_html catches this and re-parses) instead of
+                # guessing its recovery behavior here
+                raise ValueError("unterminated cdata element")
             if m.start() > pos:
                 ext._fast_pos = pos
                 ext.handle_data(source[pos:m.start()])  # raw — no charrefs

@@ -140,15 +140,18 @@ MINHASH_PRIME = 4294967311  # smallest prime > 2^32
 
 def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text", n: int = 3,
-                       k: int = MINHASH_K) -> DataFrame:
+                       k: int = MINHASH_K,
+                       shingles_df: DataFrame | None = None) -> DataFrame:
     """k-permutation MinHash via Carter-Wegman universal hashing: ONE md5
     per shingle supplies two 32-bit halves (a, b); permutation i is
     (a + i·(2b+1)) mod P with P the smallest prime > 2^32 (2b+1 keeps the
     multiplier odd, so no permutation degenerates). 1 digest + k integer
     ops per row instead of k digests — the standard production shape — and
     every operation is exact 64-bit integer arithmetic DuckDB reproduces
-    (max value ≈ 2^32 + k·2^33 ≪ 2^63)."""
-    sh = shingles(df, id_col, text_col, n)
+    (max value ≈ 2^32 + k·2^33 ≪ 2^63). ``shingles_df`` lets callers that
+    already exploded the shingles reuse them."""
+    sh = shingles_df if shingles_df is not None \
+        else shingles(df, id_col, text_col, n)
     dig = F.md5("shingle")
     base = sh.select(
         "id",
@@ -162,13 +165,14 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
 def minhash_band_buckets(df: DataFrame, id_col: str = "doc_id",
                          text_col: str = "text", n: int = 3,
                          k: int = MINHASH_K,
-                         bands: int = MINHASH_BANDS) -> DataFrame:
+                         bands: int = MINHASH_BANDS,
+                         shingles_df: DataFrame | None = None) -> DataFrame:
     """(id, band, bucket) rows — band bucket = md5 of the band's signature
     slice. ONE explode over a struct array, not a bands-way union: a union
     re-runs the whole signature aggregation per branch (measured 16× the
     work at bands=16), the explode computes it once."""
     rows_per_band = k // bands
-    sig = minhash_signatures(df, id_col, text_col, n, k)
+    sig = minhash_signatures(df, id_col, text_col, n, k, shingles_df)
     entries = [
         F.struct(F.lit(b).alias("band"),
                  F.md5(F.concat_ws("|", *[
@@ -232,24 +236,21 @@ def guard_report(docs: DataFrame, emb: DataFrame | None = None,
             F.coalesce(F.sum(F.when(F.col("cnt") > thr, F.col("cnt"))),
                        F.lit(0)).cast("bigint").alias("dropped_rows"))
 
-    sh = shingles(docs, id_col, text_col, n)
+    # shingles exploded ONCE, cached (bounded slot) — both the jaccard
+    # guard and the minhash bucket guard consume the same table
+    sh = _cache_slot("guard_shingles", shingles(docs, id_col, text_col, n))
     jacc = one("jaccard_max_df", max_df,
                sh.groupBy("shingle").agg(F.count("*").alias("cnt")))
 
-    buckets = minhash_band_buckets(docs, id_col, text_col, n)
+    buckets = minhash_band_buckets(docs, id_col, text_col, n, shingles_df=sh)
     mh = one("minhash_max_bucket", max_bucket,
              buckets.groupBy("band", "bucket").agg(F.count("*").alias("cnt")))
 
     out = jacc.unionByName(mh)
     if emb is not None:
-        from .similarity import LSH_BANDS, LSH_ROWS, banded_sig_expr
-        sigd = emb.select(F.col("vec_id").alias("id"),
-                          banded_sig_expr(F.col("embedding")).alias("sig"))
-        banded = sigd.select("id", F.explode(F.array(*[
-            F.struct(F.lit(b).alias("band"),
-                     F.substring("sig", b * LSH_ROWS + 1, LSH_ROWS).alias("bucket"))
-            for b in range(LSH_BANDS)])).alias("bb")
-        ).select("id", "bb.band", "bb.bucket")
+        # the SAME banded layout cosine_pairs_above joins on
+        from .similarity import banded_buckets
+        banded = banded_buckets(emb)
         embg = one("embed_max_bucket", embed_max_bucket,
                    banded.groupBy("band", "bucket").agg(F.count("*").alias("cnt")))
         out = out.unionByName(embg)

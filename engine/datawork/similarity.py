@@ -91,11 +91,16 @@ def probe_buckets(query: Sequence[float], planes: List[List[float]],
                   probe_bits: int = 0) -> List[str]:
     """The query's own bucket plus all buckets within Hamming ≤ probe_bits
     (multi-probe: the standard recall knob that avoids adding tables)."""
+    from itertools import combinations
     home = bucket_of(query, planes)
     out = {home}
-    if probe_bits >= 1:
-        for i in range(len(home)):
-            out.add(home[:i] + ("0" if home[i] == "1" else "1") + home[i + 1:])
+    flip = {"0": "1", "1": "0"}
+    for r in range(1, min(probe_bits, len(home)) + 1):
+        for idxs in combinations(range(len(home)), r):
+            b = list(home)
+            for i in idxs:
+                b[i] = flip[b[i]]
+            out.add("".join(b))
     return sorted(out)
 
 
@@ -122,6 +127,27 @@ def banded_sig_expr(vec: Column, bands: int = LSH_BANDS,
     """All bands·rows sign bits as one string (bucket of band b = chars
     [b·rows, (b+1)·rows)). Computed once per vector, sliced per band."""
     return bucket_expr(vec, lsh_planes(bands * rows))
+
+
+def _explode_bands(sig_df: DataFrame, bands: int, rows: int) -> DataFrame:
+    """(id, sig) → (id, band, bucket) via ONE explode (a bands-way union
+    would recompute the sig lineage per branch)."""
+    return (sig_df.select("id", F.explode(F.array(*[
+        F.struct(F.lit(b).alias("band"),
+                 F.substring("sig", b * rows + 1, rows).alias("bucket"))
+        for b in range(bands)])).alias("bb"))
+        .select("id", "bb.band", "bb.bucket"))
+
+
+def banded_buckets(df: DataFrame, id_col: str = "vec_id",
+                   vec_col: str = "embedding", bands: int = LSH_BANDS,
+                   rows: int = LSH_ROWS) -> DataFrame:
+    """(id, band, bucket) for every vector — the SAME banded layout
+    cosine_pairs_above joins on (single source of truth; guard telemetry
+    counts exactly the buckets the join would use)."""
+    sig = df.select(F.col(id_col).alias("id"),
+                    banded_sig_expr(F.col(vec_col), bands, rows).alias("sig"))
+    return _explode_bands(sig, bands, rows)
 
 
 def cosine_pairs_above(df: DataFrame, threshold: float = 0.95,
@@ -165,13 +191,7 @@ def cosine_pairs_above(df: DataFrame, threshold: float = 0.95,
     base = _cache_slot(
         "embed_lsh_base",
         base.withColumn("sig", banded_sig_expr(F.col("v"), bands, rows)))
-    banded = base.select(
-        "id",
-        F.explode(F.array(*[
-            F.struct(F.lit(b).alias("band"),
-                     F.substring("sig", b * rows + 1, rows).alias("bucket"))
-            for b in range(bands)])).alias("bb")
-    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    banded = _explode_bands(base.select("id", "sig"), bands, rows)
     if max_bucket is not None:
         hot = (banded.groupBy("band", "bucket").agg(F.count("*").alias("bsz"))
                .filter(F.col("bsz") > max_bucket).select("band", "bucket"))

@@ -52,6 +52,29 @@ def run_stream_to_parquet(spark: SparkSession, input_dir: str,
     return q.start()
 
 
+def stage_ordered_batches(dfs, stage_dir: str) -> None:
+    """Write each DataFrame as ONE parquet file into ``stage_dir`` with
+    explicitly increasing mtimes (60 s apart), so the streaming file source
+    under maxFilesPerTrigger=1 processes them in list order on ANY
+    filesystem — coarse mtime granularity must not be able to reorder the
+    micro-batches."""
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+
+    os.makedirs(stage_dir, exist_ok=True)
+    base = _time.time()
+    for i, df in enumerate(dfs):
+        tmp = tempfile.mkdtemp(prefix="stage_batch_")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        [part] = [p for p in os.listdir(tmp) if p.endswith(".parquet")]
+        dst = os.path.join(stage_dir, f"batch-{i:04d}.parquet")
+        shutil.move(os.path.join(tmp, part), dst)
+        os.utime(dst, (base + i * 60,) * 2)
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 SESSION_OUT_SCHEMA = ("user_id int, session_id bigint, "
                       "n_events bigint, value_sum double")
 SESSION_STATE_SCHEMA = ("last_ts long, session_id long, "

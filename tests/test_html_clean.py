@@ -132,3 +132,30 @@ def test_gate_scan_is_linear_on_pathological_input():
     t0 = time.perf_counter()
     assert not _is_simple_html(evil)
     assert time.perf_counter() - t0 < 1.0
+
+
+def test_unterminated_cdata_falls_back_to_stdlib():
+    """HTMLParser silently DROPS script/style content that never sees its
+    end tag; the fast path must defer to it, not invent a data block."""
+    from engine.core import html_clean as hc
+    src = "<p>kept prose long enough to survive with the and of to in it</p>" \
+          "<script>var x = 1; // never closed"
+    assert hc._is_simple_html(src)  # the gate alone cannot see this
+    cleaned, stats, spans, tables = hc.clean_html(src)
+    ext = hc._Extractor(src)
+    ext.feed(src)
+    ext.close()
+    ext._flush()
+    assert stats["blocks_total"] == len(ext.blocks)  # stdlib's reading won
+    assert "var x" not in cleaned
+
+
+def test_probe_buckets_hamming_two():
+    from engine.datawork.similarity import lsh_planes, probe_buckets
+    planes = lsh_planes()
+    q = [1.0] * 64
+    p0 = probe_buckets(q, planes, 0)
+    p1 = probe_buckets(q, planes, 1)
+    p2 = probe_buckets(q, planes, 2)
+    assert len(p0) == 1 and len(p1) == 9 and len(p2) == 9 + 28
+    assert set(p0) <= set(p1) <= set(p2)

@@ -89,9 +89,6 @@ def test_stateful_sessionize_carries_state_across_microbatches(spark, tmp_path):
     """A session whose events span two files (→ two availableNow
     micro-batches with maxFilesPerTrigger=1) must come out as ONE session:
     the open session lives in the state store between triggers."""
-    import os
-    import time as _time
-
     from pyspark.sql import functions as F
 
     from engine.spark.streaming import stateful_sessionize
@@ -113,12 +110,8 @@ def test_stateful_sessionize_carries_state_across_microbatches(spark, tmp_path):
         "user_id int, event_id int, ts string, value double"
     ).select("user_id", "event_id", F.col("ts").cast("timestamp").alias("ts"),
              "value")
-    f1.coalesce(1).write.mode("overwrite").parquet(stage)
-    _time.sleep(0.05)
-    f2.coalesce(1).write.mode("append").parquet(stage)
-    newest = max((os.path.join(stage, p) for p in os.listdir(stage)
-                  if p.endswith(".parquet")), key=os.path.getmtime)
-    os.utime(newest, (os.path.getmtime(newest) + 60,) * 2)
+    from engine.spark.streaming import stage_ordered_batches
+    stage_ordered_batches([f1, f2], stage)
 
     stream = (spark.readStream.schema(schema)
               .option("pathGlobFilter", "*.parquet")
