@@ -640,6 +640,25 @@ def q_doc_length_quantiles(spark, sf_dir):
     return length_quantiles(_t(spark, sf_dir, "documents"))
 
 
+def q_ann_ivf_assignments(spark, sf_dir):
+    """IVF coarse quantization: every vector assigned to its best centroid
+    cell (deterministic codebook rule; at scale the cell is the partition
+    key — the brief's 'IVF variant as the scale path')."""
+    from engine.datawork.similarity import ivf_assignments
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivf_assignments(emb).select(F.col("id").alias("vec_id"), "cell")
+
+
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF search: probe the 2 best cells for the query, brute-force
+    within. Oracle reproduces assignment, probing, and scoring exactly."""
+    from engine.datawork.similarity import ivf_topk
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in
+            emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return ivf_topk(emb, qvec, k=10)
+
+
 def q_dedup_guard_report(spark, sf_dir):
     """Skew-guard telemetry (hot shingles / hot LSH buckets and the rows
     they carry) — lets a 100 TB operator see when the quadratic-join guards
@@ -734,6 +753,8 @@ _RAW_QUERIES: dict = {
         "embedding_near_pairs": q_embedding_near_pairs,
         "embedding_near_pairs_lsh": q_embedding_near_pairs_lsh,
         "ann_lsh_topk_probe": q_ann_lsh_topk_probe,
+        "ann_ivf_assignments": q_ann_ivf_assignments,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "multimodal_features": q_multimodal_features,
         "pdf_payload_extract": q_pdf_payload_extract,
     }

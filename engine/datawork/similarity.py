@@ -79,6 +79,62 @@ def bucket_of(query: Sequence[float], planes: List[List[float]]) -> str:
         "1" if sum(q * c for q, c in zip(query, p)) > 0 else "0" for p in planes)
 
 
+IVF_CELLS = 16
+IVF_NPROBE = 2
+
+
+def ivf_assignments(df: DataFrame, id_col: str = "vec_id",
+                    vec_col: str = "embedding",
+                    n_cells: int = IVF_CELLS) -> DataFrame:
+    """IVF coarse quantization: (id, cell) where cell = the centroid with
+    the highest cosine (ties → smallest cell id). Centroids are the first
+    ``n_cells`` vectors by id — a deterministic, data-derived rule both
+    engines express (a trained k-means codebook would slot in the same way;
+    the POINT of the structure is that at 100 TB the cell is the partition
+    key and a query touches nprobe cells instead of the corpus)."""
+    from pyspark.sql import Window
+    cent = (df.filter(F.col(id_col) < n_cells)
+            .select(F.col(id_col).alias("cell"), F.col(vec_col).alias("cv"),
+                    norm(F.col(vec_col)).alias("cnrm")))
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+                     norm(F.col(vec_col)).alias("nrm"))
+    dotprod = F.aggregate(
+        F.zip_with(F.col("v").cast("array<double>"),
+                   F.col("cv").cast("array<double>"), lambda x, y: x * y),
+        F.lit(0.0), lambda acc, x: acc + x)
+    scored = (base.crossJoin(F.broadcast(cent))
+              .select("id", "cell",
+                      F.round(dotprod / (F.col("nrm") * F.col("cnrm")), 6)
+                       .alias("ccos")))
+    w = Window.partitionBy("id").orderBy(F.col("ccos").desc(), F.col("cell"))
+    return (scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1).select("id", "cell"))
+
+
+def ivf_topk(df: DataFrame, query: Sequence[float], k: int = 10,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             n_cells: int = IVF_CELLS, nprobe: int = IVF_NPROBE) -> DataFrame:
+    """IVF search: score the query against the ``n_cells`` centroids, probe
+    the ``nprobe`` best cells, brute-force within. Recall is nprobe-tunable;
+    the scan is bounded by the probed cells' population."""
+    import math
+    assigns = ivf_assignments(df, id_col, vec_col, n_cells)
+    cents = {r["c"]: list(r["cv"]) for r in
+             (df.filter(F.col(id_col) < n_cells)
+              .select(F.col(id_col).alias("c"), F.col(vec_col).alias("cv"))
+              .collect())}
+    qn = math.sqrt(sum(v * v for v in query))
+
+    def cos(cv):
+        cn = math.sqrt(sum(v * v for v in cv))
+        return round(sum(a * b for a, b in zip(query, cv)) / (qn * cn), 6)
+    probed = [c for c, _ in sorted(((c, cos(cv)) for c, cv in cents.items()),
+                                   key=lambda t: (-t[1], t[0]))[:nprobe]]
+    cand = (df.join(assigns.filter(F.col("cell").isin(probed)),
+                    df[id_col] == F.col("id"), "left_semi"))
+    return cosine_topk(cand, query, k, id_col, vec_col)
+
+
 def cosine_topk(df: DataFrame, query: Sequence[float], k: int = 10,
                 id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     scored = df.select(

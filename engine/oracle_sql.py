@@ -563,6 +563,46 @@ SELECT id_a, id_b, cosine FROM (
 ) WHERE cosine >= 0.35
 ORDER BY id_a, id_b"""
 
+    from engine.datawork.similarity import IVF_CELLS, IVF_NPROBE
+    _ivf_common = f"""
+WITH cent AS (
+    SELECT vec_id AS cell, embedding AS cv FROM embeddings
+    WHERE vec_id < {IVF_CELLS}
+),
+scored AS (
+    SELECT e.vec_id AS id, c.cell,
+           CAST(round({_dot_sql('e.embedding', 'c.cv')}
+                / ({_norm_sql('e.embedding')} * {_norm_sql('c.cv')}), 6)
+                AS DOUBLE) AS ccos
+    FROM embeddings e CROSS JOIN cent c
+),
+assign AS (
+    SELECT id, cell FROM (
+        SELECT id, cell,
+               row_number() OVER (PARTITION BY id
+                                  ORDER BY ccos DESC, cell) AS rk
+        FROM scored
+    ) WHERE rk = 1
+)"""
+
+    o["ann_ivf_assignments"] = _ivf_common + """
+SELECT id AS vec_id, cell FROM assign"""
+
+    o["ann_ivf_topk"] = _ivf_common + f""",
+qprobe AS (
+    SELECT cell FROM scored WHERE id = 0
+    ORDER BY ccos DESC, cell LIMIT {IVF_NPROBE}
+)
+SELECT b.vec_id,
+       CAST(round({_dot_sql('b.embedding', 'q.embedding')}
+            / ({_norm_sql('b.embedding')} * {_norm_sql('q.embedding')}), 6)
+            AS DOUBLE) AS score
+FROM embeddings b
+JOIN assign a ON b.vec_id = a.id
+JOIN qprobe p ON a.cell = p.cell,
+     (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+ORDER BY score DESC, vec_id LIMIT 10"""
+
     # multi-probe top-k: candidates = vectors whose 8-plane bucket is within
     # Hamming 1 of the query's bucket (probe_bits=1); data-independent SQL —
     # the query bucket is computed in the same statement.

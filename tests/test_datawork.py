@@ -296,3 +296,16 @@ def test_datawork_job_cli(spark, tmp_path):
     got = run_op(spark, "quantiles",
                  "/root/testdata/sf0.001/documents.parquet")
     assert {r["lang"] for r in got.collect()}
+
+
+def test_ivf_topk_recall_vs_bruteforce(spark, emb):
+    """IVF with nprobe=2 on 16 cells: the probed top-k must overlap the
+    exact top-k meaningfully, and every returned score must be exact."""
+    from engine.datawork.similarity import cosine_topk, ivf_topk
+    q = [float(x) for x in
+         emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    exact = {r["vec_id"]: r["score"] for r in cosine_topk(emb, q, k=10).collect()}
+    got = {r["vec_id"]: r["score"] for r in ivf_topk(emb, q, k=10).collect()}
+    assert got  # query's own cell is probed, so never empty
+    assert all(got[v] == exact[v] for v in got if v in exact)
+    assert len(set(got) & set(exact)) >= 3  # nprobe=2/16 cells still hits
