@@ -87,13 +87,14 @@ def ivf_assignments(df: DataFrame, id_col: str = "vec_id",
                     vec_col: str = "embedding",
                     n_cells: int = IVF_CELLS) -> DataFrame:
     """IVF coarse quantization: (id, cell) where cell = the centroid with
-    the highest cosine (ties → smallest cell id). Centroids are the first
-    ``n_cells`` vectors by id — a deterministic, data-derived rule both
-    engines express (a trained k-means codebook would slot in the same way;
-    the POINT of the structure is that at 100 TB the cell is the partition
-    key and a query touches nprobe cells instead of the corpus)."""
+    the highest cosine (ties → smallest cell id). Centroids are the
+    ``n_cells`` SMALLEST-id vectors — a deterministic, data-derived rule
+    both engines express regardless of the id range (a trained k-means
+    codebook would slot in the same way; the POINT of the structure is
+    that at 100 TB the cell is the partition key and a query touches
+    nprobe cells instead of the corpus)."""
     from pyspark.sql import Window
-    cent = (df.filter(F.col(id_col) < n_cells)
+    cent = (df.orderBy(F.col(id_col)).limit(n_cells)
             .select(F.col(id_col).alias("cell"), F.col(vec_col).alias("cv"),
                     norm(F.col(vec_col)).alias("cnrm")))
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
@@ -120,7 +121,7 @@ def ivf_topk(df: DataFrame, query: Sequence[float], k: int = 10,
     import math
     assigns = ivf_assignments(df, id_col, vec_col, n_cells)
     cents = {r["c"]: list(r["cv"]) for r in
-             (df.filter(F.col(id_col) < n_cells)
+             (df.orderBy(F.col(id_col)).limit(n_cells)
               .select(F.col(id_col).alias("c"), F.col(vec_col).alias("cv"))
               .collect())}
     qn = math.sqrt(sum(v * v for v in query))
@@ -130,8 +131,9 @@ def ivf_topk(df: DataFrame, query: Sequence[float], k: int = 10,
         return round(sum(a * b for a, b in zip(query, cv)) / (qn * cn), 6)
     probed = [c for c, _ in sorted(((c, cos(cv)) for c, cv in cents.items()),
                                    key=lambda t: (-t[1], t[0]))[:nprobe]]
-    cand = (df.join(assigns.filter(F.col("cell").isin(probed)),
-                    df[id_col] == F.col("id"), "left_semi"))
+    probed_assigns = assigns.filter(F.col("cell").isin(probed))
+    cand = df.join(probed_assigns, df[id_col] == probed_assigns["id"],
+                   "left_semi")
     return cosine_topk(cand, query, k, id_col, vec_col)
 
 

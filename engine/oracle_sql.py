@@ -565,9 +565,9 @@ ORDER BY id_a, id_b"""
 
     from engine.datawork.similarity import IVF_CELLS, IVF_NPROBE
     _ivf_common = f"""
-WITH cent AS (
+WITH cent AS (  -- the n_cells SMALLEST-id vectors (id-range-agnostic)
     SELECT vec_id AS cell, embedding AS cv FROM embeddings
-    WHERE vec_id < {IVF_CELLS}
+    ORDER BY vec_id LIMIT {IVF_CELLS}
 ),
 scored AS (
     SELECT e.vec_id AS id, c.cell,

@@ -309,3 +309,14 @@ def test_ivf_topk_recall_vs_bruteforce(spark, emb):
     assert got  # query's own cell is probed, so never empty
     assert all(got[v] == exact[v] for v in got if v in exact)
     assert len(set(got) & set(exact)) >= 3  # nprobe=2/16 cells still hits
+
+
+def test_probe_buckets_hamming_two():
+    from engine.datawork.similarity import lsh_planes, probe_buckets
+    planes = lsh_planes()
+    q = [1.0] * 64
+    p0 = probe_buckets(q, planes, 0)
+    p1 = probe_buckets(q, planes, 1)
+    p2 = probe_buckets(q, planes, 2)
+    assert len(p0) == 1 and len(p1) == 9 and len(p2) == 9 + 28
+    assert set(p0) <= set(p1) <= set(p2)

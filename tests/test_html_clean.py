@@ -149,13 +149,3 @@ def test_unterminated_cdata_falls_back_to_stdlib():
     assert stats["blocks_total"] == len(ext.blocks)  # stdlib's reading won
     assert "var x" not in cleaned
 
-
-def test_probe_buckets_hamming_two():
-    from engine.datawork.similarity import lsh_planes, probe_buckets
-    planes = lsh_planes()
-    q = [1.0] * 64
-    p0 = probe_buckets(q, planes, 0)
-    p1 = probe_buckets(q, planes, 1)
-    p2 = probe_buckets(q, planes, 2)
-    assert len(p0) == 1 and len(p1) == 9 and len(p2) == 9 + 28
-    assert set(p0) <= set(p1) <= set(p2)
