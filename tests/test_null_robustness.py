@@ -67,3 +67,22 @@ def test_doc_id_immune_to_null_poisoned_batches(spark):
     rows = {r["turn_idx"]: r for r in extract_df(df).collect()}
     exp = extract_turn("clean row text here", "chat.plain", "c1:5")
     assert rows[5]["doc_id"] == exp["doc_id"]
+
+
+def test_corpus_ops_tolerate_nulls(spark):
+    """Null text / null ids must degrade silently (dropped or passed
+    through), never throw — same contract as the extraction kernels."""
+    from engine.datawork.corpus import (hash_sample, length_quantiles,
+                                        token_vocabulary)
+    docs = spark.createDataFrame(
+        [(1, "some text here", "en", 14),
+         (2, None, "en", None),
+         (None, "more text", None, 9)],
+        "doc_id bigint, text string, lang string, n_chars bigint")
+    vocab = token_vocabulary(docs, top_k=10).collect()
+    assert {r["token"] for r in vocab} == {"some", "text", "here", "more"}
+    sampled = hash_sample(docs, percent=100).collect()
+    assert {r["doc_id"] for r in sampled} == {1, 2}  # null id → dropped
+    q = {r["lang"]: r for r in length_quantiles(docs).collect()}
+    assert q["en"]["n_docs"] == 2 and q["en"]["p50"] == 14.0
+    assert None in q  # null group kept as its own row
