@@ -56,16 +56,20 @@ def decode_stub(payload: bytes, kind: str):
 
 
 def deterministic_features(payload: bytes, dim: int = FEATURE_DIM) -> List[float]:
-    """Seeded fake feature vector: md5-chained bytes → [0,1) doubles.
-    Deterministic stand-in for an embedding model."""
+    """Seeded fake feature vector: md5 hex-digest chain → [0,1) doubles
+    (each value is an 8-hex-digit slice / 2^32 — an exact dyadic rational,
+    so sums are bit-exact across engines). Deterministic stand-in for an
+    embedding model; hex-string chaining (seed_{j+1} = md5(ascii hex of
+    seed_j)) keeps every step expressible in SQL, which is what lets the
+    driver verify this path against a DuckDB oracle."""
     out: List[float] = []
-    seed = hashlib.md5(payload or b"").digest()
+    seed = hashlib.md5(payload or b"").hexdigest()
     while len(out) < dim:
-        for i in range(0, 16, 4):
-            out.append(int.from_bytes(seed[i:i + 4], "big") / 2 ** 32)
+        for i in range(0, 32, 8):
+            out.append(int(seed[i:i + 8], 16) / 2 ** 32)
             if len(out) == dim:
                 break
-        seed = hashlib.md5(seed).digest()
+        seed = hashlib.md5(seed.encode("ascii")).hexdigest()
     return out
 
 

@@ -635,6 +635,29 @@ SELECT doc_id,
        NULL AS error
 FROM documents"""
 
-    # pipeline_lineage + multimodal_features: intentionally no oracle
-    # (wall-clock fields / stubbed decode) → driver rows-only check.
+    # multimodal_features: the decode is stubbed (no codecs in container),
+    # but everything the query emits IS deterministic — byte count, content
+    # md5, and the hex-chained fake features — so it gets a real oracle.
+    _terms = []
+    for _j in range(4):  # FEATURE_DIM=16 → 4 values per digest × 4 digests
+        _terms += [f"CAST(('0x' || substr(h{_j}, {i * 8 + 1}, 8)) AS BIGINT)"
+                   f" / 4294967296.0" for i in range(4)]
+    o["multimodal_features"] = f"""
+WITH h AS (
+    SELECT doc_id, md5(text) AS h0 FROM documents
+), hh AS (
+    SELECT doc_id, h0, md5(h0) AS h1, md5(md5(h0)) AS h2,
+           md5(md5(md5(h0))) AS h3
+    FROM h
+)
+SELECT 'asset-' || CAST(d.doc_id AS VARCHAR) AS asset_id,
+       'image' AS kind,
+       CAST(octet_length(encode(d.text)) AS BIGINT) AS n_bytes,
+       hh.h0 AS content_hash,
+       CAST(round({" + ".join(_terms)}, 6) AS DOUBLE) AS feature_sum,
+       CAST(NULL AS VARCHAR) AS error
+FROM documents d JOIN hh ON d.doc_id = hh.doc_id"""
+
+    # pipeline_lineage: intentionally no oracle (wall-clock fields) →
+    # driver rows-only check.
     return o
