@@ -39,6 +39,10 @@ def main(argv=None) -> int:
     ap.add_argument("--waves", type=int, default=4)
     ap.add_argument("--buckets", type=int, default=1024)
     ap.add_argument("--salt-partitions", type=int, default=None)
+    ap.add_argument("--table-format", default="parquet",
+                    choices=["parquet", "iceberg"],
+                    help="iceberg needs runtime jars + a catalog; --output "
+                         "is then a catalog namespace (cat.db)")
     ap.add_argument("--master", default=None,
                     help="local override; omit under spark-submit")
     args = ap.parse_args(argv)
@@ -47,7 +51,8 @@ def main(argv=None) -> int:
     from engine.spark.pipeline import run_pipeline
     stats = run_pipeline(spark, args.input, args.output, args.run_id,
                          n_buckets=args.buckets, waves=args.waves,
-                         salt_partitions=args.salt_partitions)
+                         salt_partitions=args.salt_partitions,
+                         table_format=args.table_format)
     print(f"run_id={stats.run_id} waves={stats.waves_run} "
           f"processed={stats.turns_processed} "
           f"skipped_resume={stats.turns_skipped_resume} "
