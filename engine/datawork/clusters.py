@@ -13,9 +13,13 @@ iterative algorithm the SQL oracle expresses with a recursive CTE.
 
 Scale notes: the edge list is pairs from the LSH candidates (bounded by the
 bucket guards), labels is |nodes| rows; both are shuffled by id each round.
-Intermediate labels are localCheckpoint-ed every few rounds so the lineage
-does not grow unboundedly with iterations (the classic iterative-Spark
-pitfall).
+Intermediate labels are checkpointed every round so the lineage does not
+grow unboundedly with iterations (the classic iterative-Spark pitfall).
+With ``checkpoint_dir`` set the checkpoint is RELIABLE (written to the
+fault-tolerant store, so a lost executor mid-iteration recovers); without
+it the localCheckpoint fallback keeps blocks on executors — fast, but a
+single executor loss makes the truncated lineage unrecoverable, so a real
+cluster run over 10^12 rows must pass a directory.
 """
 
 from __future__ import annotations
@@ -23,11 +27,24 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
-def duplicate_clusters(pairs: DataFrame, max_iterations: int = 15) -> DataFrame:
+def duplicate_clusters(pairs: DataFrame, max_iterations: int = 15,
+                       checkpoint_dir: str | None = None) -> DataFrame:
     """(id_a, id_b) undirected near-dup pairs → (doc_id, cluster_id) where
     cluster_id = min id in the connected component. Only nodes that appear
     in at least one pair are returned (singletons are their own cluster
-    trivially)."""
+    trivially).
+
+    ``checkpoint_dir``: when given, per-round labels are reliably
+    checkpointed there (``df.checkpoint()``) so the job survives executor
+    loss mid-iteration; when None, the fast local fallback
+    (``localCheckpoint``) is used — correct, but not fault-tolerant."""
+    if checkpoint_dir is not None:
+        pairs.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def materialize(df: DataFrame) -> DataFrame:
+        return (df.checkpoint(eager=True) if checkpoint_dir is not None
+                else df.localCheckpoint(eager=True))
+
     # cut the (possibly expensive) pair-generation lineage out of the loop:
     # every iteration and every convergence count would otherwise recompute it
     edges = (pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
@@ -64,8 +81,8 @@ def duplicate_clusters(pairs: DataFrame, max_iterations: int = 15) -> DataFrame:
                               F.least(F.col("label2"),
                                       F.coalesce(F.col("nbr_label"),
                                                  F.col("label")))
-                              .alias("label"))
-                      .localCheckpoint(eager=True))
+                              .alias("label")))
+        new_labels = materialize(new_labels)
         changed = new_labels.filter(F.col("label") != F.col("old_label")).count()
         labels = new_labels.select("id", "label")
         if changed == 0:

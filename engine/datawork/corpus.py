@@ -19,10 +19,17 @@ def deduplicated_corpus(docs: DataFrame, clusters: DataFrame,
     """Keep one canonical doc per duplicate cluster: drop every clustered
     doc whose id is not its cluster's min id. ``clusters`` is
     (doc_id, cluster_id) from duplicate_clusters; docs not in any cluster
-    pass through. The drop list is ≤ |clustered docs| rows — broadcast."""
+    pass through.
+
+    No broadcast hint on the drop list — at web scale dedup removes
+    30–50% of the corpus, so the non-canonical list is a large fraction of
+    |docs|, not a dimension table; forcing a broadcast there kills the
+    driver. A shuffled left-anti on the id is the scale-safe plan, and AQE
+    still converts it to a broadcast join at runtime when the list really
+    is small (the local/bench case)."""
     losers = (clusters.filter(F.col("doc_id") != F.col("cluster_id"))
               .select(F.col("doc_id").alias(id_col)))
-    return docs.join(F.broadcast(losers), id_col, "left_anti")
+    return docs.join(losers, id_col, "left_anti")
 
 
 def token_vocabulary(docs: DataFrame, text_col: str = "text",

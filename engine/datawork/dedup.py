@@ -32,20 +32,34 @@ SIMHASH_BITS = 32
 SIMHASH_BANDS = 4   # bands of 8 bits → all pairs with Hamming ≤ 3 share ≥1 band
 
 # Bounded-cache registry: each helper persists one small intermediate table
-# per call; re-invocations (bench loops, long driver sessions) would leak
-# cached blocks forever, so each slot unpersists its predecessor.
+# per slot; re-invocations (bench loops, long driver sessions) would leak
+# cached blocks forever, so each slot unpersists its predecessor. Keyed by
+# (applicationId, name) so two sessions sharing one driver process do not
+# thrash each other's slots.
 _CACHE_SLOTS: dict = {}
 
 
 def _cache_slot(name: str, df: DataFrame) -> DataFrame:
-    prev = _CACHE_SLOTS.get(name)
+    """Fill slot ``name`` with ``df`` persisted — UNLESS the slot already
+    holds a semantically identical plan, in which case the existing
+    (possibly already materialized) table is returned. That reuse is how
+    e.g. guard_report shares the band-bucket aggregate that
+    minhash_lsh_candidates just built instead of paying the k-min
+    signature aggregation twice in a combined run."""
+    key = (df.sparkSession.sparkContext.applicationId, name)
+    prev = _CACHE_SLOTS.get(key)
     if prev is not None:
+        try:
+            if prev.sameSemantics(df):
+                return prev
+        except Exception:
+            pass
         try:
             prev.unpersist()
         except Exception:
             pass
-    _CACHE_SLOTS[name] = df.persist()
-    return _CACHE_SLOTS[name]
+    _CACHE_SLOTS[key] = df.persist()
+    return _CACHE_SLOTS[key]
 
 
 def _ensure_parallelism(df: DataFrame) -> DataFrame:
@@ -116,7 +130,9 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
     shingles) — the standard skew guard: without it one hot shingle creates a
     quadratic join blow-up at corpus scale.
     """
-    sh = _cache_slot("jaccard_shingles", shingles(df, id_col, text_col, n))  # consumed 4×
+    # one shared "shingles" slot across the dedup family: jaccard, the
+    # minhash bucket build, and guard_report all explode the same table
+    sh = _cache_slot("shingles", shingles(df, id_col, text_col, n))  # consumed 4×
     sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
     hot = (sh.groupBy("shingle").agg(F.count("*").alias("df_count"))
              .filter(F.col("df_count") > max_df).select("shingle"))
@@ -196,11 +212,16 @@ def minhash_lsh_candidates(df: DataFrame, id_col: str = "doc_id",
     a large fraction of docs (a B-doc bucket costs B² join rows; a bucket
     that big carries no dedup signal anyway, mirroring max_df in
     ngram_jaccard_pairs)."""
-    all_buckets = minhash_band_buckets(df, id_col, text_col, n, k, bands)
     # the bucket table is consumed 3× (hot-agg + both self-join sides); it is
     # tiny (bands × n_docs rows) while its lineage (shingle explode + k
-    # min-aggs) is expensive — cache to stop the recompute (bounded slot)
-    all_buckets = _cache_slot("minhash_buckets", all_buckets)
+    # min-aggs) is expensive — cache to stop the recompute. Built from the
+    # SAME shared shingle slot guard_report uses, so a combined run pays the
+    # shingle explode and the signature aggregation exactly once
+    # (_cache_slot returns the existing table on a semantically equal plan).
+    sh = _cache_slot("shingles", shingles(df, id_col, text_col, n))
+    all_buckets = _cache_slot(
+        "minhash_buckets",
+        minhash_band_buckets(df, id_col, text_col, n, k, bands, shingles_df=sh))
     hot = (all_buckets.groupBy("band", "bucket")
            .agg(F.count("*").alias("bsz"))
            .filter(F.col("bsz") > max_bucket).select("band", "bucket"))
@@ -236,13 +257,17 @@ def guard_report(docs: DataFrame, emb: DataFrame | None = None,
             F.coalesce(F.sum(F.when(F.col("cnt") > thr, F.col("cnt"))),
                        F.lit(0)).cast("bigint").alias("dropped_rows"))
 
-    # shingles exploded ONCE, cached (bounded slot) — both the jaccard
-    # guard and the minhash bucket guard consume the same table
-    sh = _cache_slot("guard_shingles", shingles(docs, id_col, text_col, n))
+    # the SAME shared slots the candidate joins use: when guard_report runs
+    # alongside ngram_jaccard_pairs / minhash_lsh_candidates (the normal
+    # combined dedup job), the shingle explode and the k-min signature
+    # aggregation happen once, not per consumer
+    sh = _cache_slot("shingles", shingles(docs, id_col, text_col, n))
     jacc = one("jaccard_max_df", max_df,
                sh.groupBy("shingle").agg(F.count("*").alias("cnt")))
 
-    buckets = minhash_band_buckets(docs, id_col, text_col, n, shingles_df=sh)
+    buckets = _cache_slot(
+        "minhash_buckets",
+        minhash_band_buckets(docs, id_col, text_col, n, shingles_df=sh))
     mh = one("minhash_max_bucket", max_bucket,
              buckets.groupBy("band", "bucket").agg(F.count("*").alias("cnt")))
 

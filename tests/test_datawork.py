@@ -320,3 +320,41 @@ def test_probe_buckets_hamming_two():
     p2 = probe_buckets(q, planes, 2)
     assert len(p0) == 1 and len(p1) == 9 and len(p2) == 9 + 28
     assert set(p0) <= set(p1) <= set(p2)
+
+
+def test_duplicate_clusters_reliable_checkpoint_identical(spark, tmp_path):
+    """VERDICT r2 #2: with a reliable checkpoint_dir the label loop must
+    produce exactly the clusters the localCheckpoint fallback does."""
+    from engine.datawork.clusters import duplicate_clusters
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)] + [(100, 101), (200, 201), (201, 202)],
+        "id_a bigint, id_b bigint")
+    local = {(r["doc_id"], r["cluster_id"])
+             for r in duplicate_clusters(pairs).collect()}
+    reliable = {(r["doc_id"], r["cluster_id"])
+                for r in duplicate_clusters(
+                    pairs, checkpoint_dir=str(tmp_path / "ckpt")).collect()}
+    assert reliable == local
+    import os
+    assert os.listdir(str(tmp_path / "ckpt"))  # really wrote checkpoints
+
+
+def test_cache_slot_reuses_semantically_equal_plan(spark, docs):
+    """VERDICT r2 #6: guard_report must reuse the band-bucket table
+    minhash_lsh_candidates built (one signature aggregation per combined
+    run), and slots are keyed per application."""
+    from engine.datawork import dedup
+    from engine.datawork.dedup import (
+        _CACHE_SLOTS, minhash_lsh_candidates, guard_report)
+    minhash_lsh_candidates(docs).collect()
+    app = spark.sparkContext.applicationId
+    bucket_obj = _CACHE_SLOTS[(app, "minhash_buckets")]
+    shingle_obj = _CACHE_SLOTS[(app, "shingles")]
+    guard_report(docs).collect()
+    # same objects: guard_report did NOT rebuild (and re-aggregate) them
+    assert _CACHE_SLOTS[(app, "minhash_buckets")] is bucket_obj
+    assert _CACHE_SLOTS[(app, "shingles")] is shingle_obj
+    # a different input DOES replace the slot
+    other = docs.limit(10)
+    dedup._cache_slot("shingles", dedup.shingles(other))
+    assert _CACHE_SLOTS[(app, "shingles")] is not shingle_obj

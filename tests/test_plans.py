@@ -84,3 +84,19 @@ def test_guard_hot_key_drop_broadcasts(spark):
     plan = fmt(minhash_lsh_candidates(docs))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dedup_apply_does_not_force_broadcast_of_loser_list(spark):
+    """The non-canonical doc list is a large fraction of the corpus at real
+    dedup rates — deduplicated_corpus must NOT hint a broadcast on it (AQE
+    may still choose one at runtime for small inputs; forcing it is the
+    scale bug)."""
+    from engine.datawork.corpus import deduplicated_corpus
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 3)], "doc_id bigint, cluster_id bigint")
+    out = deduplicated_corpus(docs, clusters)
+    analyzed = out._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed  # no forced broadcast anywhere
+    plan = fmt(out)
+    assert "LeftAnti" in plan  # still the single anti-join shape
