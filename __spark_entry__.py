@@ -413,6 +413,7 @@ def q_events_stream_sessionize(spark, sf_dir):
     and maxFilesPerTrigger=1 forces two genuine micro-batches, so open
     sessions really live in the state store between triggers. The drained
     result must equal the batch window-function sessionization (oracle)."""
+    import shutil
     import tempfile
     from engine.spark.streaming import stage_ordered_batches, stateful_sessionize
     ev = _t(spark, sf_dir, "events").select(
@@ -423,19 +424,25 @@ def q_events_stream_sessionize(spark, sf_dir):
             .select("user_id", F.lit(-1).alias("event_id"),
                     (F.col("mx") + F.expr("INTERVAL 1 HOUR")).alias("ts"),
                     F.lit(0.0).alias("value")))
-    stage = tempfile.mkdtemp(prefix="stream_sess_")
-    # explicit, strictly-increasing mtimes pin the micro-batch order on any
-    # filesystem (an mtime tie could otherwise run the sentinels first)
-    stage_ordered_batches([ev, sent], stage)
+    # repo convention: bench/oracle scratch lives under /tmp/spark_graft_*;
+    # removed after the drain (the memory sink owns the rows by then), so
+    # repeated invocations do not leak a copy of the events table each run
+    stage = tempfile.mkdtemp(prefix="spark_graft_stream_sess_")
+    try:
+        # explicit, strictly-increasing mtimes pin the micro-batch order on
+        # any filesystem (an mtime tie could otherwise run sentinels first)
+        stage_ordered_batches([ev, sent], stage)
 
-    stream = (spark.readStream.schema(ev.schema)
-              .option("pathGlobFilter", "*.parquet")
-              .option("maxFilesPerTrigger", "1").parquet(stage))
-    sessions = stateful_sessionize(stream, gap_s=300)
-    name = "events_stream_sessionize_sink"
-    q = (sessions.writeStream.format("memory").queryName(name)
-         .outputMode("append").trigger(availableNow=True).start())
-    q.awaitTermination()
+        stream = (spark.readStream.schema(ev.schema)
+                  .option("pathGlobFilter", "*.parquet")
+                  .option("maxFilesPerTrigger", "1").parquet(stage))
+        sessions = stateful_sessionize(stream, gap_s=300)
+        name = "events_stream_sessionize_sink"
+        q = (sessions.writeStream.format("memory").queryName(name)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
     return (spark.table(name)
             .select("user_id", "session_id", "n_events",
                     F.round("value_sum", 4).alias("value_sum"))

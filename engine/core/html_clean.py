@@ -219,7 +219,12 @@ _ATTR = r"""\s++[a-zA-Z-][a-zA-Z0-9-]*+(?:=(?:"[^"<>]*+"|'[^'<>]*+'|[^\s<>"'/]++
 # closing '/' is legal only right after the tag name (<br/>) or after
 # whitespace (<br />). '/' straight after an unquoted or quoted value
 # (<a href=x/>) is where HTMLParser folds it into the value — rejected.
-_FAST_GATE = re.compile(rf"""\A
+# Possessive quantifiers need Python ≥3.11; on older interpreters the
+# compile raises re.error at import — in that case only the fast tokenizer
+# is disabled (gate always says "not simple") and the stdlib path keeps
+# the module fully functional.
+try:
+    _FAST_GATE = re.compile(rf"""\A
 (?:
     [^<]++
   | </[a-zA-Z][a-zA-Z0-9]*+\s*+>
@@ -227,16 +232,18 @@ _FAST_GATE = re.compile(rf"""\A
   | <[a-zA-Z][a-zA-Z0-9]*+(?:{_ATTR})*+\s++/?+>
   | <[a-zA-Z][a-zA-Z0-9]*+(?:{_ATTR})++>
 )*+\Z""", re.VERBOSE)
+    _FAST_TAG = re.compile(
+        r"""<(/?)([a-zA-Z][a-zA-Z0-9]*+)((?:"[^"<>]*+"|'[^'<>]*+'|[^<>"'])*+)>""")
+except re.error:  # pragma: no cover — Python ≤3.10 executors
+    _FAST_GATE = _FAST_TAG = None
 _CDATA_PARTIAL = re.compile(r"</\s*(?:script|style)", re.IGNORECASE)
 _CDATA_FULL = re.compile(r"</\s*(?:script|style)\s*>", re.IGNORECASE)
-_FAST_TAG = re.compile(
-    r"""<(/?)([a-zA-Z][a-zA-Z0-9]*+)((?:"[^"<>]*+"|'[^'<>]*+'|[^<>"'])*+)>""")
 _CDATA_END = {t: re.compile(rf"</\s*{t}", re.IGNORECASE)
               for t in ("script", "style")}
 
 
 def _is_simple_html(source: str) -> bool:
-    if _FAST_GATE.fullmatch(source) is None:
+    if _FAST_GATE is None or _FAST_GATE.fullmatch(source) is None:
         return False
     for m in _CDATA_PARTIAL.finditer(source):
         if _CDATA_FULL.match(source, m.start()) is None:

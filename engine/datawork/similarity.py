@@ -127,8 +127,15 @@ def ivf_topk(df: DataFrame, query: Sequence[float], k: int = 10,
     qn = math.sqrt(sum(v * v for v in query))
 
     def cos(cv):
+        # HALF_UP on the shortest-repr decimal — the same rounding F.round
+        # applies engine-side (and the oracle's ROUND), NOT Python's
+        # banker's round(): an exact tie at the 6th decimal must rank the
+        # probe cells identically in all three places
+        from decimal import ROUND_HALF_UP, Decimal
         cn = math.sqrt(sum(v * v for v in cv))
-        return round(sum(a * b for a, b in zip(query, cv)) / (qn * cn), 6)
+        raw = sum(a * b for a, b in zip(query, cv)) / (qn * cn)
+        return float(Decimal(repr(raw)).quantize(Decimal("1e-6"),
+                                                 rounding=ROUND_HALF_UP))
     probed = [c for c, _ in sorted(((c, cos(cv)) for c, cv in cents.items()),
                                    key=lambda t: (-t[1], t[0]))[:nprobe]]
     probed_assigns = assigns.filter(F.col("cell").isin(probed))

@@ -91,6 +91,14 @@ def stateful_sessionize(stream: DataFrame, gap_s: int = 300) -> DataFrame:
 
     Emitted rows are completed sessions only — numbering and aggregates
     must equal the batch window-function sessionization (the oracle).
+
+    A sentinel closes the open session but KEEPS the user's session
+    counter in state (last_ts None marks "closed"), so events arriving in
+    a later micro-batch continue numbering instead of emitting duplicate
+    (user_id, session_id) keys into the append-mode sink. The cost is that
+    flushed users retain a row of state for the rest of the run — fine for
+    the bounded replays this drives; an unbounded deployment should evict
+    via the timeout mechanism instead of sentinels.
     """
     import pandas as pd
 
@@ -108,7 +116,7 @@ def stateful_sessionize(stream: DataFrame, gap_s: int = 300) -> DataFrame:
             if event_id < 0:  # sentinel: close the open session
                 if n_events:
                     out.append((user_id, session_id, n_events, value_sum))
-                last_ts, session_id, n_events, value_sum = None, 0, 0, 0.0
+                last_ts, n_events, value_sum = None, 0, 0.0  # keep session_id
                 continue
             epoch = int(ts.value // 1_000_000_000)
             if last_ts is None:
@@ -123,6 +131,10 @@ def stateful_sessionize(stream: DataFrame, gap_s: int = 300) -> DataFrame:
             value_sum += float(value)
         if n_events:
             state.update((last_ts, session_id, n_events, value_sum))
+        elif session_id:
+            # closed by a sentinel: keep the counter so a later batch for
+            # this user continues numbering (no duplicate session keys)
+            state.update((None, session_id, 0, 0.0))
         elif state.exists:
             state.remove()
         if out:

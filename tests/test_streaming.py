@@ -127,3 +127,38 @@ def test_stateful_sessionize_carries_state_across_microbatches(spark, tmp_path):
         (1, 2): (1, 8.0),
         (2, 1): (1, 5.0),
     }
+
+def test_stateful_sessionize_numbering_survives_sentinel(spark, tmp_path):
+    """Events arriving AFTER a flush sentinel (a later micro-batch) must
+    continue the user's session numbering — a reset would emit a duplicate
+    (user_id, session_id) key into the append-mode sink."""
+    from pyspark.sql import functions as F
+
+    from engine.spark.streaming import stage_ordered_batches, stateful_sessionize
+
+    stage = str(tmp_path / "in")
+    schema = "user_id int, event_id int, ts timestamp, value double"
+
+    def batch(rows):
+        return spark.createDataFrame(
+            rows, "user_id int, event_id int, ts string, value double"
+        ).select("user_id", "event_id",
+                 F.col("ts").cast("timestamp").alias("ts"), "value")
+
+    stage_ordered_batches([
+        batch([(1, 10, "2024-01-01 00:00:00", 1.0)]),
+        batch([(1, -1, "2024-01-01 01:00:00", 0.0)]),   # flush
+        batch([(1, 20, "2024-01-01 02:00:00", 3.0),     # user reappears
+               (1, -1, "2024-01-01 09:00:00", 0.0)]),
+    ], stage)
+
+    stream = (spark.readStream.schema(schema)
+              .option("pathGlobFilter", "*.parquet")
+              .option("maxFilesPerTrigger", "1").parquet(stage))
+    q = (stateful_sessionize(stream, gap_s=300)
+         .writeStream.format("memory").queryName("sess_sentinel_sink")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    rows = {(r["user_id"], r["session_id"]): (r["n_events"], r["value_sum"])
+            for r in spark.table("sess_sentinel_sink").collect()}
+    assert rows == {(1, 1): (1, 1.0), (1, 2): (1, 3.0)}  # 2, not 1 again
