@@ -32,8 +32,13 @@ from pyspark.sql import Column, DataFrame, functions as F
 LSH_PLANES_SEED = 42
 LSH_N_PLANES = 8
 EMBED_DIM = 64
-LSH_BANDS = 16      # banded near-dup: bands of ...
+LSH_BANDS = 24      # banded near-dup: bands of ...
 LSH_ROWS = 4        # ... r planes each; P[pair caught] = 1-(1-p^r)^B
+# B=24 closes the low-similarity recall tail: at cosine 0.35 the per-plane
+# agreement is p = 1-θ/π ≈ 0.613, so analytic recall 1-(1-p^4)^B goes
+# 0.912 (B=16, measured 0.941) → 0.974 (B=24); measured + candidate-volume
+# growth are tracked by tools/recall_report.py (VERDICT r2 #5). The cost is
+# linear: 1.5× band entries into the candidate join, verify stays exact.
 
 
 def lsh_planes(n_planes: int = LSH_N_PLANES, dim: int = EMBED_DIM) -> List[List[float]]:

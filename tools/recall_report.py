@@ -53,6 +53,18 @@ def main() -> int:
     got = {(r["id_a"], r["id_b"]) for r in
            cosine_pairs_above(emb, threshold=0.35, bucketed=True).collect()}
     assert got <= set(truth), "banded path emitted a non-true pair"
+    # candidate volume BEFORE the exact verify — the cost side of the
+    # bands knob (recall gains must be reported next to this, VERDICT r2 #5)
+    from pyspark.sql import functions as F
+
+    from engine.datawork.similarity import banded_buckets
+    bb = banded_buckets(emb)
+    emb_candidates = (
+        bb.alias("ca").join(bb.alias("cb"),
+                            (F.col("ca.band") == F.col("cb.band"))
+                            & (F.col("ca.bucket") == F.col("cb.bucket"))
+                            & (F.col("ca.id") < F.col("cb.id")))
+        .select(F.col("ca.id"), F.col("cb.id")).distinct().count())
     emb_rows = []
     for tau in (0.35, 0.5, 0.8):
         t = {k for k, c in truth.items() if c >= tau}
@@ -61,6 +73,7 @@ def main() -> int:
                          "caught": len(g),
                          "recall": round(len(g) / len(t), 4) if t else None})
     out["embedding_lsh"] = {"bands": LSH_BANDS, "rows": LSH_ROWS,
+                            "candidates": emb_candidates,
                             "thresholds": emb_rows}
 
     # ---- MinHash-LSH candidates vs exact Jaccard ----
@@ -82,7 +95,8 @@ def main() -> int:
     if args.json:
         print(json.dumps(out))
     else:
-        print(f"embedding banded LSH  (B={LSH_BANDS} x r={LSH_ROWS}):")
+        print(f"embedding banded LSH  (B={LSH_BANDS} x r={LSH_ROWS}, "
+              f"{emb_candidates} candidate pairs):")
         for r in emb_rows:
             print(f"  tau>={r['tau']:<5} true={r['true_pairs']:<5} "
                   f"caught={r['caught']:<5} recall={r['recall']}")
