@@ -96,15 +96,52 @@ def extract_date(markdown: str) -> Optional[str]:
 METADATA_SCAN_LIMIT = 20_000
 
 
+# Suffix-form prescan (P15 cost): every match of _COMPANY_PATTERNS[0] is
+# made of [A-Za-z\s&] chars plus at most one trailing dot, so it lies inside
+# one maximal [A-Za-z\s&] run, and every suffix alternative contains one of
+# the literals {Inc, Co, Ltd, Limited, Group} (Corp/Corporation/Company all
+# contain "Co"). The scan therefore iterates HINT occurrences (few, C-speed)
+# and expands each to its enclosing run — the left boundary via one search
+# over the reversed text — instead of letting [A-Za-z\s&]+ backtrack from
+# every capital letter of every hint-less run to the run end for nothing.
+# One char of context before the window slice and two after (the optional
+# trailing dot plus the char deciding its \b) keep every word-boundary
+# decision identical to the full-text scan; the surrounding set() makes
+# window overlap harmless, and a window always covers its whole run, so no
+# match is lost (differential fuzz + parity are the gates).
+_COMPANY_HINT_RE = re.compile(r"Inc|Co|Ltd|Limited|Group")
+_COMPANY_NONRUN_RE = re.compile(r"[^A-Za-z\s&]")
+
+
 def extract_companies(markdown: str) -> List[str]:
-    """P15 — md_to_json_engine.py:174-192 (sorted, cap 20)."""
+    """P15 — md_to_json_engine.py:174-192 (sorted, cap 20). Byte-identical
+    hint-windowed scan for the suffix pattern (see _COMPANY_HINT_RE above);
+    differential-tested against the direct findall in tests and parity."""
     markdown = markdown[:METADATA_SCAN_LIMIT]
     companies = set()
-    for rx in _COMPANY_PATTERNS:
-        for raw in rx.findall(markdown):
+    suffix_rx, pair_rx = _COMPANY_PATTERNS
+    n = len(markdown)
+    rev = None
+    done_until = 0
+    for h in _COMPANY_HINT_RE.finditer(markdown):
+        if h.start() < done_until:
+            continue  # same run as the previous window — already scanned
+        if rev is None:
+            rev = markdown[::-1]
+        m = _COMPANY_NONRUN_RE.search(rev, n - h.start())
+        start = n - m.start() if m else 0
+        m = _COMPANY_NONRUN_RE.search(markdown, h.end())
+        end = m.start() if m else n
+        done_until = end
+        seg = markdown[max(start - 1, 0):end + 2]
+        for raw in suffix_rx.findall(seg):
             name = raw.strip()
             if 3 < len(name) < 50 and not name.isupper():
                 companies.add(name)
+    for raw in pair_rx.findall(markdown):
+        name = raw.strip()
+        if 3 < len(name) < 50 and not name.isupper():
+            companies.add(name)
     return sorted(companies)[:20]
 
 

@@ -62,3 +62,31 @@ def test_language_and_tickers():
     assert extract_tickers("Tickers: AAPL, MSFT; also 股票代码：BABA") == [
         "AAPL", "BABA", "MSFT"]
     assert extract_tickers("Ticker: TOOLONGNAME") == []
+
+
+def test_extract_companies_windowed_scan_matches_direct_findall():
+    """The hint-windowed suffix scan must be byte-identical to the direct
+    two-pattern findall it replaced (P15 parity contract)."""
+    import random
+
+    from engine.core import metadata
+
+    def direct(markdown):
+        markdown = markdown[:metadata.METADATA_SCAN_LIMIT]
+        companies = set()
+        for rx in metadata._COMPANY_PATTERNS:
+            for raw in rx.findall(markdown):
+                name = raw.strip()
+                if 3 < len(name) < 50 and not name.isupper():
+                    companies.add(name)
+        return sorted(companies)[:20]
+
+    rng = random.Random(7)
+    toks = ["Acme", "Inc", "Inc.", "Co", "Co.", "Corp", "Corporation",
+            "Ltd", "Limited", "Group", "Company", "BIG", "&", "x3",
+            "3Acme", "_X", "は", "a", ".", ",", "9", "_", "\n", "\t",
+            "  ", "Foo Bar", "Co.x", "Inc.9", "IncX", "XCo",
+            "Acme Co.Boston Co", ""]
+    for _ in range(4000):
+        t = "".join(rng.choice(toks) for _ in range(rng.randint(1, 30)))
+        assert metadata.extract_companies(t) == direct(t), repr(t)
