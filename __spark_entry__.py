@@ -224,9 +224,15 @@ def q_conversation_documents(spark, sf_dir):
 def q_pipeline_lineage(spark, sf_dir):
     """End-to-end run incl. checkpoint/lineage commit (rows-only check —
     wall-clock fields are inherently non-SQL-reproducible)."""
-    import tempfile
+    import shutil
     from engine.spark.pipeline import run_pipeline
-    out = tempfile.mkdtemp(prefix="lineage_q_")
+    # one fixed scratch dir per sf tag (repo convention /tmp/spark_graft_*),
+    # wiped before each run: repeated bench/oracle invocations must not
+    # accumulate output copies, and the returned DataFrame reads lazily so
+    # the dir cannot be deleted after the run
+    out = f"/tmp/spark_graft_lineage_q/{os.path.basename(sf_dir.rstrip('/'))}"
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
     src = os.path.join(_synth_dir(sf_dir), "transcripts.parquet")
     run_pipeline(spark, src, out, run_id="driver-q", waves=2, n_buckets=64)
     lin = spark.read.parquet(f"{out}/lineage")

@@ -100,11 +100,21 @@ def main() -> None:
         except Exception as exc:  # keep the bench line intact
             timings[name] = f"error: {type(exc).__name__}"
 
+    # phase split of the last end-to-end pipeline run (pipeline_lineage
+    # executes one inside the loop above): extract+write is one fused
+    # action; the split localizes a regression to resume scan / the fused
+    # extract+write / wave-bounded lineage read-back / manifest write
+    # without re-profiling (VERDICT r2 #8)
+    from engine.spark import pipeline as _pipeline
+    phases = (_pipeline.LAST_RUN_STATS.phases
+              if _pipeline.LAST_RUN_STATS else None)
+
     print(json.dumps({
         "metric": "turns_per_sec",
         "value": round(tput, 1),
         "unit": "sec",
         "queries": timings,
+        "pipeline_phases": phases,
         "sf": SF_DIR,
         "extract_turns": out_rows,
         "extract_seconds": round(extract_s, 2),

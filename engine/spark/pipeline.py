@@ -34,7 +34,7 @@ Physical design for 10^12 turns (SURVEY.md §4):
 from __future__ import annotations
 
 import time
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 from datetime import datetime, timezone
 from typing import Optional
 
@@ -53,6 +53,17 @@ class RunStats:
     turns_processed: int
     turns_skipped_resume: int
     wall_s: float
+    # wall seconds per phase, summed across waves. "extract_write" is one
+    # fused action by design (the map feeds the writer; splitting it would
+    # cost a second extraction pass), so regressions localize to: resume
+    # scan vs the fused extract+write vs the wave-bounded lineage read-back
+    # vs the manifest write.
+    phases: dict = field(default_factory=dict)
+
+
+#: RunStats of the most recent run_pipeline call in this process — how
+#: bench.py surfaces the phase split without re-running the pipeline.
+LAST_RUN_STATS: Optional[RunStats] = None
 
 
 def extract_df(df: DataFrame, n_buckets: int = DEFAULT_BUCKETS,
@@ -114,14 +125,18 @@ def run_pipeline(spark: SparkSession, input_path: str, output_dir: str,
                          table_format, partition_col="conv_bucket")
     lineage_sink = TableSink(spark, f"{output_dir}{sep}lineage", table_format)
 
+    phases = {"resume_scan": 0.0, "extract_write": 0.0,
+              "lineage_read_agg": 0.0, "lineage_write": 0.0}
     src = spark.read.parquet(input_path).withColumn("conv_bucket", bucket_col(n_buckets))
 
+    t_phase = time.monotonic()
     done = completed_buckets(spark, out_sink)
     # the committed-bucket set is ≤ n_buckets ints — collect it once so the
     # driver can skip fully-committed waves without launching a job (a no-op
     # resume otherwise pays one full input scan PER WAVE)
     done_values = {r["conv_bucket"] for r in done.collect()}
     done_count = len(done_values)
+    phases["resume_scan"] += time.monotonic() - t_phase
     # resume anti-join — broadcast: the manifest is ≤ n_buckets rows
     todo = src.join(F.broadcast(done), "conv_bucket", "left_anti")
 
@@ -180,6 +195,8 @@ def run_pipeline(spark: SparkSession, input_path: str, output_dir: str,
         out_sink.append(extracted)
 
         wall_ms = int((time.monotonic() - t_wave) * 1000)
+        phases["extract_write"] += wall_ms / 1000.0
+        t_phase = time.monotonic()
         # lineage from the committed output, listing ONLY this wave's
         # not-yet-done partition directories (round 1 re-listed and
         # re-scanned the whole output per wave — O(waves × output) listings
@@ -209,19 +226,34 @@ def run_pipeline(spark: SparkSession, input_path: str, output_dir: str,
         # collect it (scalar-scale), sum locally, write it back from the
         # driver — not a driver-side loop over data, a loop over the manifest
         lin_rows = lineage.collect()
+        phases["lineage_read_agg"] += time.monotonic() - t_phase
+        t_phase = time.monotonic()
         n_wave = sum(r["turns_processed"] for r in lin_rows)
-        lineage_sink.append(
-            spark.createDataFrame(lin_rows, LINEAGE_SCHEMA).coalesce(1))
+        # ONE slice up front, not createDataFrame(...).coalesce(1): local
+        # Python rows default to defaultParallelism pickled slices, and a
+        # coalesced write task drains them SERIALLY through per-partition
+        # Python-worker rounds — measured 5-6 s per wave for a ≤32-row
+        # manifest vs 0.3 s for the single-slice parallelize (found via the
+        # phases split: lineage_write was 14 s of a 45 s two-wave run)
+        lineage_sink.append(spark.createDataFrame(
+            spark.sparkContext.parallelize(lin_rows, 1), LINEAGE_SCHEMA))
+        phases["lineage_write"] += time.monotonic() - t_phase
         total_processed += int(n_wave)
         waves_run += 1
 
     if done_count:
+        t_phase = time.monotonic()
         skipped = src.join(F.broadcast(done), "conv_bucket", "left_semi").count()
+        phases["resume_scan"] += time.monotonic() - t_phase
 
-    return RunStats(run_id=run_id, waves_run=waves_run,
-                    turns_processed=total_processed,
-                    turns_skipped_resume=skipped,
-                    wall_s=time.monotonic() - t_start)
+    global LAST_RUN_STATS
+    stats = RunStats(run_id=run_id, waves_run=waves_run,
+                     turns_processed=total_processed,
+                     turns_skipped_resume=skipped,
+                     wall_s=time.monotonic() - t_start,
+                     phases={k: round(v, 3) for k, v in phases.items()})
+    LAST_RUN_STATS = stats
+    return stats
 
 
 def assemble_conversations(extracted: DataFrame) -> DataFrame:
