@@ -26,6 +26,11 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+#: propagation rounds used by the most recent duplicate_clusters call in
+#: this process — scale-soak telemetry (convergence must stay well under
+#: max_iterations; see tools/dedup_stress.py)
+LAST_ITERATIONS: int = 0
+
 
 def duplicate_clusters(pairs: DataFrame, max_iterations: int = 15,
                        checkpoint_dir: str | None = None) -> DataFrame:
@@ -56,7 +61,9 @@ def duplicate_clusters(pairs: DataFrame, max_iterations: int = 15,
     labels = (edges.select(F.col("src").alias("id")).distinct()
               .withColumn("label", F.col("id")))
 
+    global LAST_ITERATIONS
     for i in range(max_iterations):
+        LAST_ITERATIONS = i + 1
         neighbor_min = (edges.join(labels, edges.dst == labels.id)
                         .groupBy("src").agg(F.min("label").alias("nbr_label")))
         # path compression: each node also adopts its label's label

@@ -62,6 +62,25 @@ def _cache_slot(name: str, df: DataFrame) -> DataFrame:
     return _CACHE_SLOTS[key]
 
 
+def _cache_slot_peek(name: str, df: DataFrame) -> DataFrame:
+    """Opportunistic reuse: the slot's persisted table when it already holds
+    a semantically identical plan, else ``df`` UN-persisted — for consumers
+    that profit from another op's cache but must not pay the persist when
+    running standalone (e.g. the minhash candidate join reuses exploded
+    shingles that ngram_jaccard_pairs/guard_report cached, but a standalone
+    run streams the explode straight into the signature aggregation —
+    materializing ~400 shingle rows/doc there measured 2.8× slower at 50k
+    docs)."""
+    key = (df.sparkSession.sparkContext.applicationId, name)
+    prev = _CACHE_SLOTS.get(key)
+    try:
+        if prev is not None and prev.sameSemantics(df):
+            return prev
+    except Exception:
+        pass
+    return df
+
+
 def _ensure_parallelism(df: DataFrame) -> DataFrame:
     """Rebalance tiny-split inputs before a CPU-heavy explode/hash stage.
 
@@ -214,11 +233,14 @@ def minhash_lsh_candidates(df: DataFrame, id_col: str = "doc_id",
     ngram_jaccard_pairs)."""
     # the bucket table is consumed 3× (hot-agg + both self-join sides); it is
     # tiny (bands × n_docs rows) while its lineage (shingle explode + k
-    # min-aggs) is expensive — cache to stop the recompute. Built from the
-    # SAME shared shingle slot guard_report uses, so a combined run pays the
-    # shingle explode and the signature aggregation exactly once
-    # (_cache_slot returns the existing table on a semantically equal plan).
-    sh = _cache_slot("shingles", shingles(df, id_col, text_col, n))
+    # min-aggs) is expensive — cache to stop the recompute. Shingles are
+    # reused from the shared slot when jaccard/guard_report already cached
+    # them, but NOT persisted here: standalone, the explode streams straight
+    # into the signature aggregation (materializing it costs more than it
+    # saves — see _cache_slot_peek). The buckets slot is shared with
+    # guard_report either way, so a combined run pays the k-min signature
+    # aggregation exactly once.
+    sh = _cache_slot_peek("shingles", shingles(df, id_col, text_col, n))
     all_buckets = _cache_slot(
         "minhash_buckets",
         minhash_band_buckets(df, id_col, text_col, n, k, bands, shingles_df=sh))

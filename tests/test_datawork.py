@@ -342,19 +342,27 @@ def test_duplicate_clusters_reliable_checkpoint_identical(spark, tmp_path):
 def test_cache_slot_reuses_semantically_equal_plan(spark, docs):
     """VERDICT r2 #6: guard_report must reuse the band-bucket table
     minhash_lsh_candidates built (one signature aggregation per combined
-    run), and slots are keyed per application."""
+    run); shingles are only reused opportunistically (standalone minhash
+    must not pay the persist); slots are keyed per application."""
     from engine.datawork import dedup
     from engine.datawork.dedup import (
         _CACHE_SLOTS, minhash_lsh_candidates, guard_report)
     minhash_lsh_candidates(docs).collect()
     app = spark.sparkContext.applicationId
     bucket_obj = _CACHE_SLOTS[(app, "minhash_buckets")]
-    shingle_obj = _CACHE_SLOTS[(app, "shingles")]
     guard_report(docs).collect()
-    # same objects: guard_report did NOT rebuild (and re-aggregate) them
+    # same object: guard_report did NOT rebuild the signature aggregate
     assert _CACHE_SLOTS[(app, "minhash_buckets")] is bucket_obj
-    assert _CACHE_SLOTS[(app, "shingles")] is shingle_obj
-    # a different input DOES replace the slot
+    # guard_report created the shingles slot; a re-run of minhash now PEEKS
+    # it and still lands on the same cached buckets
+    shingle_obj = _CACHE_SLOTS[(app, "shingles")]
+    assert dedup._cache_slot_peek(
+        "shingles", dedup.shingles(docs)) is shingle_obj
+    minhash_lsh_candidates(docs).collect()
+    assert _CACHE_SLOTS[(app, "minhash_buckets")] is bucket_obj
+    # a different input does NOT peek-match and DOES replace on fill
     other = docs.limit(10)
+    assert dedup._cache_slot_peek(
+        "shingles", dedup.shingles(other)) is not shingle_obj
     dedup._cache_slot("shingles", dedup.shingles(other))
     assert _CACHE_SLOTS[(app, "shingles")] is not shingle_obj

@@ -1,0 +1,129 @@
+"""Dedup-suite scale soak: planted duplicate structure at N× the sf0.1
+document corpus, the whole dedup chain timed end to end.
+
+Extends the round-2 50k-doc stress (BENCH/BASELINE.md "10× dedup stress")
+and makes it a repeatable tool (VERDICT r2 #3): copy 0 of every document is
+pristine; each later copy appends a per-copy ``variantN`` token to HALF the
+docs, so every original doc seeds one duplicate cluster holding a mix of
+exact copies and near-dup variants — the boilerplate-at-scale shape whose
+candidate volume is quadratic in cluster size (exactly what the bucket
+guards and member caps exist for).
+
+Reported per op: wall seconds + the scale-relevant result (groups, candidate
+volume, cluster count/max size, propagation rounds, guard engagement,
+surviving corpus size). Clusters run with the RELIABLE checkpoint path
+(checkpoint_dir set), so the soak exercises the fault-tolerant variant.
+
+Usage:
+    python tools/dedup_stress.py --copies 10    # the round-2 50k stress
+    python tools/dedup_stress.py --copies 100   # the sf1 soak (~500k docs)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+
+
+def build_corpus(spark, sf_dir: str, copies: int, cache_dir: str):
+    """N× replicated documents with planted duplicates, cached as parquet
+    (the build itself is one narrow map — no shuffle)."""
+    from pyspark.sql import functions as F
+    out = Path(cache_dir)
+    if not out.exists():
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        n = docs.selectExpr("max(doc_id) + 1 AS n").first()["n"]
+        rep = (docs.select(
+            "doc_id", "text",
+            F.explode(F.sequence(F.lit(0), F.lit(copies - 1))).alias("copy")))
+        planted = rep.select(
+            (F.col("doc_id") + F.col("copy") * F.lit(n)).alias("doc_id"),
+            F.when((F.col("copy") > 0) & (F.col("doc_id") % 2 == 0),
+                   F.concat("text", F.lit(" variant"),
+                            F.col("copy").cast("string")))
+             .otherwise(F.col("text")).alias("text"))
+        planted.write.mode("overwrite").parquet(str(out))
+    return spark.read.parquet(str(out))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.1")
+    ap.add_argument("--copies", type=int, default=10)
+    ap.add_argument("--cpus", type=int, default=32)
+    ap.add_argument("--json", action="store_true")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession, functions as F
+
+    from engine.datawork import clusters as clusters_mod
+    from engine.datawork.clusters import duplicate_clusters
+    from engine.datawork.corpus import deduplicated_corpus
+    from engine.datawork.dedup import (exact_duplicates, guard_report,
+                                       minhash_lsh_candidates)
+
+    spark = (SparkSession.builder.master(f"local[{args.cpus}]")
+             .appName(f"dedup-stress-{args.copies}x")
+             .config("spark.sql.shuffle.partitions", str(args.cpus * 2))
+             .config("spark.sql.adaptive.enabled", "true")
+             .config("spark.driver.memory", "48g")
+             .config("spark.ui.enabled", "false")
+             .getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+
+    docs = build_corpus(spark, args.sf, args.copies,
+                        f"/tmp/spark_graft_stress_{args.copies}x")
+    n_docs = docs.count()
+    out: dict = {"copies": args.copies, "n_docs": n_docs}
+
+    def timed(name, fn):
+        t0 = time.monotonic()
+        res = fn()
+        out[name] = {"wall_s": round(time.monotonic() - t0, 1), **res}
+        print(f"  {name}: {out[name]}", flush=True)
+        return res
+
+    timed("exact", lambda: {
+        "groups": exact_duplicates(docs).count()})
+
+    cand = minhash_lsh_candidates(docs)
+    timed("minhash_candidates", lambda: {"pairs": cand.count()})
+
+    def run_clusters():
+        cl = duplicate_clusters(
+            cand, checkpoint_dir=f"/tmp/spark_graft_stress_ckpt_{args.copies}x")
+        agg = cl.groupBy("cluster_id").count()
+        stats = agg.agg(F.count("*").alias("clusters"),
+                        F.max("count").alias("max_cluster"),
+                        F.sum("count").alias("docs_clustered")).first()
+        return {"docs_clustered": stats["docs_clustered"],
+                "clusters": stats["clusters"],
+                "max_cluster": stats["max_cluster"],
+                "rounds": clusters_mod.LAST_ITERATIONS}
+    timed("clusters", run_clusters)
+
+    # dedup_apply over the SAME clusters (rebuilt lazily — the anti-join is
+    # the thing being timed; VERDICT r2 #1 "50k-doc stress timing")
+    cl = duplicate_clusters(
+        cand, checkpoint_dir=f"/tmp/spark_graft_stress_ckpt_{args.copies}x")
+    timed("dedup_apply", lambda: {
+        "kept_docs": deduplicated_corpus(docs, cl).count()})
+
+    timed("guard_report", lambda: {"guards": {
+        r["guard"]: {"hot_keys": r["hot_keys"],
+                     "dropped_rows": r["dropped_rows"]}
+        for r in guard_report(docs).collect()}})
+
+    if args.json:
+        print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
