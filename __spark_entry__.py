@@ -634,6 +634,19 @@ def q_dedup_apply(spark, sf_dir):
             .select("doc_id", "lang", "source", "n_chars"))
 
 
+def q_dedup_apply_full(spark, sf_dir):
+    """Layered dedup ACTION: near-dup cluster losers UNION exact-fingerprint
+    losers — replica groups past the LSH bucket guard are owned by the
+    exact pass (sf1 soak finding, BENCH/BASELINE.md)."""
+    from engine.datawork.clusters import duplicate_clusters
+    from engine.datawork.corpus import deduplicated_corpus_full
+    from engine.datawork.dedup import minhash_lsh_candidates
+    docs = _t(spark, sf_dir, "documents")
+    clusters = duplicate_clusters(minhash_lsh_candidates(docs))
+    return (deduplicated_corpus_full(docs, clusters)
+            .select("doc_id", "lang", "source", "n_chars"))
+
+
 def q_token_vocab_topk(spark, sf_dir):
     """Corpus vocabulary (top 200 tokens by count, deterministic ties)."""
     from engine.datawork.corpus import token_vocabulary
@@ -758,6 +771,7 @@ _RAW_QUERIES: dict = {
         "dedup_clusters": q_dedup_clusters,
         "dedup_guard_report": q_dedup_guard_report,
         "dedup_apply": q_dedup_apply,
+        "dedup_apply_full": q_dedup_apply_full,
         "token_vocab_topk": q_token_vocab_topk,
         "corpus_sample": q_corpus_sample,
         "doc_length_quantiles": q_doc_length_quantiles,

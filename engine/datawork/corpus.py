@@ -32,6 +32,36 @@ def deduplicated_corpus(docs: DataFrame, clusters: DataFrame,
     return docs.join(losers, id_col, "left_anti")
 
 
+def deduplicated_corpus_full(docs: DataFrame, clusters: DataFrame,
+                             id_col: str = "doc_id",
+                             text_col: str = "text") -> DataFrame:
+    """Layered dedup ACTION: drop near-dup cluster losers AND exact-dup
+    losers in one pass.
+
+    The sf1 soak (BENCH/BASELINE.md) showed why the layers must compose:
+    replica groups large enough to trip the LSH bucket guard (>max_bucket
+    identical docs sharing every band bucket) never produce candidates —
+    by design, they are owned by the one-aggregate exact pass instead. A
+    corpus deduplicated ONLY by near-dup clusters keeps every such
+    replica; this keeps exactly one canonical doc under both criteria.
+
+    Scale shape: exact losers come from a min-over-fingerprint window (the
+    same single hash shuffle exact_duplicates pays), the loser union is a
+    shuffled distinct on ids, and the final anti-join carries no broadcast
+    hint (see deduplicated_corpus)."""
+    from pyspark.sql import Window
+    from .textstats import fingerprint
+    w = Window.partitionBy(fingerprint(F.col(text_col)))
+    exact_losers = (docs
+                    .withColumn("_canon", F.min(id_col).over(w))
+                    .filter(F.col(id_col) != F.col("_canon"))
+                    .select(F.col(id_col)))
+    near_losers = (clusters.filter(F.col("doc_id") != F.col("cluster_id"))
+                   .select(F.col("doc_id").alias(id_col)))
+    losers = exact_losers.unionByName(near_losers).distinct()
+    return docs.join(losers, id_col, "left_anti")
+
+
 def token_vocabulary(docs: DataFrame, text_col: str = "text",
                      top_k: int = 200) -> DataFrame:
     """Corpus vocabulary: lower-cased whitespace tokens with counts, top-k

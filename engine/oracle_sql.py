@@ -460,6 +460,51 @@ SELECT d.doc_id, d.lang, d.source, d.n_chars
 FROM documents d LEFT JOIN losers l ON d.doc_id = l.doc_id
 WHERE l.doc_id IS NULL"""
 
+    # layered dedup ACTION: near-dup cluster losers (same chain as
+    # dedup_apply) UNION exact-fingerprint losers — replica groups past the
+    # LSH bucket guard never produce candidates and are owned by the exact
+    # pass (see BENCH/BASELINE.md sf1 soak)
+    o["dedup_apply_full"] = _minhash_sig_sql() + f""",
+buckets_raw AS (
+    {band_rows}
+),
+buckets AS (
+    SELECT id, band, bucket FROM buckets_raw
+    QUALIFY count(*) OVER (PARTITION BY band, bucket) <= 100
+),
+pairs AS (
+    SELECT DISTINCT a.id AS id_a, b.id AS id_b
+    FROM buckets a JOIN buckets b
+      ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+),
+edges AS (
+    SELECT id_a AS src, id_b AS dst FROM pairs
+    UNION SELECT id_b, id_a FROM pairs
+),
+reach AS (
+    WITH RECURSIVE r(src, dst) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT r.src, e.dst FROM r JOIN edges e ON r.dst = e.src
+    ) SELECT * FROM r
+),
+near_losers AS (
+    SELECT src AS doc_id FROM reach GROUP BY src
+    HAVING src != min(dst)
+),
+fp AS (SELECT doc_id AS id, {fp} AS fingerprint FROM documents),
+exact_losers AS (
+    SELECT id AS doc_id FROM (
+        SELECT id, min(id) OVER (PARTITION BY fingerprint) AS canon FROM fp
+    ) WHERE id != canon
+),
+losers AS (
+    SELECT doc_id FROM near_losers UNION SELECT doc_id FROM exact_losers
+)
+SELECT d.doc_id, d.lang, d.source, d.n_chars
+FROM documents d LEFT JOIN losers l ON d.doc_id = l.doc_id
+WHERE l.doc_id IS NULL"""
+
     o["token_vocab_topk"] = f"""
 SELECT token, CAST(count(*) AS BIGINT) AS n
 FROM (SELECT doc_id, {_WORDS} AS ws FROM documents

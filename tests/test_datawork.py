@@ -366,3 +366,28 @@ def test_cache_slot_reuses_semantically_equal_plan(spark, docs):
         "shingles", dedup.shingles(other)) is not shingle_obj
     dedup._cache_slot("shingles", dedup.shingles(other))
     assert _CACHE_SLOTS[(app, "shingles")] is not shingle_obj
+
+
+def test_deduplicated_corpus_full_layers_exact_over_guarded_lsh(spark):
+    """Replica groups past the LSH bucket guard produce no candidates (by
+    design) — the layered action must still drop them via the exact pass,
+    while plain cluster-only apply keeps them (the sf1 soak finding)."""
+    from engine.datawork.clusters import duplicate_clusters
+    from engine.datawork.corpus import (deduplicated_corpus,
+                                        deduplicated_corpus_full)
+    from engine.datawork.dedup import minhash_lsh_candidates
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [(i, base) for i in range(8)]              # 8 identical replicas
+    rows += [(100, "one two three four five six seven eight nine ten"),
+             (101, "one two three four five six seven eight nine ten plus"),
+             (200, "totally different unique text with many many words here")]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    # guard at 4: the 8-replica group's buckets are all dropped
+    cand = minhash_lsh_candidates(docs, max_bucket=4)
+    clusters = duplicate_clusters(cand)
+    plain = sorted(r["doc_id"] for r in
+                   deduplicated_corpus(docs, clusters).collect())
+    full = sorted(r["doc_id"] for r in
+                  deduplicated_corpus_full(docs, clusters).collect())
+    assert set(range(8)) <= set(plain)       # cluster-only apply keeps all 8
+    assert full == [0, 100, 200]             # layered: one canonical of each
