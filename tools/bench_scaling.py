@@ -80,6 +80,16 @@ def main() -> None:
 
     md = REPO / "BENCH" / "BASELINE.md"
     md.parent.mkdir(exist_ok=True)
+    # regenerate ONLY the measured headline above the marker; everything
+    # below (machine-ceiling analysis, durability runs, recall tables, soak
+    # results) is hand-maintained history and must survive re-runs (a
+    # round-3 run of this tool silently destroyed those sections once)
+    MARKER = ("<!-- bench_scaling:end — tools/bench_scaling.py only "
+              "rewrites ABOVE this marker; hand-maintained sections below "
+              "survive re-runs. -->")
+    tail = ""
+    if md.exists() and MARKER in md.read_text():
+        tail = md.read_text().split(MARKER, 1)[1]
     md.write_text(f"""# BENCH — measured throughput & scaling (this engine)
 
 Measured {date.today().isoformat()} on this sandbox (single host, 32 hw
@@ -121,61 +131,8 @@ throughput of ~{small['tput'] / args.n:.0f}/s is the same order of magnitude
 with the added surfaces included.
 
 Raw JSON: `{json.dumps(report)}`
-
-## Why N={args.n} / 4N={args.n * 4} (machine ceiling, measured)
-
-The raw extraction kernel itself (no Spark — a bare multiprocessing pool on
-this host) scales like this on identical input:
-
-| procs | turns/s | per-core |
-|---|---|---|
-| 2 | 1,106 | 553 |
-| 4 | 2,384 | 596 |
-| 8 | 4,268 | 533 |
-| 16 | 7,039 | 440 |
-| 32 | 9,143 | 286 |
-
-Pool efficiency 2→8 is 0.96; 8→32 is 0.54 — the host's all-core clock and
-memory bandwidth cap per-core throughput well below the few-core rate, for
-ANY process model, Spark or not. The 8→32 pair therefore measures silicon,
-not the engine; a pair inside the linear region isolates the engine's own
-scaling (task skew, scheduling, Arrow transfer). Spark at the other pair,
-same protocol, for completeness: local[8] 4,830 turns/s / local[32] 6,076
-turns/s (efficiency 0.31, tracking the 0.54 hardware curve; raising salt
-partitions from 2× to 4× cores recovered local[32] from 2,822 to ~6,000 —
-straggler mitigation, see pipeline.py; an isolated local[32] run with 128
-partitions reached 10,928 turns/s ≈ the 32-proc pool ceiling).
-
-On a real 1000-executor cluster the per-node ceiling is fixed (an
-executor's cores don't quadruple), so executor-count scaling tracks the
-task-parallel term measured in the linear region — the per-turn map has no
-shuffle, no driver round-trips, and bounded task state.
-
-## At-scale durability run (1M turns, kill + resume)
-
-Full pipeline (read → resume anti-join → bucket-aligned repartition →
-extraction → per-wave commit of output + lineage) on 1,000,695 synthetic
-turns (2.2 GB of payload text), local[32], 8 waves, 1024 buckets:
-
-| run | outcome |
-|---|---|
-| fresh run (round-1 build) | **169 s wall ≈ 5,911 turns/s end-to-end** incl. writes & all 8 wave commits (was 612 s before the file-layout fixes); round-2 re-runs of the same workload measure 147–225 s run-to-run on this host — see the wave-lineage A/B section for the controlled phase comparison |
-| `timeout 200` kill mid-run (earlier build) | 6/8 waves committed (751,249 turns), no partial files visible |
-| resume after kill | processed exactly the missing 249,446 turns; re-run of a complete output processes 0 and skips 1,000,695 |
-| final state | 1,000,695 rows, all keys distinct, 0 extraction errors, exactly 1,024 data files (one per bucket), manifest rows sum exactly across attempts |
-
-Sustained throughput grows with input (fixed costs amortize): round-2
-bench.py measures **18,553 turns/s** at the 120k-turn default (was ~11k
-in round 1) — the kernel prescans plus the gated fast HTML tokenizer,
-local[32].
-
-Scale bugs that run caught (fixed + regression-tested): single-row-group
-synthetic parquet (unsplittable input, OOMs small heaps → bounded row
-groups); partitionBy file explosion (salt-tasks × buckets ≈ 16k tiny files
-per wave → bucket-aligned repartition, one file per bucket); manifest at
-(bucket × task) granularity (→ one row per bucket).
-""")
-    print(f"wrote {md}")
+""" + MARKER + tail)
+    print(f"wrote {md} (hand-maintained sections below the marker preserved)")
 
 
 if __name__ == "__main__":
