@@ -149,3 +149,15 @@ def test_unterminated_cdata_falls_back_to_stdlib():
     assert stats["blocks_total"] == len(ext.blocks)  # stdlib's reading won
     assert "var x" not in cleaned
 
+
+
+def test_module_works_with_fast_gate_unavailable(monkeypatch):
+    """On interpreters without possessive quantifiers (<=3.10) the gate
+    compiles to None — everything must still work via the stdlib path."""
+    from engine.core import html_clean
+    monkeypatch.setattr(html_clean, "_FAST_GATE", None)
+    monkeypatch.setattr(html_clean, "_FAST_TAG", None)
+    src = "<div><p>Plain simple paragraph with enough words to keep it here today.</p></div>"
+    assert html_clean._is_simple_html(src) is False
+    text, stats, spans, tables = html_clean.clean_html(src)
+    assert "Plain simple paragraph" in text
