@@ -100,3 +100,21 @@ def test_dedup_apply_does_not_force_broadcast_of_loser_list(spark):
     assert "ResolvedHint" not in analyzed  # no forced broadcast anywhere
     plan = fmt(out)
     assert "LeftAnti" in plan  # still the single anti-join shape
+
+
+def test_dedup_apply_full_single_fingerprint_shuffle_no_hints(spark):
+    """The layered action's exact-loser side must be one window over the
+    fingerprint hash partitioning (the same shuffle exact_duplicates pays)
+    and, like the plain apply, must not force any broadcast."""
+    from engine.datawork.corpus import deduplicated_corpus_full
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1)], "doc_id bigint, cluster_id bigint")
+    out = deduplicated_corpus_full(docs, clusters)
+    analyzed = out._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed
+    plan = fmt(out)
+    assert "LeftAnti" in plan
+    # exactly one Window operator (formatted explain lists each node twice:
+    # tree + details)
+    assert plan.count("Window") <= 2 and "Window" in plan
