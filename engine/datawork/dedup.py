@@ -231,19 +231,25 @@ def minhash_lsh_candidates(df: DataFrame, id_col: str = "doc_id",
     a large fraction of docs (a B-doc bucket costs B² join rows; a bucket
     that big carries no dedup signal anyway, mirroring max_df in
     ngram_jaccard_pairs)."""
-    # the bucket table is consumed 3× (hot-agg + both self-join sides); it is
-    # tiny (bands × n_docs rows) while its lineage (shingle explode + k
-    # min-aggs) is expensive — cache to stop the recompute. Shingles are
-    # reused from the shared slot when jaccard/guard_report already cached
-    # them, but NOT persisted here: standalone, the explode streams straight
-    # into the signature aggregation (materializing it costs more than it
-    # saves — see _cache_slot_peek). The buckets slot is shared with
-    # guard_report either way, so a combined run pays the k-min signature
+    # Shingles are reused from the shared slot when jaccard/guard_report
+    # already cached them, but NOT persisted here: standalone, the explode
+    # streams straight into the signature aggregation (materializing it
+    # costs more than it saves — see _cache_slot_peek). The buckets slot is
+    # shared with guard_report, so a combined run pays the k-min signature
     # aggregation exactly once.
     sh = _cache_slot_peek("shingles", shingles(df, id_col, text_col, n))
     all_buckets = _cache_slot(
         "minhash_buckets",
         minhash_band_buckets(df, id_col, text_col, n, k, bands, shingles_df=sh))
+    # Pair generation stays a self-JOIN on (band, bucket) — an A/B at the
+    # 500k-doc soak (BENCH/BASELINE.md) settled this: a grouped-array
+    # variant (groupBy → bounded id array → map-side C(n,2) pairs via
+    # higher-order functions) measured 2.3× FASTER at 50k docs but 1.9×
+    # SLOWER at 500k from the same warm buckets (102.8 s vs 55.4 s),
+    # because the per-group pair arrays are materialized whole while the
+    # sort-merge join streams the identical Σ C(bucket,2) rows with
+    # bounded memory. Streaming wins at the scale that matters. The hot
+    # list is ≤ a handful of degenerate keys, so ITS broadcast is safe.
     hot = (all_buckets.groupBy("band", "bucket")
            .agg(F.count("*").alias("bsz"))
            .filter(F.col("bsz") > max_bucket).select("band", "bucket"))
@@ -336,18 +342,26 @@ def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id",
     """Pairs with Hamming(simhash) ≤ max_hamming. Candidates via banded
     exact-match join (pigeonhole: ≤3 differing bits over 4 bands leaves ≥1
     identical band), then exact bit_count verify."""
-    sh = _cache_slot("simhash_sigs", simhash(df, id_col, text_col, bits))  # both join sides
+    sh = _cache_slot("simhash_sigs", simhash(df, id_col, text_col, bits))
     width = bits // bands
     mask = (1 << width) - 1
-    pieces = []
-    for b in range(bands):
-        pieces.append(sh.select(
-            "id", "simhash", F.lit(b).alias("band"),
-            F.shiftright(F.col("simhash"), b * width)
-             .bitwiseAND(F.lit(mask)).alias("piece")))
-    allp = pieces[0]
-    for extra in pieces[1:]:
-        allp = allp.unionByName(extra)
+    # ONE explode over band structs (same shape as minhash_band_buckets —
+    # a bands-way union re-runs the signature lineage per branch). Pair
+    # generation stays a self-JOIN here, deliberately NOT the grouped-array
+    # shape minhash_lsh_candidates uses: simhash pieces have only
+    # 2^width = 256 distinct values per band, so at corpus scale EVERY
+    # piece group is huge and a per-group C(n,2) pair array would
+    # materialize gigabytes in one row — the join streams the same rows
+    # with bounded memory. (MinHash buckets are md5 values, high
+    # cardinality + guard-capped ≤ max_bucket, which is what makes the
+    # grouped shape safe there.)
+    entries = F.array(*[
+        F.struct(F.lit(b).alias("band"),
+                 F.shiftright(F.col("simhash"), b * width)
+                  .bitwiseAND(F.lit(mask)).alias("piece"))
+        for b in range(bands)])
+    allp = (sh.select("id", "simhash", F.explode(entries).alias("bp"))
+            .select("id", "simhash", "bp.band", "bp.piece"))
     a, b_ = allp.alias("a"), allp.alias("b")
     return (a.join(b_, (F.col("a.band") == F.col("b.band"))
                    & (F.col("a.piece") == F.col("b.piece"))
