@@ -58,7 +58,17 @@ def _cache_slot(name: str, df: DataFrame) -> DataFrame:
             prev.unpersist()
         except Exception:
             pass
-    _CACHE_SLOTS[key] = df.persist()
+    cached = df.persist()
+    # EAGER materialization: consumers of a slot run as concurrent stages
+    # of one action (hot-key agg + both self-join sides), and Spark does
+    # not dedup in-flight computation of a not-yet-populated cache — each
+    # concurrent stage recomputes the full lineage. Measured at the 500k
+    # soak: the k-min signature aggregate ran up to 3× per cold candidates
+    # call (185-268 s observed) vs once when the cache is populated first
+    # (~97 s). The count's work is not wasted — it IS the one computation
+    # the consumers then share.
+    cached.count()
+    _CACHE_SLOTS[key] = cached
     return _CACHE_SLOTS[key]
 
 

@@ -92,7 +92,10 @@ def main() -> int:
     timed("exact", lambda: {
         "groups": exact_duplicates(docs).count()})
 
-    cand = minhash_lsh_candidates(docs)
+    # persist: clusters/apply consume the pairs again — a production chain
+    # would checkpoint candidates, and without this the clusters timing
+    # silently re-pays the candidate join (+~55 s at 500k)
+    cand = minhash_lsh_candidates(docs).persist()
     timed("minhash_candidates", lambda: {"pairs": cand.count()})
 
     def run_clusters():
