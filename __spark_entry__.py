@@ -455,6 +455,49 @@ def q_events_stream_sessionize(spark, sf_dir):
             .orderBy("user_id", "session_id"))
 
 
+def q_events_stream_dedup(spark, sf_dir):
+    """Streaming exactly-once over at-least-once delivery
+    (dropDuplicatesWithinWatermark): micro-batch 2 REPLAYS the most recent
+    30 minutes of events (a redelivered tail), and the drained output must
+    equal the plain batch aggregate over the original events (the oracle).
+    The replayed keys sit inside the 1-hour watermark, so the dedup state
+    still holds them; a replay older than the watermark would re-emit —
+    that bound IS the operator's contract (state is evicted past the
+    watermark, which is what keeps it finite at 100 TB/day)."""
+    import shutil
+    import tempfile
+    from engine.spark.streaming import stage_ordered_batches
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id",
+        F.timestamp_seconds(F.expr(
+            "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        )).alias("ts"),
+        "event_type", "value")
+    mx = ev.agg(F.max("ts").alias("mx")).first()["mx"]
+    replay = ev.filter(F.col("ts") >= F.lit(mx) - F.expr("INTERVAL 30 MINUTES"))
+
+    stage = tempfile.mkdtemp(prefix="spark_graft_stream_dedup_")
+    try:
+        stage_ordered_batches([ev, replay], stage)
+        stream = (spark.readStream.schema(ev.schema)
+                  .option("pathGlobFilter", "*.parquet")
+                  .option("maxFilesPerTrigger", "1").parquet(stage))
+        deduped = (stream.withWatermark("ts", "1 hour")
+                   .dropDuplicatesWithinWatermark(["event_id"]))
+        name = "events_stream_dedup_sink"
+        q = (deduped.writeStream.format("memory").queryName(name)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+    return (spark.table(name)
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.sum("value"), 4).alias("value_sum"))
+            .orderBy("event_type"))
+
+
 def q_sql_function_surface(spark, sf_dir):
     """The registered scalar-UDF surface driven through plain Spark SQL."""
     from engine.spark.functions import register_all
@@ -757,6 +800,7 @@ _RAW_QUERIES: dict = {
         "events_props_json": q_events_props_json,
         "events_stream_window": q_events_stream_window,
         "events_stream_sessionize": q_events_stream_sessionize,
+        "events_stream_dedup": q_events_stream_dedup,
         "sql_function_surface": q_sql_function_surface,
         "doc_text_stats": q_doc_text_stats,
         "doc_lang_id": q_doc_lang_id,

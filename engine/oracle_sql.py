@@ -250,6 +250,13 @@ FROM events GROUP BY 1, 2"""
     # the stateful-streaming sessionizer must reproduce the batch answer
     o["events_stream_sessionize"] = o["events_sessionize"]
 
+    # streaming dedup of a replayed tail must equal exactly-once over the
+    # original events (event_id is the delivery key)
+    o["events_stream_dedup"] = """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       round(sum(value), 4) AS value_sum
+FROM events GROUP BY event_type ORDER BY event_type"""
+
     o["events_props_json"] = """
 SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
 FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL"""

@@ -162,3 +162,21 @@ def test_stateful_sessionize_numbering_survives_sentinel(spark, tmp_path):
     rows = {(r["user_id"], r["session_id"]): (r["n_events"], r["value_sum"])
             for r in spark.table("sess_sentinel_sink").collect()}
     assert rows == {(1, 1): (1, 1.0), (1, 2): (1, 3.0)}  # 2, not 1 again
+
+def test_stream_dedup_drops_replayed_tail(spark):
+    """The staged input feeds MORE rows than the events table (the replayed
+    tail); the drained aggregate must equal exactly-once counts."""
+    import __spark_entry__ as entry
+
+    sf = "/root/testdata/sf0.001"
+    got = {r["event_type"]: (r["n"], r["value_sum"])
+           for r in entry.q_events_stream_dedup(spark, sf).collect()}
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    total = ev.count()
+    assert sum(n for n, _ in got.values()) == total  # exactly-once
+    # and the replay was non-empty (≥1 event in the last 30 minutes)
+    from pyspark.sql import functions as F
+    mx = ev.agg(F.max("ts").alias("m")).first()["m"]
+    replayed = ev.filter(
+        F.col("ts") >= F.lit(mx) - F.expr("INTERVAL 30 MINUTES")).count()
+    assert replayed >= 1
