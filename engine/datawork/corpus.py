@@ -48,7 +48,13 @@ def deduplicated_corpus_full(docs: DataFrame, clusters: DataFrame,
     Scale shape: exact losers come from a min-over-fingerprint window (the
     same single hash shuffle exact_duplicates pays), the loser union is a
     shuffled distinct on ids, and the final anti-join carries no broadcast
-    hint (see deduplicated_corpus)."""
+    hint (see deduplicated_corpus).
+
+    Edge: NULL-text docs share a NULL fingerprint and are therefore
+    mutually "exact duplicates" — one survives. Same convention as
+    exact_duplicates (and both engines' window/group semantics agree), and
+    the sensible reading for a training corpus: textless docs carry no
+    distinct content."""
     from pyspark.sql import Window
     from .textstats import fingerprint
     w = Window.partitionBy(fingerprint(F.col(text_col)))

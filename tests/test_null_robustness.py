@@ -86,3 +86,16 @@ def test_corpus_ops_tolerate_nulls(spark):
     q = {r["lang"]: r for r in length_quantiles(docs).collect()}
     assert q["en"]["n_docs"] == 2 and q["en"]["p50"] == 14.0
     assert None in q  # null group kept as its own row
+
+
+def test_dedup_apply_full_null_text_docs_collapse_to_one(spark):
+    """NULL-text docs share a NULL fingerprint → one survives (documented
+    convention, same as exact_duplicates); engines agree on this grouping."""
+    from engine.datawork.corpus import deduplicated_corpus_full
+    docs = spark.createDataFrame(
+        [(1, None), (2, None), (3, "x y z"), (4, "")],
+        "doc_id bigint, text string")
+    clusters = spark.createDataFrame([], "doc_id bigint, cluster_id bigint")
+    kept = sorted(r["doc_id"] for r in
+                  deduplicated_corpus_full(docs, clusters).collect())
+    assert kept == [1, 3, 4]
