@@ -118,3 +118,13 @@ def test_dedup_apply_full_single_fingerprint_shuffle_no_hints(spark):
     # exactly one Window operator (formatted explain lists each node twice:
     # tree + details)
     assert plan.count("Window") <= 2 and "Window" in plan
+
+
+def test_asof_join_is_union_window_not_range_join(spark):
+    """The as-of join must stay the union-sentinel + window shape — one
+    shuffle by key, no range-condition nested-loop/cartesian explosion."""
+    import __spark_entry__ as entry
+    plan = fmt(entry.q_asof_latest_click(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" in plan
