@@ -51,11 +51,17 @@ def duplicate_clusters(pairs: DataFrame, max_iterations: int = 15,
                 else df.localCheckpoint(eager=True))
 
     # cut the (possibly expensive) pair-generation lineage out of the loop:
-    # every iteration and every convergence count would otherwise recompute it
+    # every iteration and every convergence count would otherwise recompute
+    # it. Repartition by dst BEFORE caching: the per-round propagation join
+    # keys on edges.dst, and a cached table's outputPartitioning satisfies
+    # the join requirement — so the (large) edge table is shuffled ONCE at
+    # build instead of once per round (distinct leaves it partitioned by
+    # (src, dst), which every round's ensureRequirements re-exchanges).
     edges = (pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
              .union(pairs.select(F.col("id_b").alias("src"),
                                  F.col("id_a").alias("dst")))
-             .distinct())
+             .distinct()
+             .repartition(F.col("dst")))
     from engine.datawork.dedup import _cache_slot
     edges = _cache_slot("cluster_edges", edges)
     labels = (edges.select(F.col("src").alias("id")).distinct()
