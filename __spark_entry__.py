@@ -347,6 +347,24 @@ def q_asof_latest_click(spark, sf_dir):
                          F.col("value_asof").alias("click_value"))
 
 
+def q_events_retention(spark, sf_dir):
+    """Cohort retention: users grouped by their first-event day, distinct
+    returners counted at day offsets 0/1/7/30. One window for the cohort
+    day (hash shuffle by user) + one distinct aggregate — the standard
+    product-analytics rollup, no self-join over the events table."""
+    from pyspark.sql import Window
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day"))
+    w = Window.partitionBy("user_id")
+    cohorted = ev.withColumn("cohort_day", F.min("day").over(w))
+    offs = cohorted.withColumn(
+        "day_offset", F.datediff("day", "cohort_day")).filter(
+        F.col("day_offset").isin(0, 1, 7, 30))
+    return (offs.groupBy("cohort_day", "day_offset")
+            .agg(F.count_distinct("user_id").alias("users"))
+            .orderBy("cohort_day", "day_offset"))
+
+
 def q_events_sessionize(spark, sf_dir):
     """Window-function surface: per-user sessions split on >5 min gaps, with
     session ids assigned by a running sum over a lag comparison."""
@@ -796,6 +814,7 @@ _RAW_QUERIES: dict = {
         "regional_volume": q_regional_volume,
         "events_grouping_sets": q_events_grouping_sets,
         "asof_latest_click": q_asof_latest_click,
+        "events_retention": q_events_retention,
         "events_sessionize": q_events_sessionize,
         "events_props_json": q_events_props_json,
         "events_stream_window": q_events_stream_window,

@@ -219,6 +219,18 @@ ASOF LEFT JOIN
       WHERE event_type = 'click') r
   ON l.user_id = r.user_id AND l.ts >= r.ts"""
 
+    o["events_retention"] = """
+WITH d AS (
+    SELECT user_id, CAST(ts AS DATE) AS day,
+           min(CAST(ts AS DATE)) OVER (PARTITION BY user_id) AS cohort_day
+    FROM events
+)
+SELECT cohort_day, datediff('day', cohort_day, day) AS day_offset,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS users
+FROM d
+WHERE datediff('day', cohort_day, day) IN (0, 1, 7, 30)
+GROUP BY 1, 2 ORDER BY 1, 2"""
+
     o["events_sessionize"] = """
 WITH flags AS (
     SELECT user_id, event_id, ts, value,
