@@ -297,6 +297,38 @@ def q_shipping_priority(spark, sf_dir):
             .orderBy(F.col("revenue").desc(), "l_orderkey").limit(10))
 
 
+def q_top_suppliers_per_nation(spark, sf_dir):
+    """Rank-per-group: top-3 suppliers by account balance in every nation
+    (dense window over the nation-hash shuffle; the nation dim broadcasts).
+    Deterministic tie-break on s_suppkey."""
+    from pyspark.sql import Window
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    w = Window.partitionBy("n_name").orderBy(
+        F.col("s_acctbal").desc(), F.col("s_suppkey"))
+    return (s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= 3)
+            .select("n_name", "rk", "s_suppkey", "s_name",
+                    F.round("s_acctbal", 2).alias("acctbal"))
+            .orderBy("n_name", "rk"))
+
+
+def q_customers_without_orders(spark, sf_dir):
+    """Anti-join surface (Q22-shaped): customers that never ordered,
+    counted per nation. The anti-join shuffles on custkey (orders is the
+    big side — no broadcast hint); the nation dim broadcasts."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    n = _t(spark, sf_dir, "nation")
+    return (c.join(o, "c_custkey", "left_anti")
+            .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .groupBy("n_name")
+            .agg(F.count("*").alias("n_customers"),
+                 F.round(F.sum("c_acctbal"), 2).alias("acctbal_sum"))
+            .orderBy("n_name"))
+
+
 def q_regional_volume(spark, sf_dir):
     """Q5-shaped: 6-way star join through region→nation→customer+supplier."""
     r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
@@ -812,6 +844,8 @@ _RAW_QUERIES: dict = {
         "events_daily": q_events_daily,
         "shipping_priority": q_shipping_priority,
         "regional_volume": q_regional_volume,
+        "top_suppliers_per_nation": q_top_suppliers_per_nation,
+        "customers_without_orders": q_customers_without_orders,
         "events_grouping_sets": q_events_grouping_sets,
         "asof_latest_click": q_asof_latest_click,
         "events_retention": q_events_retention,

@@ -219,6 +219,21 @@ ASOF LEFT JOIN
       WHERE event_type = 'click') r
   ON l.user_id = r.user_id AND l.ts >= r.ts"""
 
+    o["top_suppliers_per_nation"] = """
+SELECT n_name, rk, s_suppkey, s_name, acctbal FROM (
+    SELECT n_name, s_suppkey, s_name, round(s_acctbal, 2) AS acctbal,
+           row_number() OVER (PARTITION BY n_name
+                              ORDER BY s_acctbal DESC, s_suppkey) AS rk
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+) WHERE rk <= 3 ORDER BY n_name, rk"""
+
+    o["customers_without_orders"] = """
+SELECT n_name, CAST(count(*) AS BIGINT) AS n_customers,
+       round(sum(c_acctbal), 2) AS acctbal_sum
+FROM customer c JOIN nation ON c_nationkey = n_nationkey
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+GROUP BY n_name ORDER BY n_name"""
+
     o["events_retention"] = """
 WITH d AS (
     SELECT user_id, CAST(ts AS DATE) AS day,
