@@ -379,6 +379,19 @@ def q_asof_latest_click(spark, sf_dir):
                          F.col("value_asof").alias("click_value"))
 
 
+def q_events_salted_daily(spark, sf_dir):
+    """events_daily through the two-stage SALTED aggregation
+    (engine/datawork/skew.py) — the skew-immune plan for a hot grouping
+    key. Must equal the plain aggregation exactly (same oracle)."""
+    from engine.datawork.skew import salted_count_sum
+    ev = _t(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), "event_type", "value")
+    out = salted_count_sum(ev, ["day", "event_type"], "value")
+    return (out.select("day", "event_type", "n",
+                       F.round("total", 4).alias("value_sum"))
+            .orderBy("day", "event_type"))
+
+
 def q_events_retention(spark, sf_dir):
     """Cohort retention: users grouped by their first-event day, distinct
     returners counted at day offsets 0/1/7/30. One window for the cohort
@@ -848,6 +861,7 @@ _RAW_QUERIES: dict = {
         "customers_without_orders": q_customers_without_orders,
         "events_grouping_sets": q_events_grouping_sets,
         "asof_latest_click": q_asof_latest_click,
+        "events_salted_daily": q_events_salted_daily,
         "events_retention": q_events_retention,
         "events_sessionize": q_events_sessionize,
         "events_props_json": q_events_props_json,

@@ -234,6 +234,14 @@ FROM customer c JOIN nation ON c_nationkey = n_nationkey
 WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
 GROUP BY n_name ORDER BY n_name"""
 
+    # the salted two-stage aggregation must be INVISIBLE in the result —
+    # same oracle text as events_daily
+    o["events_salted_daily"] = """
+SELECT CAST(ts AS DATE) AS day, event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(value), 4) AS value_sum
+FROM events GROUP BY 1, 2 ORDER BY 1, 2"""
+
     o["events_retention"] = """
 WITH d AS (
     SELECT user_id, CAST(ts AS DATE) AS day,

@@ -391,3 +391,32 @@ def test_deduplicated_corpus_full_layers_exact_over_guarded_lsh(spark):
                   deduplicated_corpus_full(docs, clusters).collect())
     assert set(range(8)) <= set(plain)       # cluster-only apply keeps all 8
     assert full == [0, 100, 200]             # layered: one canonical of each
+
+
+def test_salted_aggregate_exact_on_hot_key(spark):
+    """One key carrying 90% of the rows: the salted two-stage aggregate
+    must produce exactly the plain aggregation's counts and sums, and its
+    first stage must spread the hot key over multiple salt groups."""
+    from pyspark.sql import functions as F
+
+    from engine.datawork.skew import salted_avg, salted_count_sum
+    df = spark.range(10_000).select(
+        F.when(F.col("id") < 9_000, F.lit("hot")).otherwise(
+            F.concat(F.lit("k"), (F.col("id") % 7).cast("string")))
+        .alias("k"),
+        (F.col("id") % 100).cast("double").alias("v"))
+    plain = {(r["k"]): (r["n"], round(r["s"], 4)) for r in
+             df.groupBy("k").agg(F.count("*").alias("n"),
+                                 F.sum("v").alias("s")).collect()}
+    salted = {(r["k"]): (r["n"], round(r["total"], 4)) for r in
+              salted_count_sum(df, ["k"], "v").collect()}
+    assert salted == plain
+    avg = {r["k"]: round(r["avg"], 6) for r in
+           salted_avg(df, ["k"], "v").collect()}
+    assert all(abs(avg[k] - plain[k][1] / plain[k][0]) < 1e-6 for k in avg)
+    # the first stage really spreads the hot key
+    from engine.datawork.skew import DEFAULT_SALT
+    spread = (df.withColumn("_salt", F.pmod(F.xxhash64("k", "v"),
+                                            F.lit(DEFAULT_SALT)))
+              .filter(F.col("k") == "hot").select("_salt").distinct().count())
+    assert spread > DEFAULT_SALT // 2

@@ -128,3 +128,21 @@ def test_asof_join_is_union_window_not_range_join(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Window" in plan
+
+
+def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
+    """Bucketing is the repo's stated co-location strategy for repeated
+    big-big joins at 100 TB (SURVEY §4): two tables bucketed+sorted on the
+    key must sort-merge-join with ZERO Exchange in the plan."""
+    for name in ("bt_a", "bt_b"):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        (spark.range(0, 10_000)
+         .select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+         .write.bucketBy(8, "k").sortBy("k")
+         .option("path", str(tmp_path / name)).saveAsTable(name))
+    a, b = spark.table("bt_a"), spark.table("bt_b")
+    plan = fmt(a.hint("merge").join(b, "k"))  # force SMJ (no broadcast out)
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan  # buckets line up — no shuffle either side
+    spark.sql("DROP TABLE bt_a")
+    spark.sql("DROP TABLE bt_b")
