@@ -10,6 +10,7 @@ columns, passed through where the op allows]):
     minhash-pairs   MinHash-LSH candidate near-dup pairs
     clusters        duplicate clusters (connected components over pairs)
     dedup-apply     the deduplicated corpus (one canonical doc per cluster)
+    dedup-apply-full  layered action: exact + near-dup losers dropped
     guard-report    skew-guard telemetry (hot shingles / hot buckets)
     vocab           top-k token vocabulary
     sample          reproducible hash sample (--percent)
@@ -43,6 +44,12 @@ def run_op(spark, op: str, input_path: str, percent: int = 10,
         from .dedup import minhash_lsh_candidates
         clusters = duplicate_clusters(minhash_lsh_candidates(docs))
         return deduplicated_corpus(docs, clusters)
+    if op == "dedup-apply-full":
+        from .clusters import duplicate_clusters
+        from .corpus import deduplicated_corpus_full
+        from .dedup import minhash_lsh_candidates
+        clusters = duplicate_clusters(minhash_lsh_candidates(docs))
+        return deduplicated_corpus_full(docs, clusters)
     if op == "guard-report":
         from .dedup import guard_report
         return guard_report(docs)
@@ -62,7 +69,8 @@ def main(argv=None) -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--op", required=True,
                     choices=["exact-dups", "minhash-pairs", "clusters",
-                             "dedup-apply", "guard-report", "vocab",
+                             "dedup-apply", "dedup-apply-full",
+                             "guard-report", "vocab",
                              "sample", "quantiles"])
     ap.add_argument("--input", required=True)
     ap.add_argument("--output", required=True)
