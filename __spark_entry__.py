@@ -226,11 +226,20 @@ def q_pipeline_lineage(spark, sf_dir):
     wall-clock fields are inherently non-SQL-reproducible)."""
     import shutil
     from engine.spark.pipeline import run_pipeline
-    # one fixed scratch dir per sf tag (repo convention /tmp/spark_graft_*),
-    # wiped before each run: repeated bench/oracle invocations must not
-    # accumulate output copies, and the returned DataFrame reads lazily so
-    # the dir cannot be deleted after the run
-    out = f"/tmp/spark_graft_lineage_q/{os.path.basename(sf_dir.rstrip('/'))}"
+    # scratch under /tmp/spark_graft_* (repo convention), keyed by sf tag
+    # AND pid: a fixed path would let two concurrent invocations (bench +
+    # oracle run) rmtree each other's in-flight output. A process reuses
+    # (and wipes) its own dir across invocations — no accumulation — and
+    # dirs left by dead processes are reaped here; the returned DataFrame
+    # reads lazily, so the dir cannot be deleted after the run instead.
+    base = "/tmp/spark_graft_lineage_q"
+    os.makedirs(base, exist_ok=True)
+    for entry in os.listdir(base):
+        pid = entry.rsplit("-pid", 1)[-1]
+        if pid.isdigit() and not os.path.exists(f"/proc/{pid}"):
+            shutil.rmtree(os.path.join(base, entry), ignore_errors=True)
+    out = (f"{base}/{os.path.basename(sf_dir.rstrip('/'))}"
+           f"-pid{os.getpid()}")
     shutil.rmtree(out, ignore_errors=True)
     os.makedirs(out, exist_ok=True)
     src = os.path.join(_synth_dir(sf_dir), "transcripts.parquet")

@@ -42,13 +42,43 @@ def duplicate_clusters(pairs: DataFrame, max_iterations: int = 15,
     ``checkpoint_dir``: when given, per-round labels are reliably
     checkpointed there (``df.checkpoint()``) so the job survives executor
     loss mid-iteration; when None, the fast local fallback
-    (``localCheckpoint``) is used — correct, but not fault-tolerant."""
+    (``localCheckpoint``) is used — correct, but not fault-tolerant.
+
+    Checkpoint hygiene: Spark never deletes superseded checkpoint files
+    (cleanCheckpoints defaults to false), so without intervention a
+    15-round run would leave 15 full label-table copies on the store. On
+    a LOCAL checkpoint_dir the round-(r-1) files are deleted as soon as
+    round r has materialized (only the latest checkpoint is referenced);
+    on a remote store (hdfs://, s3://) the caller owns cleanup of the dir
+    after consuming the result — documented, not silent. The
+    context-global checkpoint dir this call sets is restored on exit when
+    one was configured before."""
+    import glob
+    import os
+    import shutil
+
+    sc = pairs.sparkSession.sparkContext
+    prev_ckpt_dir = sc.getCheckpointDir() if checkpoint_dir is not None else None
     if checkpoint_dir is not None:
-        pairs.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+        sc.setCheckpointDir(checkpoint_dir)
+    is_local_ckpt = checkpoint_dir is not None and "://" not in checkpoint_dir
+    ckpt_rounds: list = []
 
     def materialize(df: DataFrame) -> DataFrame:
-        return (df.checkpoint(eager=True) if checkpoint_dir is not None
-                else df.localCheckpoint(eager=True))
+        if checkpoint_dir is None:
+            return df.localCheckpoint(eager=True)
+        before = set(glob.glob(os.path.join(checkpoint_dir, "*", "rdd-*"))) \
+            if is_local_ckpt else set()
+        out = df.checkpoint(eager=True)
+        if is_local_ckpt:
+            after = set(glob.glob(os.path.join(checkpoint_dir, "*", "rdd-*")))
+            ckpt_rounds.append(sorted(after - before))
+            if len(ckpt_rounds) >= 2:
+                # round r-1 is unreferenced once round r is materialized;
+                # the LAST round's files stay (the returned frame reads them)
+                for d in ckpt_rounds[-2]:
+                    shutil.rmtree(d, ignore_errors=True)
+        return out
 
     # cut the (possibly expensive) pair-generation lineage out of the loop:
     # every iteration and every convergence count would otherwise recompute
@@ -106,5 +136,7 @@ def duplicate_clusters(pairs: DataFrame, max_iterations: int = 15,
             f"iterations ({changed} labels still changing) — a component's "
             f"diameter exceeds the cap; raise max_iterations")
 
+    if prev_ckpt_dir:
+        sc.setCheckpointDir(prev_ckpt_dir)  # undo our context-global change
     return labels.select(F.col("id").alias("doc_id"),
                          F.col("label").alias("cluster_id"))

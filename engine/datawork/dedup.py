@@ -39,6 +39,24 @@ SIMHASH_BANDS = 4   # bands of 8 bits → all pairs with Hamming ≤ 3 share ≥
 _CACHE_SLOTS: dict = {}
 
 
+def _prune_dead_slots(current_app: str) -> None:
+    """Drop slot entries whose owning application has stopped (their
+    cached blocks died with the context; only the dict references
+    remain). Entries of OTHER live applications — concurrent sessions in
+    one driver — are kept: that isolation is the point of the app-scoped
+    key."""
+    for key in list(_CACHE_SLOTS):
+        app, _ = key
+        if app == current_app:
+            continue
+        try:
+            if _CACHE_SLOTS[key].sparkSession.sparkContext.applicationId == app:
+                continue  # still live
+        except Exception:
+            pass
+        _CACHE_SLOTS.pop(key, None)
+
+
 def _cache_slot(name: str, df: DataFrame) -> DataFrame:
     """Fill slot ``name`` with ``df`` persisted — UNLESS the slot already
     holds a semantically identical plan, in which case the existing
@@ -47,6 +65,7 @@ def _cache_slot(name: str, df: DataFrame) -> DataFrame:
     minhash_lsh_candidates just built instead of paying the k-min
     signature aggregation twice in a combined run."""
     key = (df.sparkSession.sparkContext.applicationId, name)
+    _prune_dead_slots(key[0])
     prev = _CACHE_SLOTS.get(key)
     if prev is not None:
         try:

@@ -220,6 +220,26 @@ def banded_buckets(df: DataFrame, id_col: str = "vec_id",
     return _explode_bands(sig, bands, rows)
 
 
+def candidate_pairs_from_banded(banded: DataFrame,
+                                max_bucket: int | None = None) -> DataFrame:
+    """Distinct (id_a, id_b) candidates from a (id, band, bucket) table —
+    THE candidate join cosine_pairs_above verifies, exposed as one
+    function so telemetry (tools/recall_report.py) counts exactly the
+    production join instead of maintaining a hand-copied twin that can
+    drift (e.g. if the guard default changes here)."""
+    if max_bucket is not None:
+        hot = (banded.groupBy("band", "bucket")
+               .agg(F.count("*").alias("bsz"))
+               .filter(F.col("bsz") > max_bucket).select("band", "bucket"))
+        banded = banded.join(F.broadcast(hot), ["band", "bucket"], "left_anti")
+    ca, cb = banded.alias("ca"), banded.alias("cb")
+    return (ca.join(cb, (F.col("ca.band") == F.col("cb.band"))
+                    & (F.col("ca.bucket") == F.col("cb.bucket"))
+                    & (F.col("ca.id") < F.col("cb.id")))
+            .select(F.col("ca.id").alias("id_a"), F.col("cb.id").alias("id_b"))
+            .distinct())
+
+
 def cosine_pairs_above(df: DataFrame, threshold: float = 0.95,
                        id_col: str = "vec_id", vec_col: str = "embedding",
                        bucketed: bool = True, bands: int = LSH_BANDS,
@@ -262,16 +282,7 @@ def cosine_pairs_above(df: DataFrame, threshold: float = 0.95,
         "embed_lsh_base",
         base.withColumn("sig", banded_sig_expr(F.col("v"), bands, rows)))
     banded = _explode_bands(base.select("id", "sig"), bands, rows)
-    if max_bucket is not None:
-        hot = (banded.groupBy("band", "bucket").agg(F.count("*").alias("bsz"))
-               .filter(F.col("bsz") > max_bucket).select("band", "bucket"))
-        banded = banded.join(F.broadcast(hot), ["band", "bucket"], "left_anti")
-    ca, cb = banded.alias("ca"), banded.alias("cb")
-    cand = (ca.join(cb, (F.col("ca.band") == F.col("cb.band"))
-                    & (F.col("ca.bucket") == F.col("cb.bucket"))
-                    & (F.col("ca.id") < F.col("cb.id")))
-            .select(F.col("ca.id").alias("id_a"), F.col("cb.id").alias("id_b"))
-            .distinct())
+    cand = candidate_pairs_from_banded(banded, max_bucket)
     a = base.select(F.col("id"), F.col("v"), F.col("nrm")).alias("a")
     b = base.select(F.col("id"), F.col("v"), F.col("nrm")).alias("b")
     pairs_ab = (cand.join(a, cand.id_a == F.col("a.id"))

@@ -34,10 +34,17 @@ def salted_count_sum(df: DataFrame, keys: Sequence[str],
     """groupBy(keys).agg(count(*) AS n, sum(sum_col) AS total) with a
     ``salt``-way first stage, immune to any single hot key.
 
-    The salt is a deterministic spread over the row's full content hash —
-    NOT rand() (retries/speculative tasks must re-salt identically or the
-    partial counts double)."""
-    salt_col: Column = F.pmod(F.xxhash64(*df.columns), F.lit(salt))
+    The salt spreads over the row's content hash PLUS a per-row position
+    term (monotonically_increasing_id): content alone would send
+    byte-identical rows — exactly the replayed/boilerplate shape that
+    creates hot keys — into ONE salt bucket and quietly rebuild the
+    single-task funnel. The position term is stable within a computation
+    (each row is read and aggregated once; a retried task recomputes its
+    whole partition, so partial aggregates are replaced wholesale, never
+    mixed)."""
+    salt_col: Column = F.pmod(
+        F.xxhash64(*df.columns, F.monotonically_increasing_id()),
+        F.lit(salt))
     partial = (df.withColumn("_salt", salt_col)
                .groupBy(*keys, "_salt")
                .agg(F.count("*").alias("_n"),

@@ -414,9 +414,26 @@ def test_salted_aggregate_exact_on_hot_key(spark):
     avg = {r["k"]: round(r["avg"], 6) for r in
            salted_avg(df, ["k"], "v").collect()}
     assert all(abs(avg[k] - plain[k][1] / plain[k][0]) < 1e-6 for k in avg)
-    # the first stage really spreads the hot key
-    from engine.datawork.skew import DEFAULT_SALT
-    spread = (df.withColumn("_salt", F.pmod(F.xxhash64("k", "v"),
-                                            F.lit(DEFAULT_SALT)))
-              .filter(F.col("k") == "hot").select("_salt").distinct().count())
-    assert spread > DEFAULT_SALT // 2
+
+
+def test_salted_aggregate_spreads_identical_rows(spark):
+    """The adversarial hot-key shape: 9,000 BYTE-IDENTICAL rows (replayed
+    boilerplate). A content-only salt would put them all in one salt
+    bucket; the position term must spread them, and the result must still
+    equal the plain aggregation exactly."""
+    from pyspark.sql import functions as F
+
+    from engine.datawork.skew import DEFAULT_SALT, salted_count_sum
+    df = spark.range(9_000).select(
+        F.lit("hot").alias("k"), F.lit(2.5).alias("v")).union(
+        spark.range(10).select(
+            F.concat(F.lit("k"), F.col("id").cast("string")).alias("k"),
+            F.lit(1.0).alias("v")))
+    [hot] = [r for r in salted_count_sum(df, ["k"], "v").collect()
+             if r["k"] == "hot"]
+    assert (hot["n"], hot["total"]) == (9_000, 22_500.0)
+    spread = (df.withColumn(
+        "_salt", F.pmod(F.xxhash64("k", "v", F.monotonically_increasing_id()),
+                        F.lit(DEFAULT_SALT)))
+        .filter(F.col("k") == "hot").select("_salt").distinct().count())
+    assert spread == DEFAULT_SALT  # identical rows still use every bucket

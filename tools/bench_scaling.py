@@ -88,8 +88,17 @@ def main() -> None:
               "rewrites ABOVE this marker; hand-maintained sections below "
               "survive re-runs. -->")
     tail = ""
-    if md.exists() and MARKER in md.read_text():
-        tail = md.read_text().split(MARKER, 1)[1]
+    if md.exists():
+        existing = md.read_text()
+        if MARKER not in existing:
+            # FAIL CLOSED: a file without the marker means a hand edit or
+            # conflict dropped it — overwriting here is exactly the
+            # destroy-the-history incident this split exists to prevent
+            raise SystemExit(
+                f"{md} exists but lacks the bench_scaling end marker; "
+                "re-add the marker (or remove the file) before re-running "
+                "— refusing to overwrite hand-maintained sections")
+        tail = existing.split(MARKER, 1)[1]
     md.write_text(f"""# BENCH — measured throughput & scaling (this engine)
 
 Measured {date.today().isoformat()} on this sandbox (single host, 32 hw
