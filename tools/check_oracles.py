@@ -61,10 +61,19 @@ def main() -> int:
                 f"read_parquet('{args.sf}/{t}.parquet')")
 
     qs = entry.queries()
-    oracles = entry.oracle_sql()
+    # scale-aware extraction oracles: the driver contract pins sf0.01, but
+    # any tag with committed expected_*.parquet can be cross-checked (the
+    # data-pipeline oracles are scale-free SQL either way)
+    exp_dir = REPO / "data" / "synth" / Path(args.sf).name
+    if (exp_dir / "expected_turns.parquet").exists():
+        from engine.oracle_sql import build_oracles
+        oracles = build_oracles(str(exp_dir))
+    else:
+        oracles = entry.oracle_sql()
+    only = set(args.only.split(",")) if args.only else None
     fails = []
     for name, fn in qs.items():
-        if args.only and name != args.only:
+        if only is not None and name not in only:
             continue
         t0 = time.monotonic()
         try:
