@@ -52,11 +52,44 @@ def build_corpus(spark, sf_dir: str, copies: int, cache_dir: str):
     return spark.read.parquet(str(out))
 
 
+def build_embedding_corpus(spark, sf_dir: str, copies: int, cache_dir: str):
+    """N× replicated embeddings: copy 0 pristine; each later copy nudges
+    ONE deterministic dimension by copy-dependent ±0.05 — near-identical
+    vectors (cosine ≈ 1) that are not byte-equal, the replayed-embedding
+    shape an embedding-dedup pass meets at scale."""
+    from pyspark.sql import functions as F
+    out = Path(cache_dir)
+    if not out.exists():
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        n = emb.selectExpr("max(vec_id) + 1 AS n").first()["n"]
+        rep = emb.select(
+            "vec_id", "embedding",
+            F.explode(F.sequence(F.lit(0), F.lit(copies - 1))).alias("copy"))
+        dim = F.pmod(F.col("vec_id") + F.col("copy"), F.lit(64))
+        nudge = (F.when(F.col("copy") % 2 == 1, F.lit(0.05))
+                 .otherwise(F.lit(-0.05))) * F.signum(F.col("copy"))
+        perturbed = F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x, i: F.when(i == dim, x + nudge).otherwise(x))
+        rep.select((F.col("vec_id") + F.col("copy") * F.lit(n)).alias("vec_id"),
+                   perturbed.alias("embedding")) \
+           .write.mode("overwrite").parquet(str(out))
+    return spark.read.parquet(str(out))
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
     ap.add_argument("--copies", type=int, default=10)
     ap.add_argument("--cpus", type=int, default=32)
+    ap.add_argument("--embeddings", action="store_true",
+                    help="soak the embedding near-dup path instead of text")
+    ap.add_argument("--max-bucket", type=int, default=200,
+                    help="band-bucket guard for the embedding soak")
+    ap.add_argument("--bands", type=int, default=16)
+    ap.add_argument("--rows", type=int, default=16,
+                    help="planes per band — must scale ~log2(N) (see the "
+                         "in-code note); the sf0.01 oracle default is 24x4")
     ap.add_argument("--json", action="store_true")
     args = ap.parse_args()
 
@@ -77,10 +110,7 @@ def main() -> int:
              .getOrCreate())
     spark.sparkContext.setLogLevel("ERROR")
 
-    docs = build_corpus(spark, args.sf, args.copies,
-                        f"/tmp/spark_graft_stress_{args.copies}x")
-    n_docs = docs.count()
-    out: dict = {"copies": args.copies, "n_docs": n_docs}
+    out: dict = {"copies": args.copies}
 
     def timed(name, fn):
         t0 = time.monotonic()
@@ -88,6 +118,45 @@ def main() -> int:
         out[name] = {"wall_s": round(time.monotonic() - t0, 1), **res}
         print(f"  {name}: {out[name]}", flush=True)
         return res
+
+    if args.embeddings:
+        from engine.datawork.similarity import cosine_pairs_above
+        emb = build_embedding_corpus(
+            spark, args.sf, args.copies,
+            f"/tmp/spark_graft_stress_emb_{args.copies}x")
+        out["n_vectors"] = emb.count()
+        out["bands"], out["rows"] = args.bands, args.rows
+        # THE banded-LSH scale rule this soak demonstrates: rows-per-band
+        # must grow ~log2(N / target_bucket). The sf0.01 default (24×4)
+        # gives 2^4 = 16 buckets per band — fine for 500 vectors, but at
+        # 500k EVERY bucket holds ~31k vectors and the guard would drop
+        # them all. rows=16 → 65,536 buckets/band keeps candidates sparse
+        # while the seeded plane stream supplies as many planes as asked.
+        pairs = cosine_pairs_above(emb, threshold=0.95, bucketed=True,
+                                   bands=args.bands, rows=args.rows,
+                                   max_bucket=args.max_bucket).persist()
+        timed("embed_near_pairs", lambda: {"pairs": pairs.count()})
+
+        def run_clusters():
+            cl = duplicate_clusters(
+                pairs, checkpoint_dir=(f"/tmp/spark_graft_stress_emb_ckpt_"
+                                       f"{args.copies}x"))
+            stats = (cl.groupBy("cluster_id").count()
+                     .agg(F.count("*").alias("clusters"),
+                          F.max("count").alias("max_cluster"),
+                          F.sum("count").alias("docs")).first())
+            return {"vectors_clustered": stats["docs"],
+                    "clusters": stats["clusters"],
+                    "max_cluster": stats["max_cluster"],
+                    "rounds": clusters_mod.LAST_ITERATIONS}
+        timed("embed_clusters", run_clusters)
+        if args.json:
+            print(json.dumps(out))
+        return 0
+
+    docs = build_corpus(spark, args.sf, args.copies,
+                        f"/tmp/spark_graft_stress_{args.copies}x")
+    out["n_docs"] = docs.count()
 
     timed("exact", lambda: {
         "groups": exact_duplicates(docs).count()})
