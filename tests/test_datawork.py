@@ -437,3 +437,20 @@ def test_salted_aggregate_spreads_identical_rows(spark):
                         F.lit(DEFAULT_SALT)))
         .filter(F.col("k") == "hot").select("_salt").distinct().count())
     assert spread == DEFAULT_SALT  # identical rows still use every bucket
+
+
+def test_banded_lsh_parameterized_layout_stays_exact_verified(spark, emb):
+    """The scale path tunes bands/rows per corpus size (BENCH: rows must
+    grow ~log2 N). A non-default layout must still emit only true pairs
+    (exact verify) and keep solid recall at a high threshold."""
+    from engine.datawork.similarity import cosine_pairs_above
+    truth = {(r["id_a"], r["id_b"]) for r in
+             cosine_pairs_above(emb, threshold=0.5, bucketed=False).collect()}
+    got = {(r["id_a"], r["id_b"]) for r in
+           cosine_pairs_above(emb, threshold=0.5, bucketed=True,
+                              bands=8, rows=8).collect()}
+    assert got <= truth            # precision 1.0 at any layout
+    if truth:
+        # p(0.5 cosine) = 1 - acos(0.5)/pi = 2/3; 1-(1-(2/3)^8)^8 ~ 0.28 —
+        # sf0.001's planted pairs are far above 0.5, where recall is high
+        assert len(got) / len(truth) >= 0.5
