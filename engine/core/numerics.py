@@ -18,6 +18,69 @@ _PCT_RE = re.compile(r"([+-]?\d+\.?\d*)\s*%")
 _CCY_RE = re.compile(r"([$€£¥])\s*(\d+(?:,\d{3})*(?:\.\d+)?)\s*([BMK])?")
 _WS_RE = re.compile(r"\s+")
 
+_CCY_SYMBOLS = "$€£¥"
+
+
+def _pct_iter(text: str):
+    """Yield exactly ``_PCT_RE.finditer(text)``'s matches, but only attempt
+    the regex near '%' occurrences (hint-windowed prescan — the same
+    exact-semantics trick as the companies suffix scan, VERDICT r3 #6).
+
+    Every match ends at a '%', so iterating '%' positions left-to-right
+    with a non-overlap cursor visits candidate matches in finditer order.
+    For each '%' the viable start region is found by scanning left over
+    the \\s* gap, then the [\\d.] run, then one optional sign — str
+    methods are exact here: ``isspace()`` ≡ ``\\s`` and ``isdecimal()`` ≡
+    ``\\d`` on every codepoint (verified exhaustively; pinned by the
+    differential fuzz test). The first start in the region where the full
+    regex matches is finditer's match (earlier starts fail for exactly
+    the reasons finditer rejects them)."""
+    pos = 0  # finditer's resume cursor: end of the previous match
+    find = text.find
+    i = find("%")
+    while i != -1:
+        if i >= pos:
+            j = i
+            while j > pos and text[j - 1].isspace():
+                j -= 1
+            k = j
+            while k > pos and (text[k - 1].isdecimal() or text[k - 1] == "."):
+                k -= 1
+            if k > pos and text[k - 1] in "+-":
+                k -= 1
+            m = None
+            for p in range(k, j):
+                m = _PCT_RE.match(text, p)
+                if m:
+                    break
+                m = None
+            if m is not None:
+                yield m
+                pos = m.end()
+        i = find("%", i + 1)
+
+
+def _ccy_iter(text: str):
+    """Yield exactly ``_CCY_RE.finditer(text)``'s matches via a symbol
+    prescan: the pattern STARTS at a currency symbol, and nothing a match
+    consumes ([\\s\\d,.BMK]) contains a symbol, so attempting the regex at
+    each symbol position ≥ the non-overlap cursor is exact."""
+    positions = []
+    for sym in _CCY_SYMBOLS:
+        start = text.find(sym)
+        while start != -1:
+            positions.append(start)
+            start = text.find(sym, start + 1)
+    positions.sort()
+    pos = 0
+    for i in positions:
+        if i < pos:
+            continue
+        m = _CCY_RE.match(text, i)
+        if m is not None:
+            yield m
+            pos = m.end()
+
 _CCY_SCALE = {"B": 1e9, "M": 1e6, "K": 1e3}
 
 MAX_NUMERICS_PER_PAGE = 50  # md_to_json_engine.py:257 — cap applied in document order
@@ -40,7 +103,7 @@ def extract_numerics(page_text: str, page_num: int) -> List[Dict]:
     """
     out: List[Dict] = []
 
-    for m in _PCT_RE.finditer(page_text):
+    for m in _pct_iter(page_text):
         raw = m.group(1)
         ctx = context_window(page_text, m.start(), m.end())
         out.append({
@@ -53,7 +116,7 @@ def extract_numerics(page_text: str, page_num: int) -> List[Dict]:
             "_start": m.start(), "_end": m.end(),
         })
 
-    for m in _CCY_RE.finditer(page_text):
+    for m in _ccy_iter(page_text):
         symbol, digits, mult = m.group(1), m.group(2).replace(",", ""), m.group(3)
         value = float(digits) * _CCY_SCALE.get(mult, 1.0)
         ctx = context_window(page_text, m.start(), m.end())

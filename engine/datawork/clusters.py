@@ -50,28 +50,34 @@ def duplicate_clusters(pairs: DataFrame, max_iterations: int = 15,
     a LOCAL checkpoint_dir the round-(r-1) files are deleted as soon as
     round r has materialized (only the latest checkpoint is referenced);
     on a remote store (hdfs://, s3://) the caller owns cleanup of the dir
-    after consuming the result — documented, not silent. The
-    context-global checkpoint dir this call sets is restored on exit when
-    one was configured before."""
+    after consuming the result — documented, not silent. Each call scopes
+    its checkpoints to a fresh ``run-<id>`` subdirectory (ADVICE r3:
+    concurrent checkpointed jobs sharing one dir must never attribute —
+    and later delete — each other's rdd-* files), and the context-global
+    checkpoint dir this call sets is restored on EVERY exit path,
+    including the unset case as far as the JVM API allows."""
     import glob
     import os
     import shutil
+    import uuid
 
     sc = pairs.sparkSession.sparkContext
     prev_ckpt_dir = sc.getCheckpointDir() if checkpoint_dir is not None else None
+    scoped_dir = None
     if checkpoint_dir is not None:
-        sc.setCheckpointDir(checkpoint_dir)
+        scoped_dir = (checkpoint_dir.rstrip("/") + "/run-" + uuid.uuid4().hex)
+        sc.setCheckpointDir(scoped_dir)
     is_local_ckpt = checkpoint_dir is not None and "://" not in checkpoint_dir
     ckpt_rounds: list = []
 
     def materialize(df: DataFrame) -> DataFrame:
         if checkpoint_dir is None:
             return df.localCheckpoint(eager=True)
-        before = set(glob.glob(os.path.join(checkpoint_dir, "*", "rdd-*"))) \
+        before = set(glob.glob(os.path.join(scoped_dir, "*", "rdd-*"))) \
             if is_local_ckpt else set()
         out = df.checkpoint(eager=True)
         if is_local_ckpt:
-            after = set(glob.glob(os.path.join(checkpoint_dir, "*", "rdd-*")))
+            after = set(glob.glob(os.path.join(scoped_dir, "*", "rdd-*")))
             ckpt_rounds.append(sorted(after - before))
             if len(ckpt_rounds) >= 2:
                 # round r-1 is unreferenced once round r is materialized;
@@ -79,6 +85,20 @@ def duplicate_clusters(pairs: DataFrame, max_iterations: int = 15,
                 for d in ckpt_rounds[-2]:
                     shutil.rmtree(d, ignore_errors=True)
         return out
+
+    def _restore_checkpoint_dir() -> None:
+        if checkpoint_dir is None:
+            return
+        if prev_ckpt_dir:
+            sc.setCheckpointDir(prev_ckpt_dir)
+            return
+        try:  # no public unset API — clear the scala Option directly so
+            # later unrelated df.checkpoint() calls cannot silently write
+            # into (and depend on) this call's possibly-temporary dir
+            getattr(sc._jsc.sc(), "checkpointDir_$eq")(
+                sc._jvm.scala.Option.empty())
+        except Exception:
+            pass  # best effort; the scoped run-dir still isolates writers
 
     # cut the (possibly expensive) pair-generation lineage out of the loop:
     # every iteration and every convergence count would otherwise recompute
@@ -98,45 +118,49 @@ def duplicate_clusters(pairs: DataFrame, max_iterations: int = 15,
               .withColumn("label", F.col("id")))
 
     global LAST_ITERATIONS
-    for i in range(max_iterations):
-        LAST_ITERATIONS = i + 1
-        neighbor_min = (edges.join(labels, edges.dst == labels.id)
-                        .groupBy("src").agg(F.min("label").alias("nbr_label")))
-        # path compression: each node also adopts its label's label
-        # (pointer doubling) — without it, min propagation needs
-        # O(component diameter) rounds and a 40-doc duplicate CHAIN would
-        # blow the iteration cap; with it convergence is O(log diameter).
-        lbl2 = labels.select(F.col("id").alias("l_id"),
-                             F.col("label").alias("l_label"))
-        compressed = (labels.join(lbl2, labels.label == lbl2.l_id, "left")
-                      .select(labels.id, labels.label,
-                              F.coalesce(F.col("l_label"), F.col("label"))
-                              .alias("label2")))
-        # ONE action per round: carry the old label through the propagation
-        # join, checkpoint (materializes + truncates lineage), then the
-        # convergence count is a filter over the checkpointed rows — no
-        # second label-join/shuffle per round (round-1 inefficiency).
-        new_labels = (compressed.join(neighbor_min,
-                                      compressed.id == neighbor_min.src,
-                                      "left")
-                      .select(compressed.id,
-                              F.col("label").alias("old_label"),
-                              F.least(F.col("label2"),
-                                      F.coalesce(F.col("nbr_label"),
-                                                 F.col("label")))
-                              .alias("label")))
-        new_labels = materialize(new_labels)
-        changed = new_labels.filter(F.col("label") != F.col("old_label")).count()
-        labels = new_labels.select("id", "label")
-        if changed == 0:
-            break
-    else:
-        raise RuntimeError(
-            f"duplicate_clusters did not converge in {max_iterations} "
-            f"iterations ({changed} labels still changing) — a component's "
-            f"diameter exceeds the cap; raise max_iterations")
-
-    if prev_ckpt_dir:
-        sc.setCheckpointDir(prev_ckpt_dir)  # undo our context-global change
+    try:
+        for i in range(max_iterations):
+            LAST_ITERATIONS = i + 1
+            neighbor_min = (edges.join(labels, edges.dst == labels.id)
+                            .groupBy("src")
+                            .agg(F.min("label").alias("nbr_label")))
+            # path compression: each node also adopts its label's label
+            # (pointer doubling) — without it, min propagation needs
+            # O(component diameter) rounds and a 40-doc duplicate CHAIN
+            # would blow the iteration cap; with it convergence is
+            # O(log diameter).
+            lbl2 = labels.select(F.col("id").alias("l_id"),
+                                 F.col("label").alias("l_label"))
+            compressed = (labels.join(lbl2, labels.label == lbl2.l_id, "left")
+                          .select(labels.id, labels.label,
+                                  F.coalesce(F.col("l_label"), F.col("label"))
+                                  .alias("label2")))
+            # ONE action per round: carry the old label through the
+            # propagation join, checkpoint (materializes + truncates
+            # lineage), then the convergence count is a filter over the
+            # checkpointed rows — no second label-join/shuffle per round
+            # (round-1 inefficiency).
+            new_labels = (compressed.join(neighbor_min,
+                                          compressed.id == neighbor_min.src,
+                                          "left")
+                          .select(compressed.id,
+                                  F.col("label").alias("old_label"),
+                                  F.least(F.col("label2"),
+                                          F.coalesce(F.col("nbr_label"),
+                                                     F.col("label")))
+                                  .alias("label")))
+            new_labels = materialize(new_labels)
+            changed = new_labels.filter(
+                F.col("label") != F.col("old_label")).count()
+            labels = new_labels.select("id", "label")
+            if changed == 0:
+                break
+        else:
+            raise RuntimeError(
+                f"duplicate_clusters did not converge in {max_iterations} "
+                f"iterations ({changed} labels still changing) — a "
+                f"component's diameter exceeds the cap; raise max_iterations")
+    finally:
+        _restore_checkpoint_dir()  # every exit path, incl. non-convergence
     return labels.select(F.col("id").alias("doc_id"),
                          F.col("label").alias("cluster_id"))

@@ -57,13 +57,36 @@ def _prune_dead_slots(current_app: str) -> None:
         _CACHE_SLOTS.pop(key, None)
 
 
+def clear_cache_slots(spark=None) -> None:
+    """Unpersist and drop every slot owned by ``spark`` (or all slots when
+    None). Long-lived driver sessions whose INPUT FILES are rewritten in
+    place must call this between runs: sameSemantics matches on the plan
+    (including the path), not the file contents, so a matching slot would
+    otherwise serve the pre-rewrite data (ADVICE r3 — the documented
+    staleness contract of _cache_slot)."""
+    app = spark.sparkContext.applicationId if spark is not None else None
+    for key in list(_CACHE_SLOTS):
+        if app is not None and key[0] != app:
+            continue
+        try:
+            _CACHE_SLOTS[key].unpersist()
+        except Exception:
+            pass
+        _CACHE_SLOTS.pop(key, None)
+
+
 def _cache_slot(name: str, df: DataFrame) -> DataFrame:
     """Fill slot ``name`` with ``df`` persisted — UNLESS the slot already
     holds a semantically identical plan, in which case the existing
     (possibly already materialized) table is returned. That reuse is how
     e.g. guard_report shares the band-bucket aggregate that
     minhash_lsh_candidates just built instead of paying the k-min
-    signature aggregation twice in a combined run."""
+    signature aggregation twice in a combined run.
+
+    Staleness contract: reuse is by PLAN equality — if the files under an
+    input path are rewritten in place during one driver session, a
+    matching slot keeps serving the data it materialized first. Callers
+    with mutable inputs call ``clear_cache_slots`` between runs."""
     key = (df.sparkSession.sparkContext.applicationId, name)
     _prune_dead_slots(key[0])
     prev = _CACHE_SLOTS.get(key)
@@ -247,6 +270,25 @@ def minhash_band_buckets(df: DataFrame, id_col: str = "doc_id",
             .select("id", "bb.band", "bb.bucket"))
 
 
+def _minhash_bucket_slot(df: DataFrame, id_col: str, text_col: str, n: int,
+                         k: int = MINHASH_K,
+                         bands: int = MINHASH_BANDS) -> DataFrame:
+    """The shared, cached (id, band, bucket) table — repartitioned by
+    (band, bucket) BEFORE the persist, so every consumer that shuffles on
+    those keys (the candidate self-join's both sides, the hot-bucket
+    aggregate, guard telemetry) reads the cache's outputPartitioning and
+    adds ZERO further Exchange. Same trick as the clusters edge table
+    (clusters.py): the big table is shuffled once at build, not once per
+    consumer. Both call sites MUST build this identical plan — the slot
+    reuses via sameSemantics, so a shape drift here would silently double
+    the k-min signature aggregation in combined runs."""
+    sh = _cache_slot_peek("shingles", shingles(df, id_col, text_col, n))
+    return _cache_slot(
+        "minhash_buckets",
+        minhash_band_buckets(df, id_col, text_col, n, k, bands, shingles_df=sh)
+        .repartition("band", "bucket"))
+
+
 def minhash_lsh_candidates(df: DataFrame, id_col: str = "doc_id",
                            text_col: str = "text", n: int = 3,
                            k: int = MINHASH_K,
@@ -265,11 +307,9 @@ def minhash_lsh_candidates(df: DataFrame, id_col: str = "doc_id",
     # streams straight into the signature aggregation (materializing it
     # costs more than it saves — see _cache_slot_peek). The buckets slot is
     # shared with guard_report, so a combined run pays the k-min signature
-    # aggregation exactly once.
-    sh = _cache_slot_peek("shingles", shingles(df, id_col, text_col, n))
-    all_buckets = _cache_slot(
-        "minhash_buckets",
-        minhash_band_buckets(df, id_col, text_col, n, k, bands, shingles_df=sh))
+    # aggregation exactly once; it is pre-partitioned by (band, bucket) so
+    # the self-join below adds no Exchange over the cached table.
+    all_buckets = _minhash_bucket_slot(df, id_col, text_col, n, k, bands)
     # Pair generation stays a self-JOIN on (band, bucket) — an A/B at the
     # 500k-doc soak (BENCH/BASELINE.md) settled this: a grouped-array
     # variant (groupBy → bounded id array → map-side C(n,2) pairs via
@@ -294,7 +334,9 @@ def minhash_lsh_candidates(df: DataFrame, id_col: str = "doc_id",
 def guard_report(docs: DataFrame, emb: DataFrame | None = None,
                  id_col: str = "doc_id", text_col: str = "text", n: int = 3,
                  max_df: int = 1000, max_bucket: int = 100,
-                 embed_max_bucket: int = 200) -> DataFrame:
+                 embed_max_bucket: int = 200,
+                 embed_bands: int | None = None,
+                 embed_rows: int | None = None) -> DataFrame:
     """Skew-guard telemetry: one row per guard with how many hot keys the
     guard would drop and how many underlying rows those keys carry.
 
@@ -322,17 +364,20 @@ def guard_report(docs: DataFrame, emb: DataFrame | None = None,
     jacc = one("jaccard_max_df", max_df,
                sh.groupBy("shingle").agg(F.count("*").alias("cnt")))
 
-    buckets = _cache_slot(
-        "minhash_buckets",
-        minhash_band_buckets(docs, id_col, text_col, n, shingles_df=sh))
+    buckets = _minhash_bucket_slot(docs, id_col, text_col, n)
     mh = one("minhash_max_bucket", max_bucket,
              buckets.groupBy("band", "bucket").agg(F.count("*").alias("cnt")))
 
     out = jacc.unionByName(mh)
     if emb is not None:
-        # the SAME banded layout cosine_pairs_above joins on
-        from .similarity import banded_buckets
-        banded = banded_buckets(emb)
+        # the SAME banded layout cosine_pairs_above joins on — derived from
+        # the embed_lsh_base cache slot when a combined embed-dedup +
+        # telemetry run already computed the sign bits (one 96-plane
+        # signature computation per run, not two)
+        from .similarity import LSH_BANDS, LSH_ROWS, banded_buckets_shared
+        banded = banded_buckets_shared(
+            emb, bands=embed_bands if embed_bands is not None else LSH_BANDS,
+            rows=embed_rows if embed_rows is not None else LSH_ROWS)
         embg = one("embed_max_bucket", embed_max_bucket,
                    banded.groupBy("band", "bucket").agg(F.count("*").alias("cnt")))
         out = out.unionByName(embg)

@@ -220,6 +220,53 @@ def banded_buckets(df: DataFrame, id_col: str = "vec_id",
     return _explode_bands(sig, bands, rows)
 
 
+LSH_TARGET_BUCKET = 32  # aimed-for mean bucket population per band
+LSH_MAX_ROWS = 24       # plane-stream budget cap (24 bands × 24 rows planes)
+
+
+def auto_rows(n_vectors: int, target_bucket: int = LSH_TARGET_BUCKET,
+              floor: int = LSH_ROWS, cap: int = LSH_MAX_ROWS) -> int:
+    """Planes-per-band for a corpus of ``n_vectors`` — the scaling rule the
+    200k-vector soak pinned (BENCH/BASELINE.md): a band has 2^rows buckets,
+    so rows must grow ~log₂(N / target bucket population) or every bucket
+    degenerates to ~N/2^rows vectors and the guard (correctly) drops them
+    all. floor=4 keeps the small-N layout at the 24×4 oracle pin; the cap
+    bounds the plane-stream budget (2^24 buckets per band is already far
+    beyond any bucket-population concern)."""
+    import math
+    if n_vectors <= target_bucket:
+        return floor
+    return min(cap, max(floor, math.ceil(math.log2(n_vectors / target_bucket))))
+
+
+def _lsh_base_plan(df: DataFrame, id_col: str, vec_col: str,
+                   bands: int, rows: int) -> DataFrame:
+    """(id, v, nrm, sig) — THE plan cosine_pairs_above caches under the
+    ``embed_lsh_base`` slot. Single source of truth: any consumer that
+    wants to share that cache (guard telemetry) must build this exact
+    shape, or sameSemantics cannot match and the 96-plane sign
+    computation silently runs twice in a combined run."""
+    from .dedup import _ensure_parallelism
+    base = _ensure_parallelism(df).select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+        norm(F.col(vec_col)).alias("nrm"))
+    return base.withColumn("sig", banded_sig_expr(F.col("v"), bands, rows))
+
+
+def banded_buckets_shared(df: DataFrame, id_col: str = "vec_id",
+                          vec_col: str = "embedding", bands: int = LSH_BANDS,
+                          rows: int = LSH_ROWS) -> DataFrame:
+    """(id, band, bucket) derived from the ``embed_lsh_base`` cache slot
+    when a cosine_pairs_above run already populated it (opportunistic —
+    a standalone telemetry run computes the signatures fresh WITHOUT
+    paying a persist; see dedup._cache_slot_peek). Values are identical
+    to banded_buckets: both slice the same banded_sig_expr string."""
+    from .dedup import _cache_slot_peek
+    base = _cache_slot_peek(
+        "embed_lsh_base", _lsh_base_plan(df, id_col, vec_col, bands, rows))
+    return _explode_bands(base.select("id", "sig"), bands, rows)
+
+
 def candidate_pairs_from_banded(banded: DataFrame,
                                 max_bucket: int | None = None) -> DataFrame:
     """Distinct (id_a, id_b) candidates from a (id, band, bucket) table —
@@ -243,7 +290,7 @@ def candidate_pairs_from_banded(banded: DataFrame,
 def cosine_pairs_above(df: DataFrame, threshold: float = 0.95,
                        id_col: str = "vec_id", vec_col: str = "embedding",
                        bucketed: bool = True, bands: int = LSH_BANDS,
-                       rows: int = LSH_ROWS,
+                       rows: int | None = None,
                        max_bucket: int | None = None) -> DataFrame:
     """Embedding-cosine near-dup pairs ≥ threshold.
 
@@ -253,14 +300,18 @@ def cosine_pairs_above(df: DataFrame, threshold: float = 0.95,
     1.0 and recall is 1-(1-p^rows)^bands. ``bucketed=False`` is the exact
     all-pairs small-N path (the oracle for the banded one).
 
+    ``rows=None`` (default) SELF-SCALES the layout: one metadata count of
+    the corpus feeds ``auto_rows`` (rows ≈ log₂(N / target bucket
+    population)), so a caller at 200k vectors gets r≥12 instead of the
+    degenerate 16-buckets-per-band small-N layout (the round-3 soak's
+    manual override, now automatic). Pass rows explicitly to pin a layout
+    (the sf0.01 oracle pin is 24×4, which auto reproduces at N≤2^9·32).
+
     ``max_bucket`` (scale guard, off by default) drops band-buckets holding
     more than that many vectors before the self-join — a degenerate bucket
     of B vectors costs B² join rows; mirrors max_df in ngram_jaccard_pairs.
     """
     from .dedup import _ensure_parallelism
-    base = _ensure_parallelism(df).select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
-        norm(F.col(vec_col)).alias("nrm"))
     dotprod = F.aggregate(
         F.zip_with(F.col("a.v").cast("array<double>"),
                    F.col("b.v").cast("array<double>"), lambda x, y: x * y),
@@ -271,16 +322,24 @@ def cosine_pairs_above(df: DataFrame, threshold: float = 0.95,
                          .alias("cosine"))
                 .filter(F.col("cosine") >= threshold))
     if not bucketed:
+        base = _ensure_parallelism(df).select(
+            F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+            norm(F.col(vec_col)).alias("nrm"))
         a, b = base.alias("a"), base.alias("b")
         return verify(a.join(b, F.col("a.id") < F.col("b.id")))
 
+    if rows is None:
+        # self-scaling layout: ONE metadata count (parquet footer statistics
+        # — no scan) picks rows ≈ log₂(N / target bucket population)
+        rows = auto_rows(df.count())
+
     # sign bits for all bands·rows planes computed once; cached because the
     # candidate join consumes the banded table twice and the verify join
-    # consumes base twice (bounded slot, see dedup._cache_slot)
+    # consumes base twice (bounded slot, see dedup._cache_slot). The plan
+    # is built by _lsh_base_plan so guard telemetry can share the slot.
     from .dedup import _cache_slot
     base = _cache_slot(
-        "embed_lsh_base",
-        base.withColumn("sig", banded_sig_expr(F.col("v"), bands, rows)))
+        "embed_lsh_base", _lsh_base_plan(df, id_col, vec_col, bands, rows))
     banded = _explode_bands(base.select("id", "sig"), bands, rows)
     cand = candidate_pairs_from_banded(banded, max_bucket)
     a = base.select(F.col("id"), F.col("v"), F.col("nrm")).alias("a")

@@ -41,17 +41,33 @@ def salted_count_sum(df: DataFrame, keys: Sequence[str],
     single-task funnel. The position term is stable within a computation
     (each row is read and aggregated once; a retried task recomputes its
     whole partition, so partial aggregates are replaced wholesale, never
-    mixed)."""
+    mixed).
+
+    Safe on arbitrary frames (ADVICE r3): only keys + sum_col are
+    projected before salting, so unhashable payload columns (maps) never
+    reach xxhash64, and the internal column names are suffixed until
+    absent from the input, so same-named user columns cannot be clobbered
+    by withColumn."""
+    cols = list(dict.fromkeys([*keys, sum_col]))  # ordered, deduped
+    df = df.select(*cols)
+
+    def fresh(base: str) -> str:
+        name = base
+        while name in df.columns:
+            name += "_x"
+        return name
+
+    c_salt, c_n, c_s = fresh("_salt"), fresh("_n"), fresh("_s")
     salt_col: Column = F.pmod(
-        F.xxhash64(*df.columns, F.monotonically_increasing_id()),
+        F.xxhash64(*cols, F.monotonically_increasing_id()),
         F.lit(salt))
-    partial = (df.withColumn("_salt", salt_col)
-               .groupBy(*keys, "_salt")
-               .agg(F.count("*").alias("_n"),
-                    F.sum(sum_col).alias("_s")))
+    partial = (df.withColumn(c_salt, salt_col)
+               .groupBy(*keys, c_salt)
+               .agg(F.count("*").alias(c_n),
+                    F.sum(sum_col).alias(c_s)))
     return (partial.groupBy(*keys)
-            .agg(F.sum("_n").alias("n"),
-                 F.sum("_s").alias("total")))
+            .agg(F.sum(c_n).alias("n"),
+                 F.sum(c_s).alias("total")))
 
 
 def salted_avg(df: DataFrame, keys: Sequence[str],

@@ -58,19 +58,26 @@ def _assemble_group(pdf: pd.DataFrame) -> pd.DataFrame:
     try:
         # dirty-row tolerance: turn_idx arrives float64 when any row is null
         pdf = pdf.sort_values("turn_idx", na_position="last")
+        # column-zip staging, NOT iterrows: a per-row Series materialization
+        # per turn measured ~2× the staging cost of this one grouped-map
+        # stage (VERDICT r3 #5); .tolist() converts each column once
+        cols = [pdf[c].tolist() for c in
+                ("turn_idx", "payload_kind", "title", "language", "tickers",
+                 "passages", "tables", "numerics", "entities", "figures")]
         records = []
-        for _, row in pdf.iterrows():
+        for (turn_idx, payload_kind, title, language, tickers, passages,
+             tables, numerics, entities, figures) in zip(*cols):
             records.append({
-                "turn_idx": 0 if pd.isna(row["turn_idx"]) else int(row["turn_idx"]),
-                "payload_kind": row["payload_kind"],
-                "title": row["title"],
-                "language": row["language"],
-                "tickers": _plain(row["tickers"]),
-                "passages": _plain(row["passages"]),
-                "tables": _plain(row["tables"]),
-                "numerics": _plain(row["numerics"]),
-                "entities": _plain(row["entities"]),
-                "figures": _plain(row["figures"]),
+                "turn_idx": 0 if pd.isna(turn_idx) else int(turn_idx),
+                "payload_kind": payload_kind,
+                "title": title,
+                "language": language,
+                "tickers": _plain(tickers),
+                "passages": _plain(passages),
+                "tables": _plain(tables),
+                "numerics": _plain(numerics),
+                "entities": _plain(entities),
+                "figures": _plain(figures),
             })
         doc = build_conversation_document(conv_id, records)
         ok, err = validate_document(doc)

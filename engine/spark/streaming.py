@@ -81,7 +81,8 @@ SESSION_STATE_SCHEMA = ("last_ts long, session_id long, "
                         "n_events long, value_sum double")
 
 
-def stateful_sessionize(stream: DataFrame, gap_s: int = 300) -> DataFrame:
+def stateful_sessionize(stream: DataFrame, gap_s: int = 300,
+                        timeout_ms: int | None = None) -> DataFrame:
     """Custom stateful operator via applyInPandasWithState: per-user
     sessions split on > ``gap_s`` event-time gaps, session state carried
     ACROSS micro-batches. An event with user_id IS NULL-safe value and
@@ -97,13 +98,33 @@ def stateful_sessionize(stream: DataFrame, gap_s: int = 300) -> DataFrame:
     a later micro-batch continue numbering instead of emitting duplicate
     (user_id, session_id) keys into the append-mode sink. The cost is that
     flushed users retain a row of state for the rest of the run — fine for
-    the bounded replays this drives; an unbounded deployment should evict
-    via the timeout mechanism instead of sentinels.
+    the bounded replays this drives.
+
+    ``timeout_ms`` (VERDICT r3 #7) is the unbounded-deployment eviction
+    path: ProcessingTimeTimeout instead of NoTimeout. A user idle for
+    ``timeout_ms`` of processing time has the open session emitted ONCE
+    and the state row REMOVED — state is bounded by the active-user set,
+    not the all-time user set. The documented tradeoff vs sentinel mode:
+    eviction forgets the session counter, so a user reappearing after a
+    timeout restarts numbering at 1 (an unbounded consumer keys sessions
+    on (user_id, session start time), not a per-user ordinal).
     """
     import pandas as pd
 
     def fn(key, pdf_iter, state):
         (user_id,) = key
+        if timeout_ms is not None and state.hasTimedOut:
+            # idle past the horizon: emit the open session once, evict
+            out = []
+            if state.exists:
+                last_ts, session_id, n_events, value_sum = state.get
+                if n_events:
+                    out.append((user_id, session_id, n_events, value_sum))
+                state.remove()
+            if out:
+                yield pd.DataFrame(out, columns=["user_id", "session_id",
+                                                 "n_events", "value_sum"])
+            return
         pdf = pd.concat(list(pdf_iter), ignore_index=True)
         pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
         if state.exists:
@@ -131,10 +152,20 @@ def stateful_sessionize(stream: DataFrame, gap_s: int = 300) -> DataFrame:
             value_sum += float(value)
         if n_events:
             state.update((last_ts, session_id, n_events, value_sum))
+            if timeout_ms is not None:
+                # the timeout timestamp is cleared on every invocation for
+                # the key — re-arm it whenever a session stays open
+                state.setTimeoutDuration(timeout_ms)
         elif session_id:
             # closed by a sentinel: keep the counter so a later batch for
-            # this user continues numbering (no duplicate session keys)
-            state.update((None, session_id, 0, 0.0))
+            # this user continues numbering (no duplicate session keys) —
+            # in timeout mode there is nothing left to emit, so drop the
+            # row instead (numbering restart is timeout mode's documented
+            # contract, and keeping it would defeat the bounded-state point)
+            if timeout_ms is None:
+                state.update((None, session_id, 0, 0.0))
+            elif state.exists:
+                state.remove()
         elif state.exists:
             state.remove()
         if out:
@@ -142,9 +173,9 @@ def stateful_sessionize(stream: DataFrame, gap_s: int = 300) -> DataFrame:
                                              "n_events", "value_sum"])
 
     return (stream.groupBy("user_id")
-            .applyInPandasWithState(fn, SESSION_OUT_SCHEMA,
-                                    SESSION_STATE_SCHEMA, "append",
-                                    "NoTimeout"))
+            .applyInPandasWithState(
+                fn, SESSION_OUT_SCHEMA, SESSION_STATE_SCHEMA, "append",
+                "NoTimeout" if timeout_ms is None else "ProcessingTimeTimeout"))
 
 
 def streaming_conversation_counts(stream: DataFrame,

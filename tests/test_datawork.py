@@ -339,6 +339,24 @@ def test_duplicate_clusters_reliable_checkpoint_identical(spark, tmp_path):
     assert os.listdir(str(tmp_path / "ckpt"))  # really wrote checkpoints
 
 
+def test_duplicate_clusters_scopes_and_restores_checkpoint_dir(spark, tmp_path):
+    """ADVICE r3: each call checkpoints under its own run-<id> subdirectory
+    (concurrent jobs sharing a dir must never delete each other's files),
+    and the context-global checkpoint dir is restored on exit — INCLUDING
+    back to unset when none was configured before."""
+    import os
+
+    from engine.datawork.clusters import duplicate_clusters
+    sc = spark.sparkContext
+    prev = sc.getCheckpointDir()
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a bigint, id_b bigint")
+    duplicate_clusters(pairs, checkpoint_dir=str(tmp_path / "ck")).collect()
+    assert sc.getCheckpointDir() == prev  # restored, even from unset
+    duplicate_clusters(pairs, checkpoint_dir=str(tmp_path / "ck")).collect()
+    runs = os.listdir(str(tmp_path / "ck"))
+    assert len(runs) == 2 and all(r.startswith("run-") for r in runs)
+
+
 def test_cache_slot_reuses_semantically_equal_plan(spark, docs):
     """VERDICT r2 #6: guard_report must reuse the band-bucket table
     minhash_lsh_candidates built (one signature aggregation per combined
@@ -454,3 +472,23 @@ def test_banded_lsh_parameterized_layout_stays_exact_verified(spark, emb):
         # p(0.5 cosine) = 1 - acos(0.5)/pi = 2/3; 1-(1-(2/3)^8)^8 ~ 0.28 —
         # sf0.001's planted pairs are far above 0.5, where recall is high
         assert len(got) / len(truth) >= 0.5
+
+
+def test_auto_rows_scales_with_corpus_size(spark, emb):
+    """VERDICT r3 #3: rows defaults from the corpus size (rows ≈
+    log2(N / target bucket population)). Small corpora keep the 24×4
+    oracle pin; the 200k-vector soak scale must select r≥12 instead of
+    the degenerate 16-buckets-per-band layout; and the auto path must
+    produce exactly the explicit-argument result at test scale."""
+    from engine.datawork.similarity import auto_rows, cosine_pairs_above
+    assert auto_rows(50) == 4
+    assert auto_rows(500) == 4          # the sf0.01 oracle layout
+    assert auto_rows(200_000) >= 12     # the soak's manual override, auto
+    assert auto_rows(500_000) >= 12
+    assert auto_rows(10**12) == 24      # capped plane budget
+    explicit = {(r["id_a"], r["id_b"]) for r in
+                cosine_pairs_above(emb, threshold=0.5, bucketed=True,
+                                   rows=4).collect()}
+    auto = {(r["id_a"], r["id_b"]) for r in
+            cosine_pairs_above(emb, threshold=0.5, bucketed=True).collect()}
+    assert auto == explicit

@@ -59,3 +59,27 @@ def test_infer_unit_and_metric_type():
     assert infer_metric_type(None, None, "12 per share", None, False) == "per_share"
     assert infer_metric_type("ratio", None, "", None, False) == "ratio"
     assert infer_metric_type(None, None, "nothing special", None, False) == "other"
+
+
+def test_numeric_prescan_matches_direct_finditer():
+    """The hint-windowed %/symbol prescan must yield byte-identical match
+    sequences to the direct finditer it replaced (N1/N2 parity contract —
+    same trick, same differential guarantee, as the companies scan)."""
+    import random
+
+    from engine.core import numerics
+
+    def spans(it):
+        return [(m.start(), m.end(), m.groups()) for m in it]
+
+    rng = random.Random(11)
+    toks = ["5", "12.5", "1.2.3", "..5", "+", "-", "+-", "%", " %", "%%",
+            "$", "€", "£", "¥", "$ ", "B", "M", "K", "1,200", "1,20",
+            ",", ".", " ", "\n", "\t", " ", "x", "abc", "٣٤",
+            "5%", "$5.2B", "-3.1 %", "（", "5 5%", "$%", "%5", ""]
+    for _ in range(6000):
+        t = "".join(rng.choice(toks) for _ in range(rng.randint(0, 24)))
+        assert spans(numerics._pct_iter(t)) == \
+            spans(numerics._PCT_RE.finditer(t)), repr(t)
+        assert spans(numerics._ccy_iter(t)) == \
+            spans(numerics._CCY_RE.finditer(t)), repr(t)

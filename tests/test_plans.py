@@ -130,6 +130,47 @@ def test_asof_join_is_union_window_not_range_join(spark):
     assert "Window" in plan
 
 
+def tree_of(plan: str) -> str:
+    """The operator-tree section of a formatted explain (details for the
+    cached InMemoryRelation would otherwise pollute node counting)."""
+    return plan[:plan.index("(1)")]
+
+
+def test_minhash_candidate_join_adds_no_exchange_over_bucket_cache(spark):
+    """VERDICT r3 #1: the bucket table is repartitioned by (band, bucket)
+    BEFORE the persist, so the candidate self-join (and the hot-bucket
+    aggregate) read the cache's outputPartitioning and add ZERO further
+    Exchange — the only shuffle left in the candidates plan is the final
+    pair-distinct. Broadcast is disabled so the tiny test corpus plans the
+    same sort-merge self-join a 500k-doc run would."""
+    from engine.datawork.dedup import minhash_lsh_candidates
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = fmt(minhash_lsh_candidates(docs))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    tree = tree_of(plan)
+    assert "InMemoryTableScan" in tree          # reading the shared cache
+    # exactly ONE shuffle Exchange: the pair-distinct (' Exchange (' does
+    # not match BroadcastExchange — the hot-list anti-join stays broadcast)
+    assert tree.count(" Exchange (") == 1
+    assert "SortMergeJoin" in tree              # the self-join, co-partitioned
+
+
+def test_guard_embed_buckets_reuse_lsh_base_cache(spark):
+    """VERDICT r3 #4: after cosine_pairs_above populates the embed_lsh_base
+    slot, guard telemetry's banded buckets must derive from that cache (one
+    96-plane sign computation per combined run, not two)."""
+    from engine.datawork.similarity import (banded_buckets_shared,
+                                            cosine_pairs_above)
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cosine_pairs_above(emb, threshold=0.35, bucketed=True, rows=4).count()
+    plan = fmt(banded_buckets_shared(emb))
+    assert "InMemoryTableScan" in tree_of(plan)
+
+
 def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
     """Bucketing is the repo's stated co-location strategy for repeated
     big-big joins at 100 TB (SURVEY §4): two tables bucketed+sorted on the

@@ -163,6 +163,77 @@ def test_stateful_sessionize_numbering_survives_sentinel(spark, tmp_path):
             for r in spark.table("sess_sentinel_sink").collect()}
     assert rows == {(1, 1): (1, 1.0), (1, 2): (1, 3.0)}  # 2, not 1 again
 
+def test_stateful_sessionize_timeout_evicts_idle_sessions(spark, tmp_path):
+    """VERDICT r3 #7: the ProcessingTimeTimeout variant — the unbounded-
+    deployment eviction path, so the test runs it the unbounded way: ONE
+    continuously-running query (processing-time timeouts keep scheduling
+    no-data batches, so an availableNow drain would never terminate),
+    polled until the evictions land, then stopped. A user idle past the
+    horizon has the open session emitted EXACTLY ONCE and the state row
+    removed; a second staged file proves eviction keeps firing for later
+    arrivals within the same run."""
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from engine.spark.streaming import stage_ordered_batches, stateful_sessionize
+
+    stage = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    schema = "user_id int, event_id int, ts timestamp, value double"
+
+    def batch(rows):
+        return spark.createDataFrame(
+            rows, "user_id int, event_id int, ts string, value double"
+        ).select("user_id", "event_id",
+                 F.col("ts").cast("timestamp").alias("ts"), "value")
+
+    def add_file(df, name):
+        tmp = str(tmp_path / ("stage_" + name))
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        [part] = [p for p in os.listdir(tmp) if p.endswith(".parquet")]
+        os.rename(os.path.join(tmp, part), os.path.join(stage, name))
+
+    def sink_rows():
+        got = spark.read.schema(
+            "user_id int, session_id bigint, n_events bigint, "
+            "value_sum double").parquet(out)
+        return sorted((r["user_id"], r["session_id"], r["n_events"],
+                       r["value_sum"]) for r in got.collect())
+
+    def poll_until(pred, deadline_s=90):
+        t0 = time.monotonic()
+        while time.monotonic() - t0 < deadline_s:
+            if pred(sink_rows()):
+                return
+            time.sleep(0.5)
+        raise AssertionError(f"sink never satisfied: {sink_rows()}")
+
+    stage_ordered_batches([
+        batch([(1, 10, "2024-01-01 00:00:00", 1.0),
+               (2, 20, "2024-01-01 00:00:00", 5.0)])], stage)
+    stream = (spark.readStream.schema(schema)
+              .option("pathGlobFilter", "*.parquet").parquet(stage))
+    q = (stateful_sessionize(stream, gap_s=300, timeout_ms=50)
+         .writeStream.format("parquet").option("path", out)
+         .option("checkpointLocation", ckpt)
+         .outputMode("append").start())
+    try:
+        # both users idle past 50 ms → evicted, open sessions emitted
+        poll_until(lambda rows: len(rows) >= 2)
+        # a later arrival opens a fresh session and is evicted in turn
+        add_file(batch([(3, 30, "2024-01-01 00:00:00", 7.0)]),
+                 "batch-0001.parquet")
+        poll_until(lambda rows: len(rows) >= 3)
+    finally:
+        q.stop()
+    # exactly once each (state removed on eviction → can never re-fire),
+    # correct aggregates, no duplicates
+    assert sink_rows() == [(1, 1, 1, 1.0), (2, 1, 1, 5.0), (3, 1, 1, 7.0)]
+
+
 def test_stream_dedup_drops_replayed_tail(spark):
     """The staged input feeds MORE rows than the events table (the replayed
     tail); the drained aggregate must equal exactly-once counts."""

@@ -2,12 +2,20 @@
 sf0.01, run the matching oracle_sql() in DuckDB with the same views, and
 compare row count + sorted-by-name columns + order-insensitive values.
 
-Usage: python tools/check_oracles.py [--sf /root/testdata/sf0.01] [--only name]
+``--json PATH`` additionally writes a CORRECTNESS-shaped snapshot with ONE
+row per queries() entry ({rows_match, schema_match, hash_match, spark_rows,
+oracle_rows, err}) — the gate emits the artifact itself, so a driver
+snapshot can never silently omit queries (round-3 VERDICT #2: the r3
+snapshot missed 2 of 52 green queries).
+
+Usage: python tools/check_oracles.py [--sf /root/testdata/sf0.01]
+                                     [--only name] [--json CORRECTNESS.json]
 """
 
 from __future__ import annotations
 
 import argparse
+import json
 import math
 import sys
 import time
@@ -41,6 +49,9 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
     ap.add_argument("--only", default=None)
+    ap.add_argument("--json", default=None, metavar="PATH",
+                    help="write a CORRECTNESS-shaped per-query snapshot "
+                         "covering EVERY queries() entry")
     args = ap.parse_args()
 
     import duckdb
@@ -72,9 +83,13 @@ def main() -> int:
         oracles = entry.oracle_sql()
     only = set(args.only.split(",")) if args.only else None
     fails = []
+    snapshot: dict = {}
     for name, fn in qs.items():
         if only is not None and name not in only:
             continue
+        rec = {"rows_match": None, "schema_match": None, "hash_match": None,
+               "spark_rows": None, "oracle_rows": None, "err": None}
+        snapshot[name] = rec
         t0 = time.monotonic()
         try:
             sdf = fn(spark, args.sf)
@@ -83,10 +98,13 @@ def main() -> int:
         except Exception as exc:
             print(f"{name:28s} SPARK-ERROR {exc}")
             fails.append(name)
+            rec["err"] = f"spark: {str(exc)[:200]}"
             continue
         t_spark = time.monotonic() - t0
+        rec["spark_rows"] = len(srows)
         if name not in oracles:
             print(f"{name:28s} rows-only   n={len(srows):6d}   ({t_spark:.1f}s)")
+            rec["err"] = "no_oracle"
             continue
         try:
             rel = con.sql(oracles[name])
@@ -95,11 +113,14 @@ def main() -> int:
         except Exception as exc:
             print(f"{name:28s} ORACLE-ERROR {str(exc)[:140]}")
             fails.append(name)
+            rec["err"] = f"oracle: {str(exc)[:200]}"
             continue
         ok_cols = sorted(scols) == sorted(ocols)
         s_norm, o_norm = normalize(srows, scols), normalize(orows, ocols)
         ok_rows = len(srows) == len(orows)
         ok_vals = s_norm == o_norm
+        rec.update(rows_match=ok_rows, schema_match=ok_cols,
+                   hash_match=ok_vals, oracle_rows=len(orows))
         status = "OK" if (ok_cols and ok_rows and ok_vals) else "MISMATCH"
         print(f"{name:28s} {status:9s} n={len(srows):6d} vs {len(orows):6d} "
               f"cols={'=' if ok_cols else '≠'} vals={'=' if ok_vals else '≠'} "
@@ -116,6 +137,9 @@ def main() -> int:
                 for d in list(oset - sset)[:3]:
                     print(f"   duck-only : {d}")
     print(f"\n{len(qs) - len(fails)}/{len(qs)} queries OK")
+    if args.json:
+        Path(args.json).write_text(json.dumps(snapshot, indent=2) + "\n")
+        print(f"wrote {args.json} ({len(snapshot)} queries)")
     return 1 if fails else 0
 
 

@@ -31,9 +31,18 @@ REPO = Path(__file__).resolve().parents[1]
 sys.path.insert(0, str(REPO))
 
 
-def build_corpus(spark, sf_dir: str, copies: int, cache_dir: str):
+def build_corpus(spark, sf_dir: str, copies: int, cache_dir: str,
+                 zipf_k: int = 0):
     """N× replicated documents with planted duplicates, cached as parquet
-    (the build itself is one narrow map — no shuffle)."""
+    (the build itself is one narrow map — no shuffle).
+
+    ``zipf_k`` > 0 additionally appends a 12-word boilerplate banner drawn
+    Zipf(1)-distributed over ``zipf_k`` templates (template = floor(K^u)
+    for a doc-hash uniform u — inverse-CDF sampling, P(template k) ∝ 1/k):
+    the realistic shared-boilerplate skew shape where the hottest banner
+    lands on ~N/ln(K) docs, a whole head of templates crosses max_df, and
+    a long tail stays under it — so the guards engage on a DISTRIBUTION
+    of hot keys, not just planted replica groups (VERDICT r3 #8)."""
     from pyspark.sql import functions as F
     out = Path(cache_dir)
     if not out.exists():
@@ -48,6 +57,19 @@ def build_corpus(spark, sf_dir: str, copies: int, cache_dir: str):
                    F.concat("text", F.lit(" variant"),
                             F.col("copy").cast("string")))
              .otherwise(F.col("text")).alias("text"))
+        if zipf_k:
+            u = (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")),
+                                    1, 8), 16, 10).cast("double")
+                 / F.lit(float(1 << 32)))
+            tmpl = F.least(
+                F.lit(zipf_k),
+                F.greatest(F.lit(1),
+                           F.floor(F.pow(F.lit(float(zipf_k)), u))
+                           .cast("int"))).cast("string")
+            banner = F.concat_ws(" ", *[
+                F.concat(F.lit(f"zipfw{i}t"), tmpl) for i in range(12)])
+            planted = planted.select(
+                "doc_id", F.concat_ws(" ", "text", banner).alias("text"))
         planted.write.mode("overwrite").parquet(str(out))
     return spark.read.parquet(str(out))
 
@@ -90,6 +112,10 @@ def main() -> int:
     ap.add_argument("--rows", type=int, default=16,
                     help="planes per band — must scale ~log2(N) (see the "
                          "in-code note); the sf0.01 oracle default is 24x4")
+    ap.add_argument("--zipf", type=int, default=0, metavar="K",
+                    help="append a Zipf(1)-distributed boilerplate banner "
+                         "over K templates (adversarial shared-boilerplate "
+                         "skew; guards must engage with candidates bounded)")
     ap.add_argument("--json", action="store_true")
     args = ap.parse_args()
 
@@ -154,9 +180,12 @@ def main() -> int:
             print(json.dumps(out))
         return 0
 
+    suffix = f"_z{args.zipf}" if args.zipf else ""
     docs = build_corpus(spark, args.sf, args.copies,
-                        f"/tmp/spark_graft_stress_{args.copies}x")
+                        f"/tmp/spark_graft_stress_{args.copies}x{suffix}",
+                        zipf_k=args.zipf)
     out["n_docs"] = docs.count()
+    out["zipf_k"] = args.zipf
 
     timed("exact", lambda: {
         "groups": exact_duplicates(docs).count()})
