@@ -111,7 +111,8 @@ def main() -> int:
     ap.add_argument("--bands", type=int, default=16)
     ap.add_argument("--rows", type=int, default=16,
                     help="planes per band — must scale ~log2(N) (see the "
-                         "in-code note); the sf0.01 oracle default is 24x4")
+                         "in-code note); the sf0.01 oracle default is 24x4; "
+                         "0 = self-scaling (similarity.auto_rows)")
     ap.add_argument("--zipf", type=int, default=0, metavar="K",
                     help="append a Zipf(1)-distributed boilerplate banner "
                          "over K templates (adversarial shared-boilerplate "
@@ -151,7 +152,11 @@ def main() -> int:
             spark, args.sf, args.copies,
             f"/tmp/spark_graft_stress_emb_{args.copies}x")
         out["n_vectors"] = emb.count()
-        out["bands"], out["rows"] = args.bands, args.rows
+        rows_arg = args.rows if args.rows > 0 else None  # 0 → auto_rows
+        if rows_arg is None:
+            from engine.datawork.similarity import auto_rows
+            out["auto_rows"] = auto_rows(out["n_vectors"])
+        out["bands"], out["rows"] = args.bands, args.rows or "auto"
         # THE banded-LSH scale rule this soak demonstrates: rows-per-band
         # must grow ~log2(N / target_bucket). The sf0.01 default (24×4)
         # gives 2^4 = 16 buckets per band — fine for 500 vectors, but at
@@ -159,7 +164,7 @@ def main() -> int:
         # them all. rows=16 → 65,536 buckets/band keeps candidates sparse
         # while the seeded plane stream supplies as many planes as asked.
         pairs = cosine_pairs_above(emb, threshold=0.95, bucketed=True,
-                                   bands=args.bands, rows=args.rows,
+                                   bands=args.bands, rows=rows_arg,
                                    max_bucket=args.max_bucket).persist()
         timed("embed_near_pairs", lambda: {"pairs": pairs.count()})
 
