@@ -641,6 +641,14 @@ def q_dedup_minhash_pairs(spark, sf_dir):
     return minhash_lsh_candidates(docs).orderBy("id_a", "id_b")
 
 
+def q_dedup_minhash_verified(spark, sf_dir):
+    """Candidates verified by the signature-estimate Jaccard (the scale
+    chain: candidates → verify → cluster; see BENCH round-4 zipf soak)."""
+    from engine.datawork.dedup import minhash_verified_pairs
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_verified_pairs(docs, threshold=0.5).orderBy("id_a", "id_b")
+
+
 def q_dedup_ngram_jaccard(spark, sf_dir):
     from engine.datawork.dedup import ngram_jaccard_pairs
     docs = _t(spark, sf_dir, "documents")
@@ -885,6 +893,7 @@ _RAW_QUERIES: dict = {
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_sigs": q_dedup_minhash_sigs,
         "dedup_minhash_pairs": q_dedup_minhash_pairs,
+        "dedup_minhash_verified": q_dedup_minhash_verified,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,

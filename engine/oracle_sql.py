@@ -403,6 +403,31 @@ FROM buckets a JOIN buckets b
   ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
 ORDER BY id_a, id_b"""
 
+    _est_matches = " + ".join(
+        f"CASE WHEN a.mh{i} = b.mh{i} THEN 1 ELSE 0 END"
+        for i in range(MINHASH_K))
+    o["dedup_minhash_verified"] = _minhash_sig_sql() + f""",
+buckets_raw AS (
+    {band_rows}
+),
+buckets AS (
+    SELECT id, band, bucket FROM buckets_raw
+    QUALIFY count(*) OVER (PARTITION BY band, bucket) <= 100
+),
+pairs AS (
+    SELECT DISTINCT a.id AS id_a, b.id AS id_b
+    FROM buckets a JOIN buckets b
+      ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+)
+SELECT id_a, id_b, est_jaccard FROM (
+    SELECT p.id_a, p.id_b,
+           CAST(round(({_est_matches}) / {MINHASH_K}.0, 6) AS DOUBLE)
+               AS est_jaccard
+    FROM pairs p
+    JOIN sig a ON a.id = p.id_a
+    JOIN sig b ON b.id = p.id_b
+) WHERE est_jaccard >= 0.5 ORDER BY id_a, id_b"""
+
     o["dedup_ngram_jaccard"] = f"""
 WITH {_SHINGLES},
 sizes AS (SELECT id, count(*) AS sz FROM shingles GROUP BY id),
@@ -574,7 +599,7 @@ mbuckets AS (
     {band_rows}
 ),
 mcnt AS (SELECT band, bucket, count(*) AS cnt FROM mbuckets GROUP BY 1, 2),
-scnt AS (SELECT sh, count(*) AS cnt FROM shingles GROUP BY sh),
+scnt AS (SELECT md5(sh) AS shd, count(*) AS cnt FROM shingles GROUP BY 1),
 ebase AS (
     SELECT vec_id AS id, {_plane_bucket_sql('embedding', _EB * _ER)} AS esig
     FROM embeddings

@@ -364,15 +364,21 @@ def test_cache_slot_reuses_semantically_equal_plan(spark, docs):
     must not pay the persist); slots are keyed per application."""
     from engine.datawork import dedup
     from engine.datawork.dedup import (
-        _CACHE_SLOTS, minhash_lsh_candidates, guard_report)
+        _CACHE_SLOTS, clear_cache_slots, minhash_lsh_candidates,
+        guard_report, ngram_jaccard_pairs)
+    clear_cache_slots(spark)  # isolate from slots other tests filled
     minhash_lsh_candidates(docs).collect()
     app = spark.sparkContext.applicationId
     bucket_obj = _CACHE_SLOTS[(app, "minhash_buckets")]
     guard_report(docs).collect()
     # same object: guard_report did NOT rebuild the signature aggregate
     assert _CACHE_SLOTS[(app, "minhash_buckets")] is bucket_obj
-    # guard_report created the shingles slot; a re-run of minhash now PEEKS
-    # it and still lands on the same cached buckets
+    # buckets were already cached → the shingle census was guard_report's
+    # only shingle consumer, so it STREAMED instead of filling the slot
+    assert (app, "shingles") not in _CACHE_SLOTS
+    # jaccard fills the shingles slot; a re-run of minhash then PEEKS it
+    # and still lands on the same cached buckets
+    ngram_jaccard_pairs(docs).collect()
     shingle_obj = _CACHE_SLOTS[(app, "shingles")]
     assert dedup._cache_slot_peek(
         "shingles", dedup.shingles(docs)) is shingle_obj
@@ -472,6 +478,28 @@ def test_banded_lsh_parameterized_layout_stays_exact_verified(spark, emb):
         # p(0.5 cosine) = 1 - acos(0.5)/pi = 2/3; 1-(1-(2/3)^8)^8 ~ 0.28 —
         # sf0.001's planted pairs are far above 0.5, where recall is high
         assert len(got) / len(truth) >= 0.5
+
+
+def test_minhash_verified_pairs_filters_false_candidates(spark, docs):
+    """The verify chain (candidates → signature-estimate Jaccard ≥ τ):
+    every verified pair must be a candidate, near-identical planted pairs
+    must survive with est ≈ 1, and a pair of genuinely dissimilar docs
+    that happens to collide in a band must be filtered (est < τ). On the
+    sf corpus the estimate reproduces the true-Jaccard pair set."""
+    from engine.datawork.dedup import (minhash_lsh_candidates,
+                                       minhash_verified_pairs,
+                                       ngram_jaccard_pairs)
+    cand = {(r["id_a"], r["id_b"])
+            for r in minhash_lsh_candidates(docs).collect()}
+    verified = {(r["id_a"], r["id_b"]): r["est_jaccard"]
+                for r in minhash_verified_pairs(docs,
+                                                threshold=0.5).collect()}
+    true_pairs = {(r["id_a"], r["id_b"])
+                  for r in ngram_jaccard_pairs(docs,
+                                               threshold=0.5).collect()}
+    assert set(verified) <= cand               # verify only prunes
+    assert set(verified) == true_pairs         # estimate matches truth here
+    assert all(0.0 <= v <= 1.0 for v in verified.values())
 
 
 def test_auto_rows_scales_with_corpus_size(spark, emb):

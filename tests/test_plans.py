@@ -72,10 +72,14 @@ def test_minhash_candidates_equi_join_and_single_sig_agg(spark):
     (16 HashAggregate pairs), and the self-join must be an equi join."""
     from engine.datawork.dedup import minhash_band_buckets
     docs = spark.read.parquet(f"{SF}/documents.parquet")
-    plan = fmt(minhash_band_buckets(docs))
-    assert plan.count("HashAggregate") <= 4  # partial+final (+AQE dupes)
-    assert "Union" not in plan
-    assert "Generate" in plan  # the explode
+    # tree section only: when another op in the session persisted the
+    # signature table, the cache manager substitutes an InMemoryTableScan
+    # whose details re-print the cached plan's aggregates — which is MORE
+    # sharing, not less, and must not fail the count
+    tree = tree_of(fmt(minhash_band_buckets(docs)))
+    assert tree.count("HashAggregate") <= 2  # partial+final at most
+    assert "Union" not in tree
+    assert "Generate" in tree  # the explode
 
 
 def test_guard_hot_key_drop_broadcasts(spark):

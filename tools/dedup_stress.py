@@ -113,6 +113,11 @@ def main() -> int:
                     help="planes per band — must scale ~log2(N) (see the "
                          "in-code note); the sf0.01 oracle default is 24x4; "
                          "0 = self-scaling (similarity.auto_rows)")
+    ap.add_argument("--verify-threshold", type=float, default=0.0,
+                    help="also run the verified chain (candidates → "
+                         "signature-estimate Jaccard ≥ τ → clusters); "
+                         "0 = off. The zipf soak's template-hub gluing "
+                         "must collapse under verification.")
     ap.add_argument("--zipf", type=int, default=0, metavar="K",
                     help="append a Zipf(1)-distributed boilerplate banner "
                          "over K templates (adversarial shared-boilerplate "
@@ -225,6 +230,28 @@ def main() -> int:
         r["guard"]: {"hot_keys": r["hot_keys"],
                      "dropped_rows": r["dropped_rows"]}
         for r in guard_report(docs).collect()}})
+
+    if args.verify_threshold > 0:
+        from engine.datawork.dedup import minhash_verified_pairs
+        ver = minhash_verified_pairs(
+            docs, threshold=args.verify_threshold).persist()
+        timed("verified_pairs", lambda: {"pairs": ver.count(),
+                                         "threshold": args.verify_threshold})
+
+        def run_verified_clusters():
+            cl = duplicate_clusters(
+                ver.select("id_a", "id_b"),
+                checkpoint_dir=(f"/tmp/spark_graft_stress_vckpt_"
+                                f"{args.copies}x"))
+            stats = (cl.groupBy("cluster_id").count()
+                     .agg(F.count("*").alias("clusters"),
+                          F.max("count").alias("max_cluster"),
+                          F.sum("count").alias("docs")).first())
+            return {"docs_clustered": stats["docs"],
+                    "clusters": stats["clusters"],
+                    "max_cluster": stats["max_cluster"],
+                    "rounds": clusters_mod.LAST_ITERATIONS}
+        timed("verified_clusters", run_verified_clusters)
 
     if args.json:
         print(json.dumps(out))
