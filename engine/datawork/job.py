@@ -8,7 +8,10 @@ columns, passed through where the op allows]):
 
     exact-dups      fingerprint groups (capped member lists)
     minhash-pairs   MinHash-LSH candidate near-dup pairs
-    clusters        duplicate clusters (connected components over pairs)
+    verified-pairs  candidates verified by the signature-estimate Jaccard
+                    (--threshold; the boilerplate-skew-safe chain)
+    clusters        duplicate clusters (connected components over
+                    VERIFIED pairs — raw candidates glue template hubs)
     dedup-apply     the deduplicated corpus (one canonical doc per cluster)
     dedup-apply-full  layered action: exact + near-dup losers dropped
     guard-report    skew-guard telemetry (hot shingles / hot buckets)
@@ -25,8 +28,22 @@ import argparse
 import sys
 
 
+def _near_dup_pairs(docs, threshold: float):
+    """The CLI's near-dup pair source: signature-verified when
+    ``threshold`` > 0 (the default — raw band-bucket candidates glue
+    boilerplate-template hubs into giant components, BENCH round-4),
+    raw candidates when 0."""
+    if threshold > 0:
+        from .dedup import minhash_verified_pairs
+        return minhash_verified_pairs(docs, threshold=threshold) \
+            .select("id_a", "id_b")
+    from .dedup import minhash_lsh_candidates
+    return minhash_lsh_candidates(docs)
+
+
 def run_op(spark, op: str, input_path: str, percent: int = 10,
-           group_col: str = "lang", top_k: int = 200):
+           group_col: str = "lang", top_k: int = 200,
+           threshold: float = 0.5):
     docs = spark.read.parquet(input_path)
     if op == "exact-dups":
         from .dedup import exact_duplicates
@@ -34,21 +51,21 @@ def run_op(spark, op: str, input_path: str, percent: int = 10,
     if op == "minhash-pairs":
         from .dedup import minhash_lsh_candidates
         return minhash_lsh_candidates(docs)
+    if op == "verified-pairs":
+        from .dedup import minhash_verified_pairs
+        return minhash_verified_pairs(docs, threshold=threshold or 0.5)
     if op == "clusters":
         from .clusters import duplicate_clusters
-        from .dedup import minhash_lsh_candidates
-        return duplicate_clusters(minhash_lsh_candidates(docs))
+        return duplicate_clusters(_near_dup_pairs(docs, threshold))
     if op == "dedup-apply":
         from .clusters import duplicate_clusters
         from .corpus import deduplicated_corpus
-        from .dedup import minhash_lsh_candidates
-        clusters = duplicate_clusters(minhash_lsh_candidates(docs))
+        clusters = duplicate_clusters(_near_dup_pairs(docs, threshold))
         return deduplicated_corpus(docs, clusters)
     if op == "dedup-apply-full":
         from .clusters import duplicate_clusters
         from .corpus import deduplicated_corpus_full
-        from .dedup import minhash_lsh_candidates
-        clusters = duplicate_clusters(minhash_lsh_candidates(docs))
+        clusters = duplicate_clusters(_near_dup_pairs(docs, threshold))
         return deduplicated_corpus_full(docs, clusters)
     if op == "guard-report":
         from .dedup import guard_report
@@ -68,8 +85,8 @@ def run_op(spark, op: str, input_path: str, percent: int = 10,
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--op", required=True,
-                    choices=["exact-dups", "minhash-pairs", "clusters",
-                             "dedup-apply", "dedup-apply-full",
+                    choices=["exact-dups", "minhash-pairs", "verified-pairs",
+                             "clusters", "dedup-apply", "dedup-apply-full",
                              "guard-report", "vocab",
                              "sample", "quantiles"])
     ap.add_argument("--input", required=True)
@@ -77,6 +94,10 @@ def main(argv=None) -> int:
     ap.add_argument("--percent", type=int, default=10)
     ap.add_argument("--group-col", default="lang")
     ap.add_argument("--top-k", type=int, default=200)
+    ap.add_argument("--threshold", type=float, default=0.5,
+                    help="signature-estimate Jaccard verify threshold for "
+                         "verified-pairs/clusters/dedup-apply*; 0 = raw "
+                         "unverified candidates")
     ap.add_argument("--master", default=None,
                     help="local override; omit under spark-submit")
     args = ap.parse_args(argv)
@@ -84,7 +105,7 @@ def main(argv=None) -> int:
     from engine.spark.job import build_session
     spark = build_session(args.master, app=f"datawork-{args.op}")
     out = run_op(spark, args.op, args.input, args.percent,
-                 args.group_col, args.top_k)
+                 args.group_col, args.top_k, args.threshold)
     out.write.mode("overwrite").parquet(args.output)
     n = spark.read.parquet(args.output).count()
     print(f"op={args.op} rows={n} output={args.output}")

@@ -296,6 +296,12 @@ def test_datawork_job_cli(spark, tmp_path):
     got = run_op(spark, "quantiles",
                  "/root/testdata/sf0.001/documents.parquet")
     assert {r["lang"] for r in got.collect()}
+    # verified-pairs default threshold prunes raw candidates, never adds
+    raw = run_op(spark, "minhash-pairs",
+                 "/root/testdata/sf0.001/documents.parquet").count()
+    ver = run_op(spark, "verified-pairs",
+                 "/root/testdata/sf0.001/documents.parquet").count()
+    assert 0 < ver <= raw
 
 
 def test_ivf_topk_recall_vs_bruteforce(spark, emb):
