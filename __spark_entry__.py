@@ -738,10 +738,14 @@ def q_embedding_near_pairs_lsh(spark, sf_dir):
     (16 bands × 4 planes → candidates from any-band exact match) + exact
     cosine verify — precision 1.0, recall 1-(1-p^4)^16 (≈0.91 at τ=0.35,
     ≥0.999 at τ=0.8; measured by tools/recall_report.py). Oracle reproduces
-    the banded buckets + candidate join + verify exactly."""
-    from engine.datawork.similarity import cosine_pairs_above
+    the banded buckets + candidate join + verify exactly. rows is pinned
+    explicitly: the operator default self-scales with corpus size, and
+    an oracle-compared query must use the layout the SQL pins at any sf
+    (auto only coincides with 24x4 up to 512 vectors)."""
+    from engine.datawork.similarity import LSH_ROWS, cosine_pairs_above
     emb = _t(spark, sf_dir, "embeddings")
-    return (cosine_pairs_above(emb, threshold=0.35, bucketed=True)
+    return (cosine_pairs_above(emb, threshold=0.35, bucketed=True,
+                               rows=LSH_ROWS)
             .orderBy("id_a", "id_b"))
 
 
@@ -811,11 +815,14 @@ def q_ann_ivf_topk(spark, sf_dir):
 def q_dedup_guard_report(spark, sf_dir):
     """Skew-guard telemetry (hot shingles / hot LSH buckets and the rows
     they carry) — lets a 100 TB operator see when the quadratic-join guards
-    start eating dedup signal. Oracle recomputes each count."""
+    start eating dedup signal. Oracle recomputes each count; the embed
+    layout is pinned (the operator default self-scales with corpus size,
+    the oracle SQL cannot)."""
     from engine.datawork.dedup import guard_report
+    from engine.datawork.similarity import LSH_ROWS
     docs = _t(spark, sf_dir, "documents")
     emb = _t(spark, sf_dir, "embeddings")
-    return guard_report(docs, emb)
+    return guard_report(docs, emb, embed_rows=LSH_ROWS)
 
 
 def q_ann_lsh_topk_probe(spark, sf_dir):

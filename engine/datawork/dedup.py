@@ -221,6 +221,10 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
     ``max_df`` drops shingles shared by more than that many docs (stopword
     shingles) — the standard skew guard: without it one hot shingle creates a
     quadratic join blow-up at corpus scale.
+
+    Precondition (inherited from ``shingles``): one row per ``id_col``
+    value. Duplicate-id inputs inflate the per-doc shingle sizes and
+    deflate the Jaccard — dedupe rows (or union with distinct ids) first.
     """
     # one shared "shingles" slot across the dedup family: jaccard, the
     # minhash bucket build, and guard_report all explode the same table
@@ -270,17 +274,12 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
     return base.groupBy("id").agg(*sigs)
 
 
-def minhash_band_buckets(df: DataFrame, id_col: str = "doc_id",
-                         text_col: str = "text", n: int = 3,
-                         k: int = MINHASH_K,
-                         bands: int = MINHASH_BANDS,
-                         shingles_df: DataFrame | None = None) -> DataFrame:
-    """(id, band, bucket) rows — band bucket = md5 of the band's signature
-    slice. ONE explode over a struct array, not a bands-way union: a union
-    re-runs the whole signature aggregation per branch (measured 16× the
-    work at bands=16), the explode computes it once."""
+def _band_explode(sig: DataFrame, k: int, bands: int) -> DataFrame:
+    """(id, mh0..mhk-1) → (id, band, bucket); bucket = md5 of the band's
+    signature slice. ONE explode over a struct array, not a bands-way
+    union: a union re-runs the signature lineage per branch (measured 16×
+    the work at bands=16), the explode computes it once."""
     rows_per_band = k // bands
-    sig = minhash_signatures(df, id_col, text_col, n, k, shingles_df)
     entries = [
         F.struct(F.lit(b).alias("band"),
                  F.md5(F.concat_ws("|", *[
@@ -291,23 +290,65 @@ def minhash_band_buckets(df: DataFrame, id_col: str = "doc_id",
             .select("id", "bb.band", "bb.bucket"))
 
 
+def minhash_band_buckets(df: DataFrame, id_col: str = "doc_id",
+                         text_col: str = "text", n: int = 3,
+                         k: int = MINHASH_K,
+                         bands: int = MINHASH_BANDS,
+                         shingles_df: DataFrame | None = None) -> DataFrame:
+    """(id, band, bucket) rows — the uncached plan (tests/oracle clarity);
+    the slot-backed operators share one signature aggregation via
+    ``_minhash_sig_slot`` instead."""
+    return _band_explode(
+        minhash_signatures(df, id_col, text_col, n, k, shingles_df), k, bands)
+
+
+def _minhash_sig_slot(df: DataFrame, id_col: str, text_col: str, n: int,
+                      k: int = MINHASH_K) -> DataFrame:
+    """The shared, cached signature table (id, mh0..mhk-1) — 1 row/doc,
+    so the persist is cheap, and EVERY signature consumer (bucket build,
+    verified-pairs' both verify sides) reads it instead of re-running the
+    shingle explode + k-min aggregation."""
+    sh = _cache_slot_peek("shingles", shingles(df, id_col, text_col, n))
+    return _cache_slot(
+        "minhash_sigs",
+        minhash_signatures(df, id_col, text_col, n, k, shingles_df=sh))
+
+
 def _minhash_bucket_slot(df: DataFrame, id_col: str, text_col: str, n: int,
                          k: int = MINHASH_K,
                          bands: int = MINHASH_BANDS) -> DataFrame:
-    """The shared, cached (id, band, bucket) table — repartitioned by
-    (band, bucket) BEFORE the persist, so every consumer that shuffles on
-    those keys (the candidate self-join's both sides, the hot-bucket
-    aggregate, guard telemetry) reads the cache's outputPartitioning and
-    adds ZERO further Exchange. Same trick as the clusters edge table
-    (clusters.py): the big table is shuffled once at build, not once per
-    consumer. Both call sites MUST build this identical plan — the slot
-    reuses via sameSemantics, so a shape drift here would silently double
-    the k-min signature aggregation in combined runs."""
-    sh = _cache_slot_peek("shingles", shingles(df, id_col, text_col, n))
+    """The shared, cached (id, band, bucket) table — derived from the
+    signature slot (one aggregation feeds buckets AND verification) and
+    repartitioned by (band, bucket) BEFORE the persist, so every consumer
+    that shuffles on those keys (the candidate self-join's both sides,
+    the hot-bucket aggregate, guard telemetry) reads the cache's
+    outputPartitioning and adds ZERO further Exchange. Same trick as the
+    clusters edge table (clusters.py): the big table is shuffled once at
+    build, not once per consumer. All call sites MUST go through this
+    helper — the slot reuses via sameSemantics, so a shape drift would
+    silently double the signature aggregation in combined runs."""
+    sig = _minhash_sig_slot(df, id_col, text_col, n, k)
     return _cache_slot(
         "minhash_buckets",
-        minhash_band_buckets(df, id_col, text_col, n, k, bands, shingles_df=sh)
-        .repartition("band", "bucket"))
+        _band_explode(sig, k, bands).repartition("band", "bucket"))
+
+
+def _candidates_from_buckets(buckets: DataFrame,
+                             max_bucket: int) -> DataFrame:
+    """Distinct (id_a, id_b) from a (id, band, bucket) table: hot-bucket
+    guard (broadcast anti-join — the hot list is ≤ a handful of
+    degenerate keys) then the equi self-join. THE one candidate join,
+    shared by the raw and verified operators."""
+    hot = (buckets.groupBy("band", "bucket")
+           .agg(F.count("*").alias("bsz"))
+           .filter(F.col("bsz") > max_bucket).select("band", "bucket"))
+    buckets = buckets.join(F.broadcast(hot), ["band", "bucket"], "left_anti")
+    a, b_ = buckets.alias("a"), buckets.alias("b")
+    return (a.join(b_, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.bucket") == F.col("b.bucket"))
+                   & (F.col("a.id") < F.col("b.id")))
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .distinct())
 
 
 def minhash_lsh_candidates(df: DataFrame, id_col: str = "doc_id",
@@ -324,13 +365,14 @@ def minhash_lsh_candidates(df: DataFrame, id_col: str = "doc_id",
     that big carries no dedup signal anyway, mirroring max_df in
     ngram_jaccard_pairs)."""
     # Shingles are reused from the shared slot when jaccard/guard_report
-    # already cached them, but NOT persisted here: standalone, the explode
-    # streams straight into the signature aggregation (materializing it
-    # costs more than it saves — see _cache_slot_peek). The buckets slot is
-    # shared with guard_report, so a combined run pays the k-min signature
-    # aggregation exactly once; it is pre-partitioned by (band, bucket) so
-    # the self-join below adds no Exchange over the cached table.
-    all_buckets = _minhash_bucket_slot(df, id_col, text_col, n, k, bands)
+    # already cached them, but never persisted by this path (the explode
+    # streams into the signature aggregation; materializing ~400 rows/doc
+    # costs more than it saves — see _cache_slot_peek). The signature and
+    # bucket slots are shared with guard_report and minhash_verified_pairs,
+    # so a combined run pays the k-min aggregation exactly once; buckets
+    # are pre-partitioned by (band, bucket) so the self-join adds no
+    # Exchange over the cached table.
+    #
     # Pair generation stays a self-JOIN on (band, bucket) — an A/B at the
     # 500k-doc soak (BENCH/BASELINE.md) settled this: a grouped-array
     # variant (groupBy → bounded id array → map-side C(n,2) pairs via
@@ -338,18 +380,9 @@ def minhash_lsh_candidates(df: DataFrame, id_col: str = "doc_id",
     # SLOWER at 500k from the same warm buckets (102.8 s vs 55.4 s),
     # because the per-group pair arrays are materialized whole while the
     # sort-merge join streams the identical Σ C(bucket,2) rows with
-    # bounded memory. Streaming wins at the scale that matters. The hot
-    # list is ≤ a handful of degenerate keys, so ITS broadcast is safe.
-    hot = (all_buckets.groupBy("band", "bucket")
-           .agg(F.count("*").alias("bsz"))
-           .filter(F.col("bsz") > max_bucket).select("band", "bucket"))
-    all_buckets = all_buckets.join(F.broadcast(hot), ["band", "bucket"], "left_anti")
-    a, b_ = all_buckets.alias("a"), all_buckets.alias("b")
-    return (a.join(b_, (F.col("a.band") == F.col("b.band"))
-                   & (F.col("a.bucket") == F.col("b.bucket"))
-                   & (F.col("a.id") < F.col("b.id")))
-            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-            .distinct())
+    # bounded memory. Streaming wins at the scale that matters.
+    return _candidates_from_buckets(
+        _minhash_bucket_slot(df, id_col, text_col, n, k, bands), max_bucket)
 
 
 def minhash_verified_pairs(df: DataFrame, id_col: str = "doc_id",
@@ -372,32 +405,13 @@ def minhash_verified_pairs(df: DataFrame, id_col: str = "doc_id",
     pairs an array-intersect verify would re-shuffle the full inverted
     index, the estimate touches only k·2 integers per pair.
 
-    Returns (id_a, id_b, est_jaccard). The signature table is computed
-    once, cached in the ``minhash_sigs`` slot, and consumed three times
-    (bucket explode + both verify sides)."""
-    sh = _cache_slot_peek("shingles", shingles(df, id_col, text_col, n))
-    sig = _cache_slot(
-        "minhash_sigs",
-        minhash_signatures(df, id_col, text_col, n, k, shingles_df=sh))
-    rows_per_band = k // bands
-    entries = [
-        F.struct(F.lit(b).alias("band"),
-                 F.md5(F.concat_ws("|", *[
-                     F.col(f"mh{b * rows_per_band + r}")
-                     for r in range(rows_per_band)])).alias("bucket"))
-        for b in range(bands)]
-    buckets = (sig.select("id", F.explode(F.array(*entries)).alias("bb"))
-               .select("id", "bb.band", "bb.bucket"))
-    hot = (buckets.groupBy("band", "bucket")
-           .agg(F.count("*").alias("bsz"))
-           .filter(F.col("bsz") > max_bucket).select("band", "bucket"))
-    buckets = buckets.join(F.broadcast(hot), ["band", "bucket"], "left_anti")
-    a, b_ = buckets.alias("a"), buckets.alias("b")
-    cand = (a.join(b_, (F.col("a.band") == F.col("b.band"))
-                   & (F.col("a.bucket") == F.col("b.bucket"))
-                   & (F.col("a.id") < F.col("b.id")))
-            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-            .distinct())
+    Returns (id_a, id_b, est_jaccard). The signature slot is the single
+    aggregation: the cached buckets derive from it and both verify sides
+    read it, so a combined run with minhash_lsh_candidates/guard_report
+    shares every intermediate (same slots, same plans)."""
+    sig = _minhash_sig_slot(df, id_col, text_col, n, k)
+    cand = _candidates_from_buckets(
+        _minhash_bucket_slot(df, id_col, text_col, n, k, bands), max_bucket)
     sa = sig.select(F.col("id").alias("id_a"),
                     *[F.col(f"mh{i}").alias(f"a{i}") for i in range(k)])
     sb = sig.select(F.col("id").alias("id_b"),
@@ -439,17 +453,15 @@ def guard_report(docs: DataFrame, emb: DataFrame | None = None,
     # alongside ngram_jaccard_pairs / minhash_lsh_candidates (the normal
     # combined dedup job), the shingle explode and the k-min signature
     # aggregation happen once, not per consumer. Persist the shingle table
-    # ONLY when this call is about to build the bucket slot itself (two
-    # consumers: census + bucket build) — when the buckets are already
-    # cached, the census is the shingles' sole consumer and streaming it
-    # beats materializing ~400 rows/doc (the 500k+zipf soak measured the
-    # shingle persist at 532 s of wall inside guard_report alone).
+    # ONLY when this call is about to build the signature slot itself (two
+    # shingle consumers: census + sig aggregation) — when signatures are
+    # already cached, the census is the shingles' sole consumer and
+    # streaming it beats materializing ~400 rows/doc.
     sh_plan = shingles(docs, id_col, text_col, n)
-    buckets_plan = (minhash_band_buckets(
+    sig_plan = minhash_signatures(
         docs, id_col, text_col, n,
         shingles_df=_cache_slot_peek("shingles", sh_plan))
-        .repartition("band", "bucket"))
-    if _slot_matches("minhash_buckets", buckets_plan):
+    if _slot_matches("minhash_sigs", sig_plan):
         sh = _cache_slot_peek("shingles", sh_plan)
     else:
         sh = _cache_slot("shingles", sh_plan)
@@ -470,12 +482,18 @@ def guard_report(docs: DataFrame, emb: DataFrame | None = None,
     if emb is not None:
         # the SAME banded layout cosine_pairs_above joins on — derived from
         # the embed_lsh_base cache slot when a combined embed-dedup +
-        # telemetry run already computed the sign bits (one 96-plane
-        # signature computation per run, not two)
-        from .similarity import LSH_BANDS, LSH_ROWS, banded_buckets_shared
+        # telemetry run already computed the sign bits (one sign-bit
+        # computation per run, not two). Defaults must therefore TRACK
+        # cosine_pairs_above's defaults: bands = LSH_BANDS, rows = the
+        # self-scaling auto_rows of this corpus — a fixed small-N rows
+        # default would audit a layout the dedup job never runs (and
+        # break the cache share). Oracle-compared callers pin embed_rows
+        # explicitly, like they pin rows on the dedup query itself.
+        from .similarity import (LSH_BANDS, auto_rows, banded_buckets_shared)
         banded = banded_buckets_shared(
             emb, bands=embed_bands if embed_bands is not None else LSH_BANDS,
-            rows=embed_rows if embed_rows is not None else LSH_ROWS)
+            rows=embed_rows if embed_rows is not None
+            else auto_rows(emb.count()))
         embg = one("embed_max_bucket", embed_max_bucket,
                    banded.groupBy("band", "bucket").agg(F.count("*").alias("cnt")))
         out = out.unionByName(embg)

@@ -52,8 +52,10 @@ def run_op(spark, op: str, input_path: str, percent: int = 10,
         from .dedup import minhash_lsh_candidates
         return minhash_lsh_candidates(docs)
     if op == "verified-pairs":
+        # threshold=0 is a legitimate request: every candidate annotated
+        # with its estimate, nothing filtered (est_jaccard >= 0 always)
         from .dedup import minhash_verified_pairs
-        return minhash_verified_pairs(docs, threshold=threshold or 0.5)
+        return minhash_verified_pairs(docs, threshold=threshold)
     if op == "clusters":
         from .clusters import duplicate_clusters
         return duplicate_clusters(_near_dup_pairs(docs, threshold))

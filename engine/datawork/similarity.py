@@ -305,7 +305,8 @@ def cosine_pairs_above(df: DataFrame, threshold: float = 0.95,
     population)), so a caller at 200k vectors gets r≥12 instead of the
     degenerate 16-buckets-per-band small-N layout (the round-3 soak's
     manual override, now automatic). Pass rows explicitly to pin a layout
-    (the sf0.01 oracle pin is 24×4, which auto reproduces at N≤2^9·32).
+    — auto equals the 24×4 oracle pin only up to N = 2⁴·32 = 512 vectors,
+    so oracle-compared callers (the driver queries) pass rows=LSH_ROWS.
 
     ``max_bucket`` (scale guard, off by default) drops band-buckets holding
     more than that many vectors before the self-join — a degenerate bucket

@@ -106,8 +106,13 @@ def stateful_sessionize(stream: DataFrame, gap_s: int = 300,
     and the state row REMOVED — state is bounded by the active-user set,
     not the all-time user set. The documented tradeoff vs sentinel mode:
     eviction forgets the session counter, so a user reappearing after a
-    timeout restarts numbering at 1 (an unbounded consumer keys sessions
-    on (user_id, session start time), not a per-user ordinal).
+    timeout restarts numbering at 1 and the append sink CAN receive a
+    second row with the same (user_id, session_id) — in timeout mode
+    session_id is an ordinal within an eviction epoch, not a globally
+    unique key. Consumers needing unique keys either use sentinel mode
+    (bounded replays) or treat rows as append-only session *events* and
+    aggregate downstream; the output schema deliberately stays identical
+    to sentinel mode's so both share the batch oracle.
     """
     import pandas as pd
 

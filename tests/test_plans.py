@@ -72,14 +72,14 @@ def test_minhash_candidates_equi_join_and_single_sig_agg(spark):
     (16 HashAggregate pairs), and the self-join must be an equi join."""
     from engine.datawork.dedup import minhash_band_buckets
     docs = spark.read.parquet(f"{SF}/documents.parquet")
-    # tree section only: when another op in the session persisted the
+    # live nodes only: when another op in the session persisted the
     # signature table, the cache manager substitutes an InMemoryTableScan
-    # whose details re-print the cached plan's aggregates — which is MORE
-    # sharing, not less, and must not fail the count
-    tree = tree_of(fmt(minhash_band_buckets(docs)))
-    assert tree.count("HashAggregate") <= 2  # partial+final at most
-    assert "Union" not in tree
-    assert "Generate" in tree  # the explode
+    # (MORE sharing, not less) — the cached build plan must not be
+    # charged to this query
+    nodes = live_nodes(minhash_band_buckets(docs))
+    assert nodes.count("HashAggregate") <= 2  # partial+final at most
+    assert "Union" not in nodes
+    assert "Generate" in nodes  # the explode
 
 
 def test_guard_hot_key_drop_broadcasts(spark):
@@ -134,10 +134,31 @@ def test_asof_join_is_union_window_not_range_join(spark):
     assert "Window" in plan
 
 
-def tree_of(plan: str) -> str:
-    """The operator-tree section of a formatted explain (details for the
-    cached InMemoryRelation would otherwise pollute node counting)."""
-    return plan[:plan.index("(1)")]
+def live_nodes(df) -> list:
+    """Node names of the LIVE physical tree, one entry per node, both
+    join branches included — via a JVM walk of the executedPlan (AFTER
+    EnsureRequirements, so shuffle Exchanges are present; the AQE wrapper
+    is descended through its inputPlan). A cached relation is a leaf
+    InMemoryTableScan whose stored build plan is an innerChild and is
+    therefore NOT visited.
+
+    Textual parsing of the formatted explain cannot do this: node ids
+    appear as " (n)" suffixes inside tree lines (so searching for "(1)"
+    truncates the tree at the deepest-left leaf), and an
+    InMemoryTableScan renders the cached relation's whole AQE dump inline
+    at arbitrary indentation (so indentation pruning miscounts — the
+    cache-build Exchanges would be charged to the live query)."""
+    def walk(node, out):
+        name = node.nodeName()
+        out.append(name)
+        if name == "AdaptiveSparkPlan":
+            walk(node.initialPlan(), out)  # inputPlan lacks Exchanges
+            return out
+        ch = node.children()
+        for i in range(ch.size()):
+            walk(ch.apply(i), out)
+        return out
+    return walk(df._jdf.queryExecution().executedPlan(), [])
 
 
 def test_minhash_candidate_join_adds_no_exchange_over_bucket_cache(spark):
@@ -152,15 +173,14 @@ def test_minhash_candidate_join_adds_no_exchange_over_bucket_cache(spark):
     old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
-        plan = fmt(minhash_lsh_candidates(docs))
+        nodes = live_nodes(minhash_lsh_candidates(docs))
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
-    tree = tree_of(plan)
-    assert "InMemoryTableScan" in tree          # reading the shared cache
-    # exactly ONE shuffle Exchange: the pair-distinct (' Exchange (' does
-    # not match BroadcastExchange — the hot-list anti-join stays broadcast)
-    assert tree.count(" Exchange (") == 1
-    assert "SortMergeJoin" in tree              # the self-join, co-partitioned
+    assert any("InMemoryTableScan" in n for n in nodes)  # the shared cache
+    # exactly ONE shuffle Exchange: the pair-distinct ("Exchange" is the
+    # shuffle node's name; the hot-list anti-join is "BroadcastExchange")
+    assert nodes.count("Exchange") == 1
+    assert any("SortMergeJoin" in n for n in nodes)  # self-join, co-partitioned
 
 
 def test_guard_embed_buckets_reuse_lsh_base_cache(spark):
@@ -171,8 +191,8 @@ def test_guard_embed_buckets_reuse_lsh_base_cache(spark):
                                             cosine_pairs_above)
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
     cosine_pairs_above(emb, threshold=0.35, bucketed=True, rows=4).count()
-    plan = fmt(banded_buckets_shared(emb))
-    assert "InMemoryTableScan" in tree_of(plan)
+    assert any("InMemoryTableScan" in n
+               for n in live_nodes(banded_buckets_shared(emb)))
 
 
 def test_bucketed_tables_join_without_shuffle(spark, tmp_path):

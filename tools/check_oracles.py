@@ -54,6 +54,14 @@ def main() -> int:
                          "covering EVERY queries() entry")
     args = ap.parse_args()
 
+    if args.json and args.only:
+        # the snapshot's contract is FULL coverage (one row per queries()
+        # entry — the round-3 omission this flag exists to prevent); a
+        # partial snapshot in the same shape would silently recreate it
+        raise SystemExit("--json requires a full run; drop --only "
+                         "(a partial CORRECTNESS-shaped file would "
+                         "silently under-report coverage)")
+
     import duckdb
     from pyspark.sql import SparkSession
 
