@@ -649,6 +649,30 @@ def q_dedup_minhash_verified(spark, sf_dir):
     return minhash_verified_pairs(docs, threshold=0.5).orderBy("id_a", "id_b")
 
 
+def q_dedup_incremental(spark, sf_dir):
+    """Incremental dedup against a PERSISTED MinHash index (the corpus-scale
+    analogue of the reference's skip-completed resume scans,
+    batch_pdf_processor.py:2562-2625): the 80% hash-split "corpus" is signed
+    and bucketed into a parquet index once; the 20% "ingest wave" is then
+    deduplicated against the index + itself WITHOUT re-reading corpus text —
+    corpus state enters only via broadcast-filtered scans (see
+    engine/datawork/incremental.py). The oracle is a FULL recompute over
+    old ∪ new filtered to pairs touching the wave — the exactness contract
+    (combined-occupancy guard) makes the two identical."""
+    import tempfile
+    from engine.datawork.incremental import (incremental_verified_pairs,
+                                             write_minhash_index)
+    docs = _t(spark, sf_dir, "documents")
+    bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+                    16, 10).cast("long") % 10
+    corpus, wave = docs.filter(bucket < 8), docs.filter(bucket >= 8)
+    idx = os.path.join(tempfile.gettempdir(),
+                       f"spark_graft_incr_{_tag(sf_dir)}")
+    write_minhash_index(corpus, idx)
+    return (incremental_verified_pairs(wave, idx, threshold=0.5)
+            .orderBy("id_a", "id_b"))
+
+
 def q_dedup_ngram_jaccard(spark, sf_dir):
     from engine.datawork.dedup import ngram_jaccard_pairs
     docs = _t(spark, sf_dir, "documents")
@@ -901,6 +925,7 @@ _RAW_QUERIES: dict = {
         "dedup_minhash_sigs": q_dedup_minhash_sigs,
         "dedup_minhash_pairs": q_dedup_minhash_pairs,
         "dedup_minhash_verified": q_dedup_minhash_verified,
+        "dedup_incremental": q_dedup_incremental,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,

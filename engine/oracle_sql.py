@@ -428,6 +428,43 @@ SELECT id_a, id_b, est_jaccard FROM (
     JOIN sig b ON b.id = p.id_b
 ) WHERE est_jaccard >= 0.5 ORDER BY id_a, id_b"""
 
+    # incremental dedup: the Spark side runs wave-vs-persisted-index; the
+    # oracle is the FULL recompute over old ∪ new restricted to pairs
+    # touching the wave (hash-split % 10 >= 8) — the incremental module's
+    # exactness contract (combined-occupancy hot-bucket guard) makes the
+    # two identical by construction, and this oracle PINS that contract.
+    def _in_wave(c: str) -> str:
+        return (f"(CAST(('0x' || substr(md5(CAST({c} AS VARCHAR)), 1, 8)) "
+                f"AS BIGINT) % 10 >= 8)")
+    o["dedup_incremental"] = _minhash_sig_sql() + f""",
+buckets_raw AS (
+    {band_rows}
+),
+buckets AS (
+    SELECT id, band, bucket FROM buckets_raw
+    QUALIFY count(*) OVER (PARTITION BY band, bucket) <= 100
+),
+pairs AS (
+    SELECT DISTINCT a.id AS id_a, b.id AS id_b
+    FROM buckets a JOIN buckets b
+      ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+),
+est AS (
+    SELECT p.id_a, p.id_b,
+           CAST(round(({_est_matches}) / {MINHASH_K}.0, 6) AS DOUBLE)
+               AS est_jaccard
+    FROM pairs p
+    JOIN sig a ON a.id = p.id_a
+    JOIN sig b ON b.id = p.id_b
+)
+SELECT id_a, id_b, est_jaccard,
+       CASE WHEN {_in_wave('id_a')} AND {_in_wave('id_b')}
+            THEN 'new_new' ELSE 'new_old' END AS origin
+FROM est
+WHERE est_jaccard >= 0.5
+  AND ({_in_wave('id_a')} OR {_in_wave('id_b')})
+ORDER BY id_a, id_b"""
+
     o["dedup_ngram_jaccard"] = f"""
 WITH {_SHINGLES},
 sizes AS (SELECT id, count(*) AS sz FROM shingles GROUP BY id),

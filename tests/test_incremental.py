@@ -1,0 +1,146 @@
+"""Incremental dedup vs full recompute — the exactness contract, the
+append path, the combined-occupancy guard, and the no-corpus-shuffle plan."""
+
+from __future__ import annotations
+
+import random
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _mk_docs(spark, n=160, planted_every=7, seed=11):
+    rnd = random.Random(seed)
+    words = [f"w{i}" for i in range(250)]
+    rows = []
+    for i in range(n):
+        base = " ".join(rnd.choice(words) for _ in range(40))
+        rows.append((i, base))
+        if i % planted_every == 0:  # planted near-dup (1-word mutation)
+            mut = base.split()
+            mut[3] = "zz"
+            rows.append((10_000 + i, " ".join(mut)))
+    return spark.createDataFrame(rows, "doc_id: long, text: string")
+
+
+def _split(docs, lo, hi):
+    bucket = (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+                     16, 10).cast("long") % 10)
+    return docs.filter((bucket >= lo) & (bucket < hi))
+
+
+def _full_pairs_touching(docs, wave_ids, threshold=0.5, max_bucket=100):
+    from engine.datawork.dedup import clear_cache_slots, minhash_verified_pairs
+    clear_cache_slots()
+    full = minhash_verified_pairs(docs, threshold=threshold,
+                                  max_bucket=max_bucket)
+    rows = sorted((r.id_a, r.id_b, r.est_jaccard) for r in full.collect()
+                  if r.id_a in wave_ids or r.id_b in wave_ids)
+    return [(a, b, j, "new_new" if a in wave_ids and b in wave_ids
+             else "new_old") for a, b, j in rows]
+
+
+@pytest.fixture()
+def idx_path(tmp_path):
+    p = str(tmp_path / "minhash_index")
+    yield p
+    shutil.rmtree(p, ignore_errors=True)
+
+
+def test_incremental_equals_full_recompute(spark, idx_path):
+    from engine.datawork.incremental import (incremental_verified_pairs,
+                                             write_minhash_index)
+    docs = _mk_docs(spark)
+    corpus, wave = _split(docs, 0, 8), _split(docs, 8, 10)
+    wave_ids = {r.doc_id for r in wave.select("doc_id").collect()}
+    assert wave_ids  # split must be non-trivial
+
+    write_minhash_index(corpus, idx_path)
+    inc = incremental_verified_pairs(wave, idx_path).orderBy("id_a", "id_b")
+    got = [(r.id_a, r.id_b, r.est_jaccard, r.origin) for r in inc.collect()]
+    exp = _full_pairs_touching(docs, wave_ids)
+    assert got == exp
+    assert any(o == "new_old" for *_, o in got)  # cross-boundary dups exist
+
+
+def test_append_then_second_wave(spark, idx_path):
+    """After append_to_index(wave1), wave2 dedups against corpus ∪ wave1 —
+    and equals the full recompute filtered to wave2-touching pairs."""
+    from engine.datawork.incremental import (append_to_index,
+                                             incremental_verified_pairs,
+                                             write_minhash_index)
+    docs = _mk_docs(spark, seed=23)
+    corpus = _split(docs, 0, 6)
+    wave1, wave2 = _split(docs, 6, 8), _split(docs, 8, 10)
+    wave2_ids = {r.doc_id for r in wave2.select("doc_id").collect()}
+
+    write_minhash_index(corpus, idx_path)
+    append_to_index(wave1, idx_path)
+    inc = (incremental_verified_pairs(wave2, idx_path)
+           .orderBy("id_a", "id_b"))
+    got = [(r.id_a, r.id_b, r.est_jaccard, r.origin) for r in inc.collect()]
+    exp = _full_pairs_touching(docs, wave2_ids)
+    assert got == exp
+
+
+def test_combined_occupancy_guard(spark, idx_path):
+    """A bucket under max_bucket in the corpus alone but over it COMBINED
+    must be dropped — replicas split across the boundary may produce no
+    pairs, exactly like a full recompute (which also drops the bucket)."""
+    from engine.datawork.incremental import (incremental_verified_pairs,
+                                             write_minhash_index)
+    # 12 identical docs: ids 0..7 in "corpus", 8..11 in "wave" (explicit
+    # split, not hash — the point is the occupancy arithmetic)
+    text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame([(i, text) for i in range(12)],
+                                 "doc_id: long, text: string")
+    corpus = docs.filter(F.col("doc_id") < 8)
+    wave = docs.filter(F.col("doc_id") >= 8)
+    write_minhash_index(corpus, idx_path)
+
+    # max_bucket=10: corpus occupancy 8 passes alone, combined 12 trips
+    inc = incremental_verified_pairs(wave, idx_path, max_bucket=10)
+    assert inc.count() == 0
+
+    # sanity: with a generous guard the same wave yields all touching pairs
+    inc_ok = incremental_verified_pairs(wave, idx_path, max_bucket=100)
+    # pairs touching the 4 wave docs: 4*8 cross + C(4,2) inner = 38
+    assert inc_ok.count() == 38
+    assert inc_ok.filter(F.col("est_jaccard") != 1.0).count() == 0
+
+
+def test_no_corpus_shuffle_in_plan(spark, idx_path):
+    """The scale contract: every corpus-index scan reaches its join through
+    a Broadcast exchange — no shuffle Exchange may sit above a scan of the
+    index tables (wave-proportional cost depends on it)."""
+    from engine.datawork.incremental import (incremental_verified_pairs,
+                                             write_minhash_index)
+    docs = _mk_docs(spark, n=60)
+    corpus, wave = _split(docs, 0, 8), _split(docs, 8, 10)
+    write_minhash_index(corpus, idx_path)
+    plan = (incremental_verified_pairs(wave, idx_path)
+            ._jdf.queryExecution().executedPlan().toString())
+    # walk the tree: record, for each parquet scan of the index, whether a
+    # shuffle Exchange appears between it and the root on its branch — the
+    # simple textual proxy: an "Exchange hashpartitioning"/"rangepartitioning"
+    # node must never list an index-scan as its direct child subtree root.
+    lines = plan.splitlines()
+    for i, ln in enumerate(lines):
+        if "Scan parquet" in ln and "minhash_index" in ln:
+            # ascend: nearest less-indented ancestor lines must hit a join
+            # or broadcast exchange before any shuffle Exchange
+            def depth(s):
+                return len(s) - len(s.lstrip(" :+-*"))
+            d = depth(ln)
+            for j in range(i - 1, -1, -1):
+                dj = depth(lines[j])
+                if dj < d:
+                    d = dj
+                    node = lines[j].lstrip(" :+-*")
+                    if node.startswith("Exchange hashpartitioning") or \
+                       node.startswith("Exchange rangepartitioning"):
+                        raise AssertionError(
+                            f"corpus index scan shuffled:\n{plan}")
+                    if "Join" in node or node.startswith("BroadcastExchange"):
+                        break
