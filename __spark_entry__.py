@@ -607,6 +607,19 @@ def q_doc_repetition(spark, sf_dir):
     return with_repetition(docs).select("doc_id", "repetition_ratio")
 
 
+def q_doc_quality_flags(spark, sf_dir):
+    """The standard named pretraining filters (Gopher rules / C4 line
+    heuristics) as individual boolean columns — each rule observable and
+    tunable on its own, unlike the composite quality_score."""
+    from engine.datawork.textstats import with_quality_flags
+    docs = _t(spark, sf_dir, "documents")
+    return with_quality_flags(docs).select(
+        "doc_id", "n_words", "flag_word_count", "flag_mean_word_len",
+        "flag_symbol_ratio", "flag_bullet_lines", "flag_ellipsis_lines",
+        "flag_repeated_lines", "flag_alpha_words", "flag_stopwords",
+        "pass_quality")
+
+
 def q_doc_fingerprints(spark, sf_dir):
     from engine.datawork.textstats import with_fingerprint
     docs = _t(spark, sf_dir, "documents")
@@ -921,6 +934,7 @@ _RAW_QUERIES: dict = {
         "doc_lang_id": q_doc_lang_id,
         "doc_fingerprints": q_doc_fingerprints,
         "doc_repetition": q_doc_repetition,
+        "doc_quality_flags": q_doc_quality_flags,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_sigs": q_dedup_minhash_sigs,
         "dedup_minhash_pairs": q_dedup_minhash_pairs,

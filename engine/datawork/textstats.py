@@ -68,6 +68,89 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
             .withColumn("quality_score", F.round(quality, 6)))
 
 
+BULLET_LINE_RE = r"^\s*[-*•]"          # line starts with -, * or •
+ELLIPSIS_END_RE = r"(\.\.\.|…)\s*$"     # line ends with ... or …
+SYMBOL_RE = r"#|\.\.\.|…"               # Gopher "symbols": #, ..., …
+
+
+def with_quality_flags(df: DataFrame, text_col: str = "text",
+                       min_words: int = 50, max_words: int = 100_000,
+                       min_mean_word_len: float = 3.0,
+                       max_mean_word_len: float = 10.0,
+                       max_symbol_ratio: float = 0.1,
+                       max_bullet_frac: float = 0.9,
+                       max_ellipsis_frac: float = 0.3,
+                       max_repeated_line_frac: float = 0.3,
+                       min_alpha_word_ratio: float = 0.8) -> DataFrame:
+    """The standard named pretraining filters (Gopher rules 1-7 / C4 line
+    heuristics) as INDIVIDUAL boolean columns — `quality_score` is an ad hoc
+    composite; a production filter pipeline wants each rule observable and
+    tunable on its own, with the pass-rate per rule as corpus telemetry.
+
+    All pure codegen column expressions (split/filter/size over the word and
+    line arrays) — zero shuffle, linear scan, same shape as the rest of this
+    module. Conventions for empty text: every ratio is 0.0 and the
+    word-count rule fails (0 < min_words), mirroring the oracle SQL.
+
+    Emitted flags (true = the doc PASSES the rule):
+      flag_word_count        min_words ≤ n_words ≤ max_words
+      flag_mean_word_len     mean word length in [3, 10]
+      flag_symbol_ratio      (# + ellipsis occurrences)/words ≤ 0.1
+      flag_bullet_lines      ≤ 90% of lines start with a bullet
+      flag_ellipsis_lines    ≤ 30% of lines end with ...
+      flag_repeated_lines    duplicate-line fraction ≤ 0.3
+      flag_alpha_words       ≥ 80% of words contain a letter
+      flag_stopwords         ≥ 2 distinct common stopwords present
+      pass_quality           AND of all of the above
+    """
+    t = F.col(text_col)
+    w = words(t)
+    n_words = token_count_ws(t)
+    n_chars_in_words = F.aggregate(
+        F.transform(w, lambda x: F.length(x)), F.lit(0), lambda a, x: a + x)
+    mean_wl = F.when(n_words > 0, n_chars_in_words / n_words).otherwise(F.lit(0.0))
+    n_sym = F.size(F.regexp_extract_all(t, F.lit(SYMBOL_RE), 0))
+    sym_ratio = F.when(n_words > 0, n_sym / n_words).otherwise(F.lit(0.0))
+
+    lines = F.split(t, "\n")
+    n_lines = F.size(lines)
+    n_bullet = F.size(F.filter(
+        lines, lambda line: line.rlike(BULLET_LINE_RE)))
+    n_ellipsis = F.size(F.filter(
+        lines, lambda line: line.rlike(ELLIPSIS_END_RE)))
+    bullet_frac = F.when(n_lines > 0, n_bullet / n_lines).otherwise(F.lit(0.0))
+    ellipsis_frac = F.when(n_lines > 0, n_ellipsis / n_lines).otherwise(F.lit(0.0))
+    # duplicate-line fraction over non-blank trimmed lines
+    nb = F.filter(F.transform(lines, F.trim), lambda line: line != "")
+    n_nb = F.size(nb)
+    rep_frac = F.when(n_nb > 0,
+                      (n_nb - F.size(F.array_distinct(nb))) / n_nb
+                      ).otherwise(F.lit(0.0))
+    n_alpha = F.size(F.filter(w, lambda x: x.rlike("[a-z]")))
+    alpha_ratio = F.when(n_words > 0, n_alpha / n_words).otherwise(F.lit(0.0))
+    stops = F.array(*[F.lit(s) for s in STOPWORDS["en"]])
+    n_stop_distinct = F.size(F.array_intersect(F.array_distinct(w), stops))
+
+    flags = {
+        "flag_word_count": (n_words >= min_words) & (n_words <= max_words),
+        "flag_mean_word_len": (mean_wl >= min_mean_word_len)
+                              & (mean_wl <= max_mean_word_len),
+        "flag_symbol_ratio": sym_ratio <= max_symbol_ratio,
+        "flag_bullet_lines": bullet_frac <= max_bullet_frac,
+        "flag_ellipsis_lines": ellipsis_frac <= max_ellipsis_frac,
+        "flag_repeated_lines": rep_frac <= max_repeated_line_frac,
+        "flag_alpha_words": alpha_ratio >= min_alpha_word_ratio,
+        "flag_stopwords": n_stop_distinct >= 2,
+    }
+    out = df.withColumn("n_words", n_words)
+    for name, expr in flags.items():
+        out = out.withColumn(name, expr)
+    pass_all = None
+    for name in flags:
+        pass_all = F.col(name) if pass_all is None else pass_all & F.col(name)
+    return out.withColumn("pass_quality", pass_all)
+
+
 def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Stopword-vote language ID over {en,de,fr,es} with a CJK-char override —
     the n-gram-heuristic family (and the reference's own CJK-vs-Latin rule,

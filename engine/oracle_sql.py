@@ -364,6 +364,53 @@ SELECT doc_id,
                  ELSE 1.0 END AS DOUBLE) AS repetition_ratio
 FROM g"""
 
+    from engine.datawork.textstats import (BULLET_LINE_RE, ELLIPSIS_END_RE,
+                                           SYMBOL_RE)
+    o["doc_quality_flags"] = f"""
+WITH base AS (
+    SELECT doc_id,
+           {_WORDS} AS ws,
+           string_split(text, chr(10)) AS lines,
+           CASE WHEN trim(text) = '' THEN 0 ELSE len({_WORDS}) END AS nw,
+           coalesce(list_sum(list_transform({_WORDS}, x -> length(x))), 0) AS sl,
+           len(regexp_extract_all(text, '{SYMBOL_RE}')) AS nsym
+    FROM documents
+), feat AS (
+    SELECT doc_id, nw,
+           CASE WHEN nw > 0 THEN sl / nw ELSE 0.0 END AS mwl,
+           CASE WHEN nw > 0 THEN nsym / nw ELSE 0.0 END AS symr,
+           len(lines) AS nl,
+           len(list_filter(lines, l -> regexp_matches(l, '{BULLET_LINE_RE}'))) AS nbul,
+           len(list_filter(lines, l -> regexp_matches(l, '{ELLIPSIS_END_RE}'))) AS nell,
+           list_filter(list_transform(lines, l -> trim(l)), l -> l != '') AS nb,
+           len(list_filter(ws, x -> regexp_matches(x, '[a-z]'))) AS nalpha,
+           len(list_intersect(list_distinct(ws), {stops_en})) AS nstop
+    FROM base
+), r AS (
+    SELECT doc_id, nw, mwl, symr, nstop,
+           CASE WHEN nl > 0 THEN nbul / nl ELSE 0.0 END AS bulf,
+           CASE WHEN nl > 0 THEN nell / nl ELSE 0.0 END AS ellf,
+           CASE WHEN len(nb) > 0
+                THEN (len(nb) - len(list_distinct(nb))) / len(nb)
+                ELSE 0.0 END AS repf,
+           CASE WHEN nw > 0 THEN nalpha / nw ELSE 0.0 END AS alphar
+    FROM feat
+)
+SELECT doc_id, CAST(nw AS INTEGER) AS n_words,
+       (nw >= 50 AND nw <= 100000) AS flag_word_count,
+       (mwl >= 3.0 AND mwl <= 10.0) AS flag_mean_word_len,
+       (symr <= 0.1) AS flag_symbol_ratio,
+       (bulf <= 0.9) AS flag_bullet_lines,
+       (ellf <= 0.3) AS flag_ellipsis_lines,
+       (repf <= 0.3) AS flag_repeated_lines,
+       (alphar >= 0.8) AS flag_alpha_words,
+       (nstop >= 2) AS flag_stopwords,
+       ((nw >= 50 AND nw <= 100000) AND (mwl >= 3.0 AND mwl <= 10.0)
+        AND (symr <= 0.1) AND (bulf <= 0.9) AND (ellf <= 0.3)
+        AND (repf <= 0.3) AND (alphar >= 0.8) AND (nstop >= 2))
+           AS pass_quality
+FROM r"""
+
     fp = "md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))"
     o["doc_fingerprints"] = f"SELECT doc_id, {fp} AS fingerprint FROM documents"
 

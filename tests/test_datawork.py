@@ -526,3 +526,37 @@ def test_auto_rows_scales_with_corpus_size(spark, emb):
     auto = {(r["id_a"], r["id_b"]) for r in
             cosine_pairs_above(emb, threshold=0.5, bucketed=True).collect()}
     assert auto == explicit
+
+
+def test_quality_flags_each_rule_trips(spark):
+    """One crafted doc per rule: exactly that rule (plus any genuinely
+    co-violated ones) fails, and a clean doc passes everything."""
+    from engine.datawork.textstats import with_quality_flags
+    good = ("the quick brown fox jumps over the lazy dog and runs on "
+            "through a field of green grass with many other animals ") * 3
+    rows = [
+        (0, good),
+        (1, "too short for the rule"),                       # word_count
+        (2, " ".join(["a"] * 60)),                            # mean_word_len low
+        (3, ("the of " + "# " * 30) + good),                  # symbol_ratio
+        (4, "\n".join("- item in the list here now" for _ in range(20))),  # bullets
+        (5, "\n".join("the sentence trails off..." for _ in range(10))),   # ellipsis
+        (6, "\n".join(["the same line of words here"] * 10)),  # repeated lines
+        (7, good + " " + " ".join(["123"] * 120)),             # alpha_words
+        (8, " ".join(f"w{i}" for i in range(80))),             # stopwords
+        (9, ""),                                               # empty
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    got = {r.doc_id: r.asDict() for r in with_quality_flags(df).collect()}
+    assert got[0]["pass_quality"]
+    assert not got[1]["flag_word_count"]
+    assert not got[2]["flag_mean_word_len"]
+    assert not got[3]["flag_symbol_ratio"]
+    assert not got[4]["flag_bullet_lines"]
+    assert not got[5]["flag_ellipsis_lines"]
+    assert not got[6]["flag_repeated_lines"]
+    assert not got[7]["flag_alpha_words"]
+    assert not got[8]["flag_stopwords"]
+    assert not got[9]["pass_quality"] and got[9]["n_words"] == 0
+    for d in range(1, 10):
+        assert not got[d]["pass_quality"]
