@@ -94,11 +94,20 @@ def duplicate_clusters(pairs: DataFrame, max_iterations: int = 15,
             return
         try:  # no public unset API — clear the scala Option directly so
             # later unrelated df.checkpoint() calls cannot silently write
-            # into (and depend on) this call's possibly-temporary dir
+            # into (and depend on) this call's possibly-temporary dir.
+            # Py4J access to a private[spark] var, verified against Spark
+            # 4.1.2 (this repo's pin) — re-check the accessor name on any
+            # Spark upgrade; on failure we WARN instead of silently keeping
+            # the stale dir configured (ADVICE r4)
             getattr(sc._jsc.sc(), "checkpointDir_$eq")(
                 sc._jvm.scala.Option.empty())
-        except Exception:
-            pass  # best effort; the scoped run-dir still isolates writers
+        except Exception as exc:  # best effort; scoped run-dir still isolates
+            import warnings
+            warnings.warn(
+                "duplicate_clusters could not restore the unset checkpoint "
+                f"dir (private accessor failed: {exc!r}); later unrelated "
+                "df.checkpoint() calls will keep writing under "
+                f"{checkpoint_dir!r}", RuntimeWarning, stacklevel=2)
 
     # cut the (possibly expensive) pair-generation lineage out of the loop:
     # every iteration and every convergence count would otherwise recompute

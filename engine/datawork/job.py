@@ -41,10 +41,33 @@ def _near_dup_pairs(docs, threshold: float):
     return minhash_lsh_candidates(docs)
 
 
+DEDUP_OPS = {"exact-dups", "minhash-pairs", "verified-pairs", "clusters",
+             "dedup-apply", "dedup-apply-full", "guard-report"}
+
+
+def check_unique_ids(docs, id_col: str = "doc_id") -> None:
+    """Guard the dedup family's one-row-per-id precondition (ADVICE r4:
+    duplicate ids silently inflate per-doc shingle sizes and deflate
+    Jaccard since shingles() dedups map-side only). One cheap aggregation
+    over the id column alone — worth it in the CLI where the input parquet
+    is user-supplied and nothing else enforces uniqueness."""
+    from pyspark.sql import functions as F
+    row = docs.agg(F.count(id_col).alias("n"),
+                   F.count_distinct(id_col).alias("d")).first()
+    if row["n"] != row["d"]:
+        raise SystemExit(
+            f"input violates the dedup precondition: {row['n'] - row['d']} "
+            f"duplicate {id_col} rows (every dedup op requires one row per "
+            f"id — run with --no-check-ids only if you know the Jaccard "
+            f"skew is acceptable)")
+
+
 def run_op(spark, op: str, input_path: str, percent: int = 10,
            group_col: str = "lang", top_k: int = 200,
-           threshold: float = 0.5):
+           threshold: float = 0.5, check_ids: bool = False):
     docs = spark.read.parquet(input_path)
+    if check_ids and op in DEDUP_OPS:
+        check_unique_ids(docs)
     if op == "exact-dups":
         from .dedup import exact_duplicates
         return exact_duplicates(docs)
@@ -102,12 +125,16 @@ def main(argv=None) -> int:
                          "unverified candidates")
     ap.add_argument("--master", default=None,
                     help="local override; omit under spark-submit")
+    ap.add_argument("--no-check-ids", action="store_true",
+                    help="skip the doc_id-uniqueness precondition check "
+                         "the dedup ops otherwise run up front")
     args = ap.parse_args(argv)
 
     from engine.spark.job import build_session
     spark = build_session(args.master, app=f"datawork-{args.op}")
     out = run_op(spark, args.op, args.input, args.percent,
-                 args.group_col, args.top_k, args.threshold)
+                 args.group_col, args.top_k, args.threshold,
+                 check_ids=not args.no_check_ids)
     out.write.mode("overwrite").parquet(args.output)
     n = spark.read.parquet(args.output).count()
     print(f"op={args.op} rows={n} output={args.output}")

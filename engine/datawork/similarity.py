@@ -331,8 +331,15 @@ def cosine_pairs_above(df: DataFrame, threshold: float = 0.95,
 
     if rows is None:
         # self-scaling layout: ONE metadata count (parquet footer statistics
-        # — no scan) picks rows ≈ log₂(N / target bucket population)
-        rows = auto_rows(df.count())
+        # — no scan) picks rows ≈ log₂(N / target bucket population); the
+        # chosen layout is logged so callers can see (and later pin) what
+        # the auto path selected — it determines the candidate set (ADVICE r4)
+        import logging
+        n = df.count()
+        rows = auto_rows(n)
+        logging.getLogger(__name__).info(
+            "cosine_pairs_above auto layout: n=%d -> bands=%d rows=%d",
+            n, bands, rows)
 
     # sign bits for all bands·rows planes computed once; cached because the
     # candidate join consumes the banded table twice and the verify join

@@ -79,6 +79,13 @@ SESSION_OUT_SCHEMA = ("user_id int, session_id bigint, "
                       "n_events bigint, value_sum double")
 SESSION_STATE_SCHEMA = ("last_ts long, session_id long, "
                         "n_events long, value_sum double")
+# timeout mode emits one extra column: the session's first event-time epoch.
+# After an eviction the ordinal session_id restarts at 1, so (user_id,
+# session_id) alone is not a unique sink key there — (user_id,
+# session_start) is, and its presence doubles as the marker distinguishing
+# timeout-mode rows from sentinel-mode rows (ADVICE r4).
+SESSION_OUT_SCHEMA_TIMEOUT = SESSION_OUT_SCHEMA + ", session_start long"
+SESSION_STATE_SCHEMA_TIMEOUT = SESSION_STATE_SCHEMA + ", session_start long"
 
 
 def stateful_sessionize(stream: DataFrame, gap_s: int = 300,
@@ -106,58 +113,70 @@ def stateful_sessionize(stream: DataFrame, gap_s: int = 300,
     and the state row REMOVED — state is bounded by the active-user set,
     not the all-time user set. The documented tradeoff vs sentinel mode:
     eviction forgets the session counter, so a user reappearing after a
-    timeout restarts numbering at 1 and the append sink CAN receive a
-    second row with the same (user_id, session_id) — in timeout mode
-    session_id is an ordinal within an eviction epoch, not a globally
-    unique key. Consumers needing unique keys either use sentinel mode
-    (bounded replays) or treat rows as append-only session *events* and
-    aggregate downstream; the output schema deliberately stays identical
-    to sentinel mode's so both share the batch oracle.
+    timeout restarts numbering at 1 — in timeout mode session_id is an
+    ordinal within an eviction epoch, not a globally unique key. Timeout
+    -mode rows therefore carry one EXTRA column, ``session_start`` (the
+    session's first event-time epoch, ADVICE r4): (user_id, session_start)
+    stays unique across evictions, and the extra column is the schema-level
+    marker telling sink consumers which semantics produced the rows.
+    Sentinel mode keeps the 4-column schema the batch oracle compares.
     """
     import pandas as pd
 
+    timeout = timeout_ms is not None
+    out_cols = ["user_id", "session_id", "n_events", "value_sum"] + (
+        ["session_start"] if timeout else [])
+
     def fn(key, pdf_iter, state):
         (user_id,) = key
-        if timeout_ms is not None and state.hasTimedOut:
+
+        def row(session_id, n_events, value_sum, session_start):
+            base = (user_id, session_id, n_events, value_sum)
+            return base + (session_start,) if timeout else base
+
+        def unpack():
+            if not state.exists:
+                return None, 0, 0, 0.0, None
+            vals = state.get
+            return vals if timeout else vals + (None,)
+
+        if timeout and state.hasTimedOut:
             # idle past the horizon: emit the open session once, evict
             out = []
             if state.exists:
-                last_ts, session_id, n_events, value_sum = state.get
+                last_ts, session_id, n_events, value_sum, start = unpack()
                 if n_events:
-                    out.append((user_id, session_id, n_events, value_sum))
+                    out.append(row(session_id, n_events, value_sum, start))
                 state.remove()
             if out:
-                yield pd.DataFrame(out, columns=["user_id", "session_id",
-                                                 "n_events", "value_sum"])
+                yield pd.DataFrame(out, columns=out_cols)
             return
         pdf = pd.concat(list(pdf_iter), ignore_index=True)
         pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
-        if state.exists:
-            last_ts, session_id, n_events, value_sum = state.get
-        else:
-            last_ts, session_id, n_events, value_sum = None, 0, 0, 0.0
+        last_ts, session_id, n_events, value_sum, start = unpack()
         out = []
         for ts, event_id, value in zip(pdf["ts"], pdf["event_id"],
                                        pdf["value"]):
             if event_id < 0:  # sentinel: close the open session
                 if n_events:
-                    out.append((user_id, session_id, n_events, value_sum))
+                    out.append(row(session_id, n_events, value_sum, start))
                 last_ts, n_events, value_sum = None, 0, 0.0  # keep session_id
                 continue
             epoch = int(ts.value // 1_000_000_000)
             if last_ts is None:
                 session_id += 1
-                n_events, value_sum = 0, 0.0
+                n_events, value_sum, start = 0, 0.0, epoch
             elif epoch - last_ts > gap_s:
-                out.append((user_id, session_id, n_events, value_sum))
+                out.append(row(session_id, n_events, value_sum, start))
                 session_id += 1
-                n_events, value_sum = 0, 0.0
+                n_events, value_sum, start = 0, 0.0, epoch
             last_ts = epoch
             n_events += 1
             value_sum += float(value)
         if n_events:
-            state.update((last_ts, session_id, n_events, value_sum))
-            if timeout_ms is not None:
+            vals = (last_ts, session_id, n_events, value_sum)
+            state.update(vals + (start,) if timeout else vals)
+            if timeout:
                 # the timeout timestamp is cleared on every invocation for
                 # the key — re-arm it whenever a session stays open
                 state.setTimeoutDuration(timeout_ms)
@@ -167,20 +186,23 @@ def stateful_sessionize(stream: DataFrame, gap_s: int = 300,
             # in timeout mode there is nothing left to emit, so drop the
             # row instead (numbering restart is timeout mode's documented
             # contract, and keeping it would defeat the bounded-state point)
-            if timeout_ms is None:
+            if not timeout:
                 state.update((None, session_id, 0, 0.0))
             elif state.exists:
                 state.remove()
         elif state.exists:
             state.remove()
         if out:
-            yield pd.DataFrame(out, columns=["user_id", "session_id",
-                                             "n_events", "value_sum"])
+            yield pd.DataFrame(out, columns=out_cols)
 
     return (stream.groupBy("user_id")
             .applyInPandasWithState(
-                fn, SESSION_OUT_SCHEMA, SESSION_STATE_SCHEMA, "append",
-                "NoTimeout" if timeout_ms is None else "ProcessingTimeTimeout"))
+                fn,
+                SESSION_OUT_SCHEMA_TIMEOUT if timeout else SESSION_OUT_SCHEMA,
+                SESSION_STATE_SCHEMA_TIMEOUT if timeout
+                else SESSION_STATE_SCHEMA,
+                "append",
+                "ProcessingTimeTimeout" if timeout else "NoTimeout"))
 
 
 def streaming_conversation_counts(stream: DataFrame,

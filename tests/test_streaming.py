@@ -199,9 +199,10 @@ def test_stateful_sessionize_timeout_evicts_idle_sessions(spark, tmp_path):
     def sink_rows():
         got = spark.read.schema(
             "user_id int, session_id bigint, n_events bigint, "
-            "value_sum double").parquet(out)
+            "value_sum double, session_start long").parquet(out)
         return sorted((r["user_id"], r["session_id"], r["n_events"],
-                       r["value_sum"]) for r in got.collect())
+                       r["value_sum"], r["session_start"])
+                      for r in got.collect())
 
     def poll_until(pred, deadline_s=90):
         t0 = time.monotonic()
@@ -227,11 +228,24 @@ def test_stateful_sessionize_timeout_evicts_idle_sessions(spark, tmp_path):
         add_file(batch([(3, 30, "2024-01-01 00:00:00", 7.0)]),
                  "batch-0001.parquet")
         poll_until(lambda rows: len(rows) >= 3)
+        # user 1 REAPPEARS after eviction: numbering restarts at 1 (the
+        # documented timeout-mode contract), but session_start keeps the
+        # sink rows uniquely keyed (ADVICE r4)
+        add_file(batch([(1, 40, "2024-01-01 01:00:00", 9.0)]),
+                 "batch-0002.parquet")
+        poll_until(lambda rows: len(rows) >= 4)
     finally:
         q.stop()
+    rows = sink_rows()
     # exactly once each (state removed on eviction → can never re-fire),
     # correct aggregates, no duplicates
-    assert sink_rows() == [(1, 1, 1, 1.0), (2, 1, 1, 5.0), (3, 1, 1, 7.0)]
+    assert [r[:4] for r in rows] == [
+        (1, 1, 1, 1.0), (1, 1, 1, 9.0), (2, 1, 1, 5.0), (3, 1, 1, 7.0)]
+    # session_start disambiguates the duplicated (user_id, session_id) key
+    u1_starts = {r[4] for r in rows if r[0] == 1}
+    assert len(u1_starts) == 2 and all(s is not None for s in u1_starts)
+    # same-instant sessions share the start epoch across users
+    assert rows[0][4] == rows[2][4] == rows[3][4] == rows[1][4] - 3600
 
 
 def test_stream_dedup_drops_replayed_tail(spark):
