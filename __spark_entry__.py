@@ -849,6 +849,31 @@ def q_ann_ivf_topk(spark, sf_dir):
     return ivf_topk(emb, qvec, k=10)
 
 
+def q_ann_ivf_trained(spark, sf_dir):
+    """TRAINED IVF codebook (VERDICT r4 #3): deterministic k-means —
+    md5-hash-sampled init, 2 Lloyd iterations with EXACT fixed-point
+    centroid sums (partitioning-independent, so the DuckDB oracle unrolls
+    the identical iterations) — then every vector assigned to its best
+    trained cell."""
+    from engine.datawork.similarity import ivf_assignments, train_kmeans
+    emb = _t(spark, sf_dir, "embeddings")
+    cent = train_kmeans(emb)
+    return (ivf_assignments(emb, centroids=cent)
+            .select(F.col("id").alias("vec_id"), "cell").orderBy("vec_id"))
+
+
+def q_ann_ivf_trained_topk(spark, sf_dir):
+    """IVF search over the TRAINED codebook — probe ranking is a broadcast
+    semi-join (no driver collect of centroids), candidates bounded by the
+    probed cells' population."""
+    from engine.datawork.similarity import ivf_topk, train_kmeans
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in
+            emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    cent = train_kmeans(emb)
+    return ivf_topk(emb, qvec, k=10, centroids=cent)
+
+
 def q_dedup_guard_report(spark, sf_dir):
     """Skew-guard telemetry (hot shingles / hot LSH buckets and the rows
     they carry) — lets a 100 TB operator see when the quadratic-join guards
@@ -957,6 +982,8 @@ _RAW_QUERIES: dict = {
         "ann_lsh_topk_probe": q_ann_lsh_topk_probe,
         "ann_ivf_assignments": q_ann_ivf_assignments,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_ivf_trained": q_ann_ivf_trained,
+        "ann_ivf_trained_topk": q_ann_ivf_trained_topk,
         "multimodal_features": q_multimodal_features,
         "pdf_payload_extract": q_pdf_payload_extract,
     }

@@ -799,6 +799,107 @@ JOIN qprobe p ON a.cell = p.cell,
      (SELECT embedding FROM embeddings WHERE vec_id = 0) q
 ORDER BY score DESC, vec_id LIMIT 10"""
 
+    # ---- trained IVF codebook: the k-means iterations UNROLLED in SQL ----
+    # Exactness rests on the engine's fixed-point centroid update: per-dim
+    # sums are exact BIGINT arithmetic (floor(x·2^20 + 0.5)), so the
+    # centroid values are partitioning-independent and both engines produce
+    # bit-identical doubles; assignments round cosines to 6 with ties to
+    # the smallest cell, same as the untrained rule.
+    from engine.datawork.similarity import (IVF_CELLS as _KC,
+                                            IVF_NPROBE as _KP,
+                                            KMEANS_ITERS as _KI,
+                                            KMEANS_SCALE as _KS)
+
+    def _dot_d(a: str, b: str) -> str:  # operands already DOUBLE arrays
+        return (f"list_sum(list_transform(range(1, 65), "
+                f"i -> {a}[i] * {b}[i]))")
+
+    _ksums = ", ".join(f"sum(fx[{d + 1}]) AS s{d}" for d in range(64))
+    _kmean = ", ".join(f"s.s{d} / (s.cnt * {float(_KS)})" for d in range(64))
+    _kmeans_blocks = []
+    for i in range(1, _KI + 1):
+        _kmeans_blocks.append(f"""
+score{i} AS (
+    SELECT p.id, p.fx, c.cell,
+           CAST(round({_dot_d('p.v', 'c.cv')}
+                / (p.nrm * sqrt({_dot_d('c.cv', 'c.cv')})), 6) AS DOUBLE)
+               AS ccos
+    FROM pn p CROSS JOIN cent{i - 1} c
+),
+assign{i} AS (
+    SELECT id, cell, fx FROM (
+        SELECT id, cell, fx,
+               row_number() OVER (PARTITION BY id
+                                  ORDER BY ccos DESC, cell) AS rk
+        FROM score{i}
+    ) WHERE rk = 1
+),
+sums{i} AS (
+    SELECT cell, count(*) AS cnt, {_ksums}
+    FROM assign{i} GROUP BY cell
+),
+cent{i} AS (
+    SELECT c.cell,
+           CASE WHEN s.cell IS NULL THEN c.cv ELSE [{_kmean}] END AS cv
+    FROM cent{i - 1} c LEFT JOIN sums{i} s ON c.cell = s.cell
+)""")
+    _kmeans_common = f"""
+WITH pts AS (
+    SELECT vec_id AS id,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings
+),
+pn AS (
+    SELECT id, v, sqrt({_dot_d('v', 'v')}) AS nrm,
+           list_transform(v, x -> CAST(floor(x * {_KS} + 0.5) AS BIGINT))
+               AS fx
+    FROM pts
+),
+cent0 AS (
+    SELECT CAST(rk - 1 AS INTEGER) AS cell, v AS cv FROM (
+        SELECT id, v,
+               row_number() OVER (ORDER BY md5(CAST(id AS VARCHAR)), id)
+                   AS rk
+        FROM pts
+    ) WHERE rk <= {_KC}
+),{",".join(_kmeans_blocks)},
+final_score AS (
+    SELECT p.id, c.cell,
+           CAST(round({_dot_d('p.v', 'c.cv')}
+                / (p.nrm * sqrt({_dot_d('c.cv', 'c.cv')})), 6) AS DOUBLE)
+               AS ccos
+    FROM pn p CROSS JOIN cent{_KI} c
+),
+final_assign AS (
+    SELECT id, cell FROM (
+        SELECT id, cell,
+               row_number() OVER (PARTITION BY id
+                                  ORDER BY ccos DESC, cell) AS rk
+        FROM final_score
+    ) WHERE rk = 1
+)"""
+
+    o["ann_ivf_trained"] = _kmeans_common + """
+SELECT id AS vec_id, cell FROM final_assign ORDER BY vec_id"""
+
+    o["ann_ivf_trained_topk"] = _kmeans_common + f""",
+qprobe AS (
+    SELECT c.cell FROM cent{_KI} c,
+         (SELECT v AS qv, nrm AS qn FROM pn WHERE id = 0) q
+    ORDER BY CAST(round({_dot_d('c.cv', 'q.qv')}
+             / (sqrt({_dot_d('c.cv', 'c.cv')}) * q.qn), 6) AS DOUBLE) DESC,
+             c.cell
+    LIMIT {_KP}
+)
+SELECT b.id AS vec_id,
+       CAST(round({_dot_d('b.v', 'q.qv')} / (b.nrm * q.qn), 6) AS DOUBLE)
+           AS score
+FROM pn b
+JOIN final_assign a ON b.id = a.id
+JOIN qprobe p ON a.cell = p.cell,
+     (SELECT v AS qv, nrm AS qn FROM pn WHERE id = 0) q
+ORDER BY score DESC, vec_id LIMIT 10"""
+
     # multi-probe top-k: candidates = vectors whose 8-plane bucket is within
     # Hamming 1 of the query's bucket (probe_bits=1); data-independent SQL —
     # the query bucket is computed in the same statement.

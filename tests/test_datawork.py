@@ -560,3 +560,48 @@ def test_quality_flags_each_rule_trips(spark):
     assert not got[9]["pass_quality"] and got[9]["n_words"] == 0
     for d in range(1, 10):
         assert not got[d]["pass_quality"]
+
+
+def test_train_kmeans_partitioning_independent(spark, emb):
+    """The fixed-point centroid update must make the codebook BIT-identical
+    across partitionings — the property that lets a SQL oracle pin it."""
+    from engine.datawork.similarity import train_kmeans
+    a = train_kmeans(emb.repartition(1)).collect()
+    b = train_kmeans(emb.repartition(7)).collect()
+    ca = sorted((r["cell"], tuple(r["cv"])) for r in a)
+    cb = sorted((r["cell"], tuple(r["cv"])) for r in b)
+    assert ca == cb
+    assert len(ca) == 16
+    # the update actually moved the centroids off their seed vectors
+    seeds = {tuple(r["embedding"]) for r in emb.limit(64).collect()}
+    moved = [cv for _, cv in ca if tuple(map(float, cv)) not in seeds]
+    assert moved
+
+
+def test_trained_ivf_cells_balanced_and_topk_sound(spark, emb):
+    """The trained codebook's pinnable properties on this near-uniform
+    synthetic corpus: (a) every vector assigned, all cells non-empty,
+    (b) the cell-population spread is no wider than the untrained
+    smallest-id rule's (Lloyd iterations pull centroids toward mass),
+    (c) trained ivf_topk returns vectors scored identically to brute
+    force (IVF only restricts the candidate set). Per-query recall on
+    random synthetic embeddings is noise either way — it is MEASURED by
+    tools/recall_report.py, not asserted here."""
+    from engine.datawork.similarity import (cosine_topk, ivf_assignments,
+                                            ivf_topk, train_kmeans)
+    cent = train_kmeans(emb)
+    spread = {}
+    for label, c in (("untrained", None), ("trained", cent)):
+        a = ivf_assignments(emb, centroids=c)
+        sizes = [r["n"] for r in
+                 a.groupBy("cell").agg(F.count("*").alias("n")).collect()]
+        assert len(sizes) == 16 and sum(sizes) == emb.count()
+        spread[label] = max(sizes) - min(sizes)
+    assert spread["trained"] <= spread["untrained"]
+
+    qvec = [float(x) for x in
+            emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    brute = {r["vec_id"]: r["score"]
+             for r in cosine_topk(emb, qvec, 500).collect()}
+    for r in ivf_topk(emb, qvec, 10, centroids=cent).collect():
+        assert brute[r["vec_id"]] == r["score"]

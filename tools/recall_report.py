@@ -87,6 +87,71 @@ def main() -> int:
     out["minhash_lsh"] = {"k": MINHASH_K, "bands": MINHASH_BANDS,
                           "candidates": len(cand), "thresholds": mh_rows}
 
+    # ---- IVF top-k recall: trained k-means codebook vs untrained rule ----
+    # Mean top-10 recall over a fixed query panel at each nprobe. On this
+    # synthetic near-uniform corpus neither codebook has geometric structure
+    # to exploit, so treat the trained-vs-untrained delta as noise unless it
+    # is large; the number that matters operationally is the scan bound
+    # (max probed-cell population), where Lloyd iterations tighten balance.
+    from pyspark.sql import functions as F
+
+    from engine.datawork.similarity import (cosine_topk, ivf_assignments,
+                                            ivf_topk, train_kmeans)
+    cent = train_kmeans(emb)
+    qids = [0, 7, 13, 21, 34, 42, 77, 111, 203, 340]
+    qvecs = {r["vec_id"]: [float(x) for x in r["embedding"]]
+             for r in emb.filter(F.col("vec_id").isin(qids)).collect()}
+    truths = {q: {r["vec_id"] for r in cosine_topk(emb, v, 10).collect()}
+              for q, v in qvecs.items()}
+    ivf_rows = []
+    for label, c in (("untrained", None), ("trained", cent)):
+        sizes = [r["n"] for r in ivf_assignments(emb, centroids=c)
+                 .groupBy("cell").agg(F.count("*").alias("n")).collect()]
+        for nprobe in (1, 2, 4):
+            caught = sum(
+                len({r["vec_id"] for r in
+                     ivf_topk(emb, v, 10, nprobe=nprobe,
+                              centroids=c).collect()} & truths[q])
+                for q, v in qvecs.items())
+            ivf_rows.append({
+                "codebook": label, "nprobe": nprobe,
+                "recall": round(caught / (10 * len(qids)), 4),
+                "max_cell": max(sizes), "min_cell": min(sizes)})
+    out["ivf_topk"] = {"queries": len(qids), "rows": ivf_rows}
+
+    # ---- planted-cluster panel: the regime a TRAINED codebook exists for.
+    # The sf embeddings are near-uniform (no geometry to learn — there the
+    # untrained data-vector centroids actually rank better, see above); real
+    # corpora cluster. 2000 vectors in 16 skew-sized Gaussian clusters,
+    # cluster sizes quadratic in id so the 16 smallest-id vectors (the
+    # untrained codebook) all come from ONE cluster — the failure mode
+    # training fixes.
+    import numpy as np
+    rs = np.random.RandomState(7)
+    centers = rs.standard_normal((16, 64)) * 3.0
+    planted = [(i, [float(x) for x in
+                    (centers[int(16 * (i / 2000.0) ** 2)]
+                     + rs.standard_normal(64)).astype("float32")])
+               for i in range(2000)]
+    pemb = spark.createDataFrame(planted, "vec_id: long, embedding: array<float>")
+    pcent = train_kmeans(pemb)
+    pq = [5, 400, 900, 1500, 1900]
+    pqv = {r["vec_id"]: [float(x) for x in r["embedding"]]
+           for r in pemb.filter(F.col("vec_id").isin(pq)).collect()}
+    ptruth = {q: {r["vec_id"] for r in cosine_topk(pemb, v, 10).collect()}
+              for q, v in pqv.items()}
+    planted_rows = []
+    for label, c in (("untrained", None), ("trained", pcent)):
+        for nprobe in (1, 2):
+            caught = sum(
+                len({r["vec_id"] for r in
+                     ivf_topk(pemb, v, 10, nprobe=nprobe,
+                              centroids=c).collect()} & ptruth[q])
+                for q, v in pqv.items())
+            planted_rows.append({"codebook": label, "nprobe": nprobe,
+                                 "recall": round(caught / (10 * len(pq)), 4)})
+    out["ivf_topk_planted"] = {"queries": len(pq), "rows": planted_rows}
+
     if args.json:
         print(json.dumps(out))
     else:
@@ -100,6 +165,17 @@ def main() -> int:
         for r in mh_rows:
             print(f"  J>={r['jaccard']:<6} true={r['true_pairs']:<5} "
                   f"caught={r['caught']:<5} recall={r['recall']}")
+        print(f"ivf top-10 recall over {len(qids)} queries "
+              f"(cells=16; scan bound = max cell):")
+        for r in ivf_rows:
+            print(f"  {r['codebook']:<10} nprobe={r['nprobe']} "
+                  f"recall={r['recall']:<7} cell min/max="
+                  f"{r['min_cell']}/{r['max_cell']}")
+        print(f"ivf top-10 recall, PLANTED 16-cluster corpus "
+              f"(2000 vecs, skewed sizes, {len(pq)} queries):")
+        for r in planted_rows:
+            print(f"  {r['codebook']:<10} nprobe={r['nprobe']} "
+                  f"recall={r['recall']}")
     return 0
 
 
