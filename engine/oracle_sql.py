@@ -296,6 +296,10 @@ FROM events GROUP BY event_type ORDER BY event_type"""
 SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
 FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL"""
 
+    o["transcript_tokens_bpe"] = f"""
+SELECT conv_id, turn_idx, n_tokens, tokens_md5
+FROM {exp('expected_bpe')}"""
+
     o["sql_function_surface"] = f"""
 SELECT conv_id, turn_idx, cleaned_md5
 FROM {exp('expected_turns')} WHERE payload_kind = 'md_clean'"""

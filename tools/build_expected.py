@@ -96,6 +96,23 @@ def build_tag(tag: str, out_base: Path) -> None:
         c = convs.setdefault(key[0], {"turns": [], "tickers": set()})
         c["turns"].append((key[1], rec))
 
+    # real-BPE token oracle (frozen merges table, engine/core/bpe.py) —
+    # skipped only if the committed merges file is absent (fresh partial
+    # checkouts); the md5 pins the exact token sequence per turn
+    bpe_rows = []
+    merges_path = REPO / "data" / "bpe" / "merges.txt"
+    if merges_path.exists():
+        from engine.core.bpe import build_ranks, encode_text, load_merges
+        ranks = build_ranks(load_merges(str(merges_path)))
+        cache: dict = {}
+        for r in rows:
+            toks = encode_text(r["text"] or "", ranks, cache)
+            bpe_rows.append({
+                "conv_id": r["conv_id"], "turn_idx": r["turn_idx"],
+                "n_tokens": len(toks),
+                "tokens_md5": _md5(" ".join(toks)),
+            })
+
     import json as _json
 
     from engine.core.assemble import (build_conversation_document,
@@ -167,6 +184,7 @@ def build_tag(tag: str, out_base: Path) -> None:
                       "numerics_count", "failed_turns", "cleaned_chars"))
     write("expected_docs.parquet", doc_rows, int32_cols=("n_turns",),
           bool_cols=("is_valid",))
+    write("expected_bpe.parquet", bpe_rows, int32_cols=("turn_idx", "n_tokens"))
     print(f"{tag}: {len(rows)} turns, {len(passages)} passages, "
           f"{len(numerics)} numerics, {len(tables)} tables, {len(spans)} spans")
 
