@@ -320,11 +320,18 @@ def _lsh_base_plan(df: DataFrame, id_col: str, vec_col: str,
     ``embed_lsh_base`` slot. Single source of truth: any consumer that
     wants to share that cache (guard telemetry) must build this exact
     shape, or sameSemantics cannot match and the 96-plane sign
-    computation silently runs twice in a combined run."""
-    from .dedup import _ensure_parallelism
-    base = _ensure_parallelism(df).select(
+    computation silently runs twice in a combined run.
+
+    Repartitioned BY id BEFORE the persist (VERDICT r4 #6 — the
+    minhash-bucket trick applied to the verify side): both exact-verify
+    joins key the cache side on id, so they read the cache's
+    outputPartitioning and add no Exchange that carries the 64-dim
+    vectors; the one id-shuffle happens at cache build, where the sig
+    column rides along anyway. The repartition also subsumes the
+    under-split rebalance _ensure_parallelism used to provide."""
+    base = df.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
-        norm(F.col(vec_col)).alias("nrm"))
+        norm(F.col(vec_col)).alias("nrm")).repartition(F.col("id"))
     return base.withColumn("sig", banded_sig_expr(F.col("v"), bands, rows))
 
 
