@@ -221,6 +221,18 @@ def q_conversation_documents(spark, sf_dir):
                        F.md5("doc_json").alias("doc_md5"), "is_valid")
 
 
+def q_conversation_documents_salted(spark, sf_dir):
+    """Salted two-pass assembly (mega-conversation escape hatch): shard on
+    contiguous floor(turn_idx/chunk) blocks, fold per shard, merge partials.
+    Shares the expected_docs oracle with conversation_documents — the driver
+    gate itself proves the two paths byte-identical. chunk=4 at sf0.01
+    (≈13 turns/conv) forces multi-shard merges for nearly every group."""
+    from engine.spark.documents import conversation_documents
+    docs = conversation_documents(_extracted(spark, sf_dir), chunk=4)
+    return docs.select("conv_id", "n_turns",
+                       F.md5("doc_json").alias("doc_md5"), "is_valid")
+
+
 def q_pipeline_lineage(spark, sf_dir):
     """End-to-end run incl. checkpoint/lineage commit (rows-only check —
     wall-clock fields are inherently non-SQL-reproducible)."""
@@ -950,6 +962,7 @@ _RAW_QUERIES: dict = {
         "extract_spans": q_extract_spans,
         "conversation_rollup": q_conversation_rollup,
         "conversation_documents": q_conversation_documents,
+        "conversation_documents_salted": q_conversation_documents_salted,
         "pipeline_lineage": q_pipeline_lineage,
         "pricing_summary": q_pricing_summary,
         "top_customers": q_top_customers,

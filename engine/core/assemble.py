@@ -156,12 +156,19 @@ def merge_figures(base: Dict, figures_data: List[Dict]) -> Dict:
     # passage pages use the 0-based-cover split convention, so a figure
     # physically on split-page p links to passages labeled p+1 — the
     # reference's json_merger has the identical shift and we preserve it.
+    # Indexed by page up front: the reference rescans the full passage list
+    # per figure (O(figures × passages) — 100k-turn conversation documents
+    # turn that into minutes of CPU); one ordered pass builds the same
+    # first-3-in-document-order answer the rescan produces.
+    by_page: Dict = {}
+    for p in result.get("passages", []):
+        lst = by_page.setdefault(p.get("page"), [])
+        if len(lst) < 3:
+            lst.append(p["passage_id"])
     for fig in figures_data:
-        page = fig.get("page", 0)
-        related = [p["passage_id"] for p in result.get("passages", [])
-                   if p.get("page") == page]
+        related = by_page.get(fig.get("page", 0))
         if related:
-            fig.setdefault("metadata", {})["related_passages"] = related[:3]
+            fig.setdefault("metadata", {})["related_passages"] = list(related)
 
     run = result.get("doc", {}).get("extraction_run")
     if isinstance(run, dict):
@@ -173,44 +180,45 @@ def merge_figures(base: Dict, figures_data: List[Dict]) -> Dict:
     return result
 
 
-def build_conversation_document(conv_id: str, records: List[Dict],
-                                publication: Optional[str] = None,
-                                with_figures: bool = True) -> Dict:
-    """Assemble one conversation's ordered turn records into a single
-    schema-1.3.1 document — the conversation-scope analogue of the
-    reference's page-payload aggregation (_aggregate_page_results,
-    batch_pdf_processor.py:1357-1705): entity dedup with alias index (A1),
-    doc-metadata fold with ticker union (A12/A13), passage/table/numeric
-    accumulation with the reference's dedup keys (A4/A5), figure-stub
-    extraction in batches of 15 (G4/G5 shape) and merge (A11/A7).
+def fold_conversation_records(records: List[Dict]) -> Dict:
+    """Pass-1 fold: turn records (in turn_idx order) → partial assembly
+    state. Pure and JSON-serializable, so the salted two-pass Spark path
+    can ship shard partials between stages; the single-pass path is
+    ``finalize_conversation_document(conv_id, fold_conversation_records(r))``
+    — ONE implementation of the accumulation loop, never forked.
 
-    ``records`` must be in turn_idx order (stable-ordering invariant); page
-    provenance is re-based per turn as ``turn_idx * 1000 + page`` so page
-    numbers stay unique document-wide and invertible.
-    """
-    from .entities import EntityIndex, ticker_union
-    from .figure_stub import deterministic_fake, extract_figures_batched
+    The partial carries: first-title candidate, zh flag, partial ticker
+    union (sorted-set union is associative/commutative), passages with
+    rebased pages, within-shard first-occurrence-deduped tables/numerics
+    (the A4/A5 keys are derivable from the stored records, so the merge
+    can continue the dedup across shards), RAW entity records (EntityIndex
+    folding is order-dependent first-wins with alias merging — partial
+    indexes would not compose exactly, so the index is built once at
+    finalize over the concatenated stream), and figure descriptors (the
+    batch-of-15 boundaries are global, so batching also waits for
+    finalize)."""
+    from .entities import ticker_union
 
-    idx = EntityIndex(salt=publication or "")
     passages: List[Dict] = []
     tables: List[Dict] = []
     numerics: List[Dict] = []
     figure_descriptors: List[Dict] = []
+    entities: List[Dict] = []
     tickers: List[List[str]] = []
     num_seen = set()
     table_seen = set()
     title = None
-    language = "en"
+    language_zh = False
 
     for rec in records:
         t = rec.get("turn_idx", 0)
         if title is None and rec.get("payload_kind") != "plain" and rec.get("title"):
             title = rec["title"]
         if rec.get("language") == "zh":
-            language = "zh"
+            language_zh = True
         tickers.append(rec.get("tickers", []))
         for e in rec.get("entities", []):
-            idx.add(e)
+            entities.append(e)
 
         def rebase(page: int) -> int:
             return t * 1000 + (page or 0)
@@ -235,7 +243,82 @@ def build_conversation_document(conv_id: str, records: List[Dict],
                 "path": f.get("path"), "page": rebase(f.get("page", 0)),
                 "title": f.get("label") or None, "label": f.get("label")})
 
-    all_tickers = ticker_union(*tickers)
+    return {
+        "n_turns": len(records),
+        "title": title,
+        "language_zh": language_zh,
+        "tickers": ticker_union(*tickers),
+        "entities": entities,
+        "passages": passages,
+        "tables": tables,
+        "numerics": numerics,
+        "figures": figure_descriptors,
+    }
+
+
+def merge_conversation_partials(partials: List[Dict]) -> Dict:
+    """Pass-2 merge of shard partials **in shard order** (shards are
+    contiguous turn_idx ranges, so shard order == turn order). Replays
+    exactly the cross-shard residue of the fold: first-title-wins, zh any,
+    ticker re-union, concatenation of order-carrying lists, and
+    continuation of the A4/A5 first-occurrence dedup across shard
+    boundaries using keys derived from the stored (already-rebased)
+    records. ``merge([fold(chunk) for chunk in chunks]) == fold(records)``
+    for any contiguous chunking — pinned by tests/test_documents.py."""
+    from .entities import ticker_union
+
+    out: Dict = {"n_turns": 0, "title": None, "language_zh": False,
+                 "tickers": [], "entities": [], "passages": [],
+                 "tables": [], "numerics": [], "figures": []}
+    table_seen = set()
+    num_seen = set()
+    ticker_parts: List[List[str]] = []
+    for p in partials:
+        out["n_turns"] += p["n_turns"]
+        if out["title"] is None and p["title"]:
+            out["title"] = p["title"]
+        out["language_zh"] = out["language_zh"] or p["language_zh"]
+        ticker_parts.append(p["tickers"])
+        out["entities"].extend(p["entities"])
+        out["passages"].extend(p["passages"])
+        out["figures"].extend(p["figures"])
+        for tb in p["tables"]:
+            if tb["table_id"] in table_seen:
+                continue
+            table_seen.add(tb["table_id"])
+            out["tables"].append(tb)
+        for n in p["numerics"]:
+            key = (n["context"], n["value"], n["unit"], n["page"])
+            if key in num_seen:
+                continue
+            num_seen.add(key)
+            out["numerics"].append(n)
+    out["tickers"] = ticker_union(*ticker_parts)
+    return out
+
+
+def finalize_conversation_document(conv_id: str, state: Dict,
+                                   publication: Optional[str] = None,
+                                   with_figures: bool = True) -> Dict:
+    """Fold state → final schema-1.3.1 document: EntityIndex built over the
+    full entity stream (A1 order-dependent), figure-stub batching over the
+    full descriptor list (G4/G5 global batch-of-15 boundaries), figure
+    merge against the full passage set (A11/A7), validation/repair."""
+    from .entities import EntityIndex, ticker_union
+    from .figure_stub import deterministic_fake, extract_figures_batched
+
+    idx = EntityIndex(salt=publication or "")
+    for e in state["entities"]:
+        idx.add(e)
+    passages = state["passages"]
+    tables = state["tables"]
+    numerics = state["numerics"]
+    figure_descriptors = state["figures"]
+    title = state["title"]
+    language = "zh" if state["language_zh"] else "en"
+    n_turns = state["n_turns"]
+
+    all_tickers = ticker_union(state["tickers"])
     base = {
         "schema_version": SCHEMA_VERSION,
         "doc": {
@@ -250,7 +333,7 @@ def build_conversation_document(conv_id: str, records: List[Dict],
                 "pipeline_steps": ["payload_dispatch", "rule_extraction",
                                    "conversation_assembly"],
                 "processing_metadata": {
-                    "turns_processed": len(records),
+                    "turns_processed": n_turns,
                     "publication": publication,
                 },
             },
@@ -295,6 +378,31 @@ def build_conversation_document(conv_id: str, records: List[Dict],
     if not ok:
         base = repair_document(base, conv_id)
     return base
+
+
+def build_conversation_document(conv_id: str, records: List[Dict],
+                                publication: Optional[str] = None,
+                                with_figures: bool = True) -> Dict:
+    """Assemble one conversation's ordered turn records into a single
+    schema-1.3.1 document — the conversation-scope analogue of the
+    reference's page-payload aggregation (_aggregate_page_results,
+    batch_pdf_processor.py:1357-1705): entity dedup with alias index (A1),
+    doc-metadata fold with ticker union (A12/A13), passage/table/numeric
+    accumulation with the reference's dedup keys (A4/A5), figure-stub
+    extraction in batches of 15 (G4/G5 shape) and merge (A11/A7).
+
+    ``records`` must be in turn_idx order (stable-ordering invariant); page
+    provenance is re-based per turn as ``turn_idx * 1000 + page`` so page
+    numbers stay unique document-wide and invertible.
+
+    Composition of the fold/finalize split above — the salted two-pass
+    Spark path (engine/spark/documents.py) runs the same fold per shard,
+    merges partials, and calls the same finalize, so both paths share one
+    accumulation implementation.
+    """
+    return finalize_conversation_document(
+        conv_id, fold_conversation_records(records),
+        publication=publication, with_figures=with_figures)
 
 
 def validate_document(doc: Dict) -> Tuple[bool, Optional[str]]:

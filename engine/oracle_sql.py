@@ -147,6 +147,11 @@ FROM {exp('expected_convs')}"""
 SELECT conv_id, n_turns, doc_md5, is_valid
 FROM {exp('expected_docs')}"""
 
+    # the salted two-pass path must be byte-identical to the single-pass
+    # path, so it shares the same expected table — the driver gate itself
+    # is the equivalence proof
+    o["conversation_documents_salted"] = o["conversation_documents"]
+
     # ---- relational family over the registered views ----
     o["pricing_summary"] = """
 SELECT l_returnflag, l_linestatus,

@@ -14,6 +14,11 @@ def spark():
     from pyspark.sql import SparkSession
     s = (SparkSession.builder.master("local[4]")
          .appName("engine-tests")
+         # 6g, not the 1g default: the mega-conversation test's single-pass
+         # CONTROL materializes one 100k-turn group as Arrow batches in a
+         # single task (the very failure mode the salted path removes — at
+         # 1g the control dies with a Java-heap OOM before the comparison)
+         .config("spark.driver.memory", "6g")
          .config("spark.sql.shuffle.partitions", "8")
          .config("spark.sql.adaptive.enabled", "true")
          .config("spark.ui.enabled", "false")
