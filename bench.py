@@ -109,6 +109,24 @@ def main() -> None:
     phases = (_pipeline.LAST_RUN_STATS.phases
               if _pipeline.LAST_RUN_STATS else None)
 
+    # ingestion-proof correctness artifact (VERDICT r4 #5): the round-4
+    # driver snapshot silently dropped 3 of 53 queries, so the bench entry
+    # the driver DOES invoke now refreshes CORRECTNESS_SELF.json itself —
+    # one row per queries() entry, checked against DuckDB at sf0.01 in a
+    # subprocess (own Spark session; stdout swallowed so this function's
+    # contract — exactly ONE JSON line — holds). BENCH_SELF_CHECK=0 skips.
+    self_check = None
+    if os.environ.get("BENCH_SELF_CHECK", "1") != "0":
+        import subprocess
+        res = subprocess.run(
+            [sys.executable, str(REPO / "tools" / "check_oracles.py"),
+             "--json", str(REPO / "CORRECTNESS_SELF.json")],
+            cwd=str(REPO), capture_output=True, text=True, timeout=3600)
+        lines = res.stdout.strip().splitlines() or [""]
+        summary = next((l for l in reversed(lines) if "queries OK" in l),
+                       lines[-1])
+        self_check = {"ok": res.returncode == 0, "summary": summary}
+
     print(json.dumps({
         "metric": "turns_per_sec",
         "value": round(tput, 1),
@@ -119,6 +137,7 @@ def main() -> None:
         "extract_turns": out_rows,
         "extract_seconds": round(extract_s, 2),
         "cpus": CPUS,
+        "self_check": self_check,
     }))
 
 

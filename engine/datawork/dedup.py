@@ -144,6 +144,12 @@ def _cache_slot_peek(name: str, df: DataFrame) -> DataFrame:
     return df
 
 
+# driver-side count of reactive rebalances — the proactive path
+# (engine.spark.job.tune_input_splits, set by the CLIs/soaks before the
+# scan) should make this stay 0 on multi-file corpora; the soak asserts it
+REBALANCE_TRIGGERS = 0
+
+
 def _ensure_parallelism(df: DataFrame) -> DataFrame:
     """Rebalance under-split inputs before a CPU-heavy explode/hash stage.
 
@@ -154,9 +160,15 @@ def _ensure_parallelism(df: DataFrame) -> DataFrame:
     8 file-splits ran its shingle explode on 8 of 32 cores — 360 s where
     32 partitions do the identical work in ~45 s (round-4 profile). The
     repartition is one narrow shuffle of the raw rows, always cheap next
-    to the explode it feeds; inputs with ≥ cores splits pass untouched."""
+    to the explode it feeds; inputs with ≥ cores splits pass untouched.
+
+    This is the reactive BACKSTOP: jobs that know their input up front
+    should size the scan itself via tune_input_splits (no extra shuffle);
+    this path remains for ad-hoc DataFrames and sub-1 MB inputs."""
+    global REBALANCE_TRIGGERS
     target = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
+        REBALANCE_TRIGGERS += 1
         return df.repartition(target)
     return df
 

@@ -130,8 +130,11 @@ def main(argv=None) -> int:
                          "the dedup ops otherwise run up front")
     args = ap.parse_args(argv)
 
-    from engine.spark.job import build_session
+    from engine.spark.job import build_session, tune_input_splits
     spark = build_session(args.master, app=f"datawork-{args.op}")
+    split_bytes = tune_input_splits(spark, args.input)
+    print(f"maxPartitionBytes={split_bytes} "
+          f"(proactive split sizing over {args.input})")
     out = run_op(spark, args.op, args.input, args.percent,
                  args.group_col, args.top_k, args.threshold,
                  check_ids=not args.no_check_ids)

@@ -605,3 +605,30 @@ def test_trained_ivf_cells_balanced_and_topk_sound(spark, emb):
              for r in cosine_topk(emb, qvec, 500).collect()}
     for r in ivf_topk(emb, qvec, 10, centroids=cent).collect():
         assert brute[r["vec_id"]] == r["score"]
+
+
+def test_tune_input_splits_sizes_scan_to_cores(spark, tmp_path):
+    """Proactive split sizing (VERDICT r4 #2): maxPartitionBytes set from
+    input size so a CPU-heavy scan starts on >= cores splits without the
+    reactive _ensure_parallelism repartition. The floor override makes the
+    tiny fixture behave like a real multi-split corpus."""
+    from engine.spark.job import tune_input_splits
+    from tools import synth
+
+    path = str(tmp_path / "tx.parquet")
+    synth.write_parquet(path, 4000)
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        got = tune_input_splits(spark, path, floor_bytes=1024)
+        assert int(spark.conf.get("spark.sql.files.maxPartitionBytes")) == got
+        import os
+        total = os.path.getsize(path)
+        cores = spark.sparkContext.defaultParallelism
+        assert got == max(1024, min(128 << 20, total // (cores * 3)))
+        parts = spark.read.parquet(path).rdd.getNumPartitions()
+        assert parts >= cores
+        # default floor (1 MB) clamps tiny inputs — the reactive backstop
+        # stays responsible below that
+        assert tune_input_splits(spark, path) == 1 << 20
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)

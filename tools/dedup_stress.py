@@ -71,6 +71,11 @@ def build_corpus(spark, sf_dir: str, copies: int, cache_dir: str,
             planted = planted.select(
                 "doc_id", F.concat_ws(" ", "text", banner).alias("text"))
         planted.write.mode("overwrite").parquet(str(out))
+    # proactive split sizing (VERDICT r4 #2): size the scan so the shingle
+    # explode starts on ≥ cores×3 splits — the reactive _ensure_parallelism
+    # repartition must then never trigger (asserted at the end of the soak)
+    from engine.spark.job import tune_input_splits
+    print(f"  maxPartitionBytes={tune_input_splits(spark, str(out))}")
     return spark.read.parquet(str(out))
 
 
@@ -96,6 +101,8 @@ def build_embedding_corpus(spark, sf_dir: str, copies: int, cache_dir: str):
         rep.select((F.col("vec_id") + F.col("copy") * F.lit(n)).alias("vec_id"),
                    perturbed.alias("embedding")) \
            .write.mode("overwrite").parquet(str(out))
+    from engine.spark.job import tune_input_splits
+    print(f"  maxPartitionBytes={tune_input_splits(spark, str(out))}")
     return spark.read.parquet(str(out))
 
 
@@ -186,6 +193,8 @@ def main() -> int:
                     "max_cluster": stats["max_cluster"],
                     "rounds": clusters_mod.LAST_ITERATIONS}
         timed("embed_clusters", run_clusters)
+        from engine.datawork import dedup as dedup_mod
+        out["rebalance_triggers"] = dedup_mod.REBALANCE_TRIGGERS
         if args.json:
             print(json.dumps(out))
         return 0
@@ -252,6 +261,15 @@ def main() -> int:
                     "max_cluster": stats["max_cluster"],
                     "rounds": clusters_mod.LAST_ITERATIONS}
         timed("verified_clusters", run_verified_clusters)
+
+    # proactive sizing must have made the reactive backstop a no-op — if
+    # this fires, the scan came in under-split and part of the chain ran
+    # on idle cores (the silent 16× round-4 failure mode)
+    from engine.datawork import dedup as dedup_mod
+    out["rebalance_triggers"] = dedup_mod.REBALANCE_TRIGGERS
+    assert dedup_mod.REBALANCE_TRIGGERS == 0, (
+        f"reactive rebalance fired {dedup_mod.REBALANCE_TRIGGERS}× despite "
+        f"proactive split sizing")
 
     if args.json:
         print(json.dumps(out))
