@@ -855,6 +855,16 @@ def q_doc_length_quantiles(spark, sf_dir):
     return length_quantiles(_t(spark, sf_dir, "documents"))
 
 
+def q_corpus_pack_shards(spark, sf_dir):
+    """Concat-stream token-budget shard packing (sequence packing): each
+    doc's shard is floor(start_offset / 2048) over the id-ordered token
+    stream. Distributed prefix sum — range shuffle + per-partition Arrow
+    cumsum + driver prefix of n_partitions totals; NO global-order Window
+    (which would be a one-partition plan). engine/datawork/pack.py."""
+    from engine.datawork.pack import pack_shards
+    return pack_shards(_t(spark, sf_dir, "documents"), budget=2048)
+
+
 def q_ann_ivf_assignments(spark, sf_dir):
     """IVF coarse quantization: every vector assigned to its best centroid
     cell (deterministic codebook rule; at scale the cell is the partition
@@ -1002,6 +1012,7 @@ _RAW_QUERIES: dict = {
         "token_vocab_topk": q_token_vocab_topk,
         "corpus_sample": q_corpus_sample,
         "doc_length_quantiles": q_doc_length_quantiles,
+        "corpus_pack_shards": q_corpus_pack_shards,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_buckets": q_ann_lsh_buckets,
         "embedding_near_pairs": q_embedding_near_pairs,

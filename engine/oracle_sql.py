@@ -685,6 +685,27 @@ SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
        round(quantile_cont(n_chars, 0.99), 4) AS p99
 FROM documents GROUP BY lang"""
 
+    # the oracle is the naive one-stream window; the engine side is the
+    # two-level distributed prefix sum — value equality IS the check that
+    # the distributed formulation computes the same stream
+    o["corpus_pack_shards"] = f"""
+WITH t AS (
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{BPE_TOKEN_RE}')) AS BIGINT)
+               AS n_tokens
+    FROM documents
+), c AS (
+    SELECT doc_id, n_tokens,
+           CAST(COALESCE(sum(n_tokens) OVER (
+                ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS BIGINT) AS start_offset
+    FROM t
+)
+SELECT doc_id, n_tokens, start_offset,
+       CAST(floor(start_offset / 2048.0) AS INTEGER) AS shard_id
+FROM c"""
+
     from engine.datawork.similarity import (LSH_BANDS as _EB,
                                             LSH_ROWS as _ER)
     o["dedup_guard_report"] = _minhash_sig_sql() + f""",

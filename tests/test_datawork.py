@@ -632,3 +632,53 @@ def test_tune_input_splits_sizes_scan_to_cores(spark, tmp_path):
         assert tune_input_splits(spark, path) == 1 << 20
     finally:
         spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+
+
+def test_pack_shards_matches_naive_prefix_sum(spark):
+    """The two-level distributed scan must equal the naive exclusive prefix
+    sum over id order, including exact shard boundaries at the budget."""
+    from engine.datawork.pack import pack_shards
+    counts = [(1, 5), (2, 3), (3, 0), (4, 9), (5, 2), (6, 8), (7, 1)]
+    df = spark.createDataFrame(counts, "doc_id int, n int")
+    got = {r["doc_id"]: r for r in
+           pack_shards(df, budget=8, tokens=F.col("n")).collect()}
+    acc = 0
+    for did, n in counts:
+        assert got[did]["n_tokens"] == n
+        assert got[did]["start_offset"] == acc
+        assert got[did]["shard_id"] == acc // 8
+        acc += n
+    assert len(got) == len(counts)
+
+
+def test_pack_shards_partition_invariant_and_null_safe(spark):
+    """Output must not depend on where range boundaries fall, and NULL token
+    counts pack as 0 (never shifting later offsets)."""
+    from engine.datawork.pack import pack_shards
+    rows = [(i, None if i % 5 == 0 else i % 7) for i in range(1, 101)]
+    df = spark.createDataFrame(rows, "doc_id int, n int")
+    a = sorted(pack_shards(df, budget=10, tokens=F.col("n"),
+                           num_partitions=2).collect())
+    b = sorted(pack_shards(df, budget=10, tokens=F.col("n"),
+                           num_partitions=13).collect())
+    assert a == b
+    got = {r["doc_id"]: r for r in a}
+    acc = 0
+    for i, n in rows:
+        n = n or 0
+        assert got[i]["start_offset"] == acc and got[i]["n_tokens"] == n
+        acc += n
+
+
+def test_pack_shards_plan_has_no_window(spark, docs):
+    """The scale contract: NO Window operator (a global-order Window is a
+    one-partition plan) and exactly one range Exchange feeding the cumsum."""
+    from engine.datawork.pack import pack_shards
+    plan = pack_shards(docs, budget=2048)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Window" not in plan
+    # AQE prints the plan twice (Initial + Final) — assert the shuffle KIND,
+    # not a count: the only Exchange is the range partition (plus the tiny
+    # offsets broadcast); no hash shuffle anywhere
+    assert "rangepartitioning" in plan
+    assert "Exchange hashpartitioning" not in plan, plan

@@ -70,7 +70,14 @@ def build_corpus(spark, sf_dir: str, copies: int, cache_dir: str,
                 F.concat(F.lit(f"zipfw{i}t"), tmpl) for i in range(12)])
             planted = planted.select(
                 "doc_id", F.concat_ws(" ", "text", banner).alias("text"))
-        planted.write.mode("overwrite").parquet(str(out))
+        # write cores files, not one: a split can only parallelize across
+        # row groups, so a single ~1 GB file (≈8 row groups at the 128 MB
+        # default) caps the scan at ~8 non-empty tasks NO MATTER how small
+        # maxPartitionBytes goes — the exact round-4 under-split trap. A
+        # production corpus written by a distributed job is many files
+        # anyway; the old single-file cache was the artifact.
+        (planted.repartition(spark.sparkContext.defaultParallelism)
+                .write.mode("overwrite").parquet(str(out)))
     # proactive split sizing (VERDICT r4 #2): size the scan so the shingle
     # explode starts on ≥ cores×3 splits — the reactive _ensure_parallelism
     # repartition must then never trigger (asserted at the end of the soak)
@@ -100,6 +107,7 @@ def build_embedding_corpus(spark, sf_dir: str, copies: int, cache_dir: str):
             lambda x, i: F.when(i == dim, x + nudge).otherwise(x))
         rep.select((F.col("vec_id") + F.col("copy") * F.lit(n)).alias("vec_id"),
                    perturbed.alias("embedding")) \
+           .repartition(spark.sparkContext.defaultParallelism) \
            .write.mode("overwrite").parquet(str(out))
     from engine.spark.job import tune_input_splits
     print(f"  maxPartitionBytes={tune_input_splits(spark, str(out))}")
@@ -129,6 +137,12 @@ def main() -> int:
                     help="append a Zipf(1)-distributed boilerplate banner "
                          "over K templates (adversarial shared-boilerplate "
                          "skew; guards must engage with candidates bounded)")
+    ap.add_argument("--incremental", action="store_true",
+                    help="soak the persisted-index incremental dedup path: "
+                         "build 44%%/88%% corpus indexes, run a 1%% wave "
+                         "against both and a 10%% wave against the big one "
+                         "(wave-proportional cost evidence), plus a full "
+                         "recompute for contrast")
     ap.add_argument("--json", action="store_true")
     args = ap.parse_args()
 
@@ -205,6 +219,53 @@ def main() -> int:
                         zipf_k=args.zipf)
     out["n_docs"] = docs.count()
     out["zipf_k"] = args.zipf
+
+    if args.incremental:
+        # THE incremental-dedup scale claim (VERDICT r4 #1 "done" bar):
+        # per-wave cost ∝ wave size, NOT corpus size. Evidence shape:
+        #   same 1% wave against a 44% corpus and an 88% corpus → ≈equal
+        #   wall (corpus-independence); 1% vs 10% wave against the same
+        #   88% corpus → ≈linear in wave; full recompute over corpus∪wave
+        #   timed for contrast (what a non-incremental pipeline pays).
+        from engine.datawork.dedup import minhash_verified_pairs
+        from engine.datawork.incremental import (incremental_verified_pairs,
+                                                 write_minhash_index)
+        n_docs = out["n_docs"]
+        thr = args.verify_threshold or 0.5
+        b_small, b_big = int(n_docs * 0.44), int(n_docs * 0.88)
+        w1, w2 = int(n_docs * 0.89), int(n_docs * 0.99)
+        did = F.col("doc_id")
+        corpus_small = docs.filter(did < b_small)
+        corpus_big = docs.filter(did < b_big)
+        wave_s = docs.filter((did >= b_big) & (did < w1))   # ~1%
+        wave_b = docs.filter((did >= w1) & (did < w2))      # ~10%
+        idx_small = f"/tmp/spark_graft_incr_small_{args.copies}x{suffix}"
+        idx_big = f"/tmp/spark_graft_incr_big_{args.copies}x{suffix}"
+        out["sizes"] = {"corpus_small": b_small, "corpus_big": b_big,
+                        "wave_small": w1 - b_big, "wave_big": w2 - w1}
+        timed("index_build_small", lambda: (
+            write_minhash_index(corpus_small, idx_small),
+            {"docs": b_small})[1])
+        timed("index_build_big", lambda: (
+            write_minhash_index(corpus_big, idx_big),
+            {"docs": b_big})[1])
+        timed("wave1pct_vs_corpus44", lambda: {
+            "pairs": incremental_verified_pairs(
+                wave_s, idx_small, threshold=thr).count()})
+        timed("wave1pct_vs_corpus88", lambda: {
+            "pairs": incremental_verified_pairs(
+                wave_s, idx_big, threshold=thr).count()})
+        timed("wave10pct_vs_corpus88", lambda: {
+            "pairs": incremental_verified_pairs(
+                wave_b, idx_big, threshold=thr).count()})
+        timed("full_recompute_corpus88_plus_wave1pct", lambda: {
+            "pairs": minhash_verified_pairs(
+                docs.filter(did < w1), threshold=thr).count()})
+        from engine.datawork import dedup as dedup_mod
+        out["rebalance_triggers"] = dedup_mod.REBALANCE_TRIGGERS
+        if args.json:
+            print(json.dumps(out))
+        return 0
 
     timed("exact", lambda: {
         "groups": exact_duplicates(docs).count()})
