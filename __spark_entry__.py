@@ -865,6 +865,52 @@ def q_corpus_pack_shards(spark, sf_dir):
     return pack_shards(_t(spark, sf_dir, "documents"), budget=2048)
 
 
+def _banner_corpus(docs):
+    """Deterministic multi-line derivation of the documents table for the
+    line-dedup demo (the synthetic texts are single-line and all-distinct,
+    so repeated lines are planted FROM the input itself: a doc_id%7 banner
+    every doc shares with ~1/7 of the corpus, plus a per-doc rare line on
+    every third doc). Spelled identically in the DuckDB oracle."""
+    did = F.col("doc_id")
+    return docs.select("doc_id", F.concat(
+        F.col("text"), F.lit("\nbanner-"), (did % 7).cast("string"),
+        F.when(did % 3 == 0,
+               F.concat(F.lit("\nrare-"), did.cast("string")))
+         .otherwise(F.lit(""))).alias("text"))
+
+
+def q_corpus_line_dedup(spark, sf_dir):
+    """CCNet-style line-level dedup: drop lines occurring >= 5 times across
+    the corpus (planted banners), keep original per-doc line order. Line
+    frequency keyed on md5(line) (16-byte shuffle keys); reassembly is one
+    aggregate. engine/datawork/curation.py."""
+    from engine.datawork.curation import dedup_lines
+    return dedup_lines(_banner_corpus(_t(spark, sf_dir, "documents")),
+                       min_count=5)
+
+
+def q_corpus_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: corpus docs sharing >= 1 word 3-gram with
+    a held-out eval split (md5 bucket < 5%) — the GPT-3-appendix
+    train/test-overlap scan. Eval gram set broadcast; the corpus is never
+    shuffled on gram strings. engine/datawork/curation.py."""
+    from engine.datawork.curation import contamination_report
+    docs = _t(spark, sf_dir, "documents")
+    bucket = (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")),
+                                 1, 8), 16, 10).cast("long") % 100)
+    return contamination_report(docs.filter(bucket >= 5),
+                                docs.filter(bucket < 5), n=3)
+
+
+def q_corpus_temperature_sample(spark, sf_dir):
+    """Temperature (alpha=0.5) mixture sampling: ~120 docs drawn with
+    per-lang rates ∝ sqrt(group size) — low-resource upweighting. Pure
+    BIGINT cutoff arithmetic + md5 ppm-bucket keep decision: RNG-free,
+    engine-exact, no sort. engine/datawork/curation.py."""
+    from engine.datawork.curation import temperature_sample
+    return temperature_sample(_t(spark, sf_dir, "documents"), budget=120)
+
+
 def q_ann_ivf_assignments(spark, sf_dir):
     """IVF coarse quantization: every vector assigned to its best centroid
     cell (deterministic codebook rule; at scale the cell is the partition
@@ -1013,6 +1059,9 @@ _RAW_QUERIES: dict = {
         "corpus_sample": q_corpus_sample,
         "doc_length_quantiles": q_doc_length_quantiles,
         "corpus_pack_shards": q_corpus_pack_shards,
+        "corpus_line_dedup": q_corpus_line_dedup,
+        "corpus_decontaminate": q_corpus_decontaminate,
+        "corpus_temperature_sample": q_corpus_temperature_sample,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_buckets": q_ann_lsh_buckets,
         "embedding_near_pairs": q_embedding_near_pairs,

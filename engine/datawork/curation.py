@@ -1,0 +1,162 @@
+"""Corpus curation operators a training-data pipeline runs before mixing:
+line-level dedup (CCNet-style boilerplate removal), benchmark
+decontamination (n-gram overlap vs a held-out eval set), and
+temperature-based mixture sampling.
+
+All pure DataFrame algebra with exact DuckDB twins (engine/oracle_sql.py).
+Reference scope note: the reference pipeline dedups entities/numerics
+within a conversation (results_processor.py); these are the corpus-scale
+counterparts a 100 TB ingest needs and the reference never had.
+
+Scale shapes:
+
+* ``dedup_lines`` — explode lines once, count line frequency with map-side
+  combine on 16-byte md5 keys (never shuffles raw line strings), mark hot
+  lines with one join, reassemble with one aggregate. Hot keys are by
+  definition skewed (a hot line appears ≥ min_count times on the probe
+  side); that join is a non-aggregating hash join, and AQE skew-join
+  splits oversized partitions — no salting needed because nothing
+  accumulates per key.
+* ``contamination_report`` — the benchmark side is an eval set (thousands
+  of docs, not billions), so its distinct-gram table is broadcast; the
+  corpus side is a single pass: shingle → broadcast hash join → one
+  per-doc aggregate. The corpus is never shuffled on gram strings.
+* ``temperature_sample`` — per-group counts are a tiny aggregate joined
+  back broadcast; the keep decision is a stateless hash predicate (no
+  RNG, no sort, no window over data-sized groups), so the sample is
+  reproducible across engines, runs, and partitionings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+#: md5-hash bucket in [0, 1e6) — the corpus.hash_sample idiom at ppm
+#: resolution. Deterministic across engines (md5 of the decimal id string).
+_PPM = 1_000_000
+
+
+def _ppm_bucket(col):
+    return (F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10)
+            .cast("long") % _PPM)
+
+
+def dedup_lines(docs: DataFrame, min_count: int = 2,
+                id_col: str = "doc_id", text_col: str = "text",
+                sep: str = "\n") -> DataFrame:
+    """CCNet-style line-level dedup: drop every line whose exact text
+    occurs ``>= min_count`` times across the corpus (boilerplate headers,
+    nav bars, cookie banners), keep the rest in original order.
+
+    Returns (id, text, n_kept, n_dropped) — ``text`` is the reassembled
+    document. Blank lines (whitespace-only) are never counted as hot and
+    always survive, so paragraph structure is preserved. NULL text
+    normalizes to the empty string (one empty line, kept).
+
+    The frequency count and the hot-line join both key on md5(line) —
+    16-byte shuffle keys instead of arbitrary-length line strings (the
+    guard-census lesson, dedup.py); collisions would need 2^64 lines.
+    """
+    from .dedup import _ensure_parallelism
+    if min_count < 2:
+        raise ValueError(f"min_count must be >= 2, got {min_count}")
+    lines = (_ensure_parallelism(docs)
+             .select(F.col(id_col).alias("id"),
+                     F.posexplode(F.split(F.coalesce(F.col(text_col),
+                                                     F.lit("")),
+                                          sep, -1))
+                      .alias("pos", "line"))
+             .withColumn("lh", F.md5(F.col("line"))))
+    hot = (lines.filter(F.trim(F.col("line")) != "")
+           .groupBy("lh").agg(F.count("*").alias("cnt"))
+           .filter(F.col("cnt") >= min_count)
+           .select("lh", F.lit(True).alias("_hot")))
+    marked = lines.join(hot, "lh", "left")
+    kept_struct = F.when(F.col("_hot").isNull(),
+                         F.struct(F.col("pos"), F.col("line")))
+    return (marked.groupBy("id")
+            .agg(F.concat_ws(sep, F.transform(
+                     F.array_sort(F.collect_list(kept_struct)),
+                     lambda s: s.line)).alias(text_col),
+                 F.count(F.when(F.col("_hot").isNull(), 1))
+                  .cast("bigint").alias("n_kept"),
+                 F.count(F.when(F.col("_hot").isNotNull(), 1))
+                  .cast("bigint").alias("n_dropped"))
+            .withColumnRenamed("id", id_col))
+
+
+def contamination_report(docs: DataFrame, bench: DataFrame, n: int = 3,
+                         id_col: str = "doc_id",
+                         text_col: str = "text") -> DataFrame:
+    """Benchmark decontamination scan: for every corpus doc sharing at
+    least one word n-gram with the eval set, report
+    (id, n_grams, n_hits, hit_ratio) — the decontamination decision
+    (drop / keep / review) is the caller's, parameterized on hit_ratio.
+
+    ``bench`` is the held-out eval set (same schema). Its distinct-gram
+    table is broadcast — eval sets are thousands of docs by construction;
+    if yours is not, it is training data, not a benchmark. The corpus side
+    is one shingle pass + broadcast join + per-doc aggregate: no
+    corpus-sized shuffle on gram strings (the join keys on md5(gram)).
+
+    Uses the dedup family's shingle definition (n-word grams over
+    whitespace tokens, per-doc distinct), so at n=13 this is the standard
+    train/test-overlap scan from the GPT-3/PaLM appendix lineage.
+    """
+    from .dedup import shingles
+    bench_set = (shingles(bench, id_col=id_col, text_col=text_col, n=n)
+                 .select(F.md5(F.col("shingle")).alias("gh"))
+                 .distinct()
+                 .withColumn("_hit", F.lit(True)))
+    grams = (shingles(docs, id_col=id_col, text_col=text_col, n=n)
+             .select("id", F.md5(F.col("shingle")).alias("gh")))
+    return (grams.join(F.broadcast(bench_set), "gh", "left")
+            .groupBy("id")
+            .agg(F.count("*").cast("bigint").alias("n_grams"),
+                 F.count(F.col("_hit")).cast("bigint").alias("n_hits"))
+            .filter(F.col("n_hits") > 0)
+            .select(F.col("id").alias(id_col), "n_grams", "n_hits",
+                    F.round(F.col("n_hits") / F.col("n_grams"), 6)
+                     .alias("hit_ratio")))
+
+
+def temperature_sample(docs: DataFrame, budget: int,
+                       group_col: str = "lang",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Temperature-based mixture sampling at T=2 (alpha=0.5): draw ~``budget``
+    docs with per-group rates proportional to sqrt(group size) — the
+    standard low-resource-upweighting mix (multilingual LM lineage:
+    p_g ∝ n_g^alpha flattens the group distribution).
+
+    Integerized so the sample is EXACTLY reproducible across engines:
+    weights are s_g = floor(sqrt(n_g)) (correctly-rounded IEEE sqrt of an
+    exact integer — identical in any engine), the per-group keep cutoff is
+
+        cut_ppm_g = min(1e6, (1e6 * budget * s_g) div (sum(s) * n_g))
+
+    in pure BIGINT arithmetic, and a doc is kept iff its md5 ppm-bucket
+    falls below its group's cutoff — no RNG, no floats, no sort. The
+    realized sample size concentrates around ``budget`` (each doc is an
+    independent hash draw). BIGINT bound: 1e6 * budget * s_g must stay
+    below 2^63 — safe to budget ~1e8 at s_g ~3e4 (n_g ~1e9); beyond that
+    widen to decimal(38,0) in both engines.
+
+    Returns sampled rows as (id, group, n_group, cut_ppm) — n_group and
+    cut_ppm expose the realized mixture so the mixing report is free.
+    """
+    if budget < 1:
+        raise ValueError(f"budget must be >= 1, got {budget}")
+    groups = (docs.groupBy(group_col)
+              .agg(F.count("*").alias("n_group"))
+              .withColumn("s", F.floor(F.sqrt(F.col("n_group")))
+                          .cast("bigint")))
+    denom = groups.agg(F.sum("s").alias("denom"))
+    cuts = (groups.crossJoin(F.broadcast(denom))
+            .select(group_col, "n_group",
+                    F.least(F.lit(_PPM).cast("bigint"),
+                            F.expr(f"({_PPM} * {int(budget)}L * s) div "
+                                   f"(denom * n_group)")).alias("cut_ppm")))
+    return (docs.select(id_col, group_col)
+            .join(F.broadcast(cuts), group_col)
+            .filter(_ppm_bucket(F.col(id_col)) < F.col("cut_ppm"))
+            .select(id_col, group_col, "n_group", "cut_ppm"))

@@ -706,6 +706,82 @@ SELECT doc_id, n_tokens, start_offset,
        CAST(floor(start_offset / 2048.0) AS INTEGER) AS shard_id
 FROM c"""
 
+    # line dedup over the same deterministic banner derivation the Spark
+    # side plants (__spark_entry__._banner_corpus) — string_agg skips the
+    # CASE-NULLed hot lines exactly like the filtered collect_list
+    o["corpus_line_dedup"] = """
+WITH src AS (
+    SELECT doc_id,
+           text || chr(10) || 'banner-' || CAST(doc_id % 7 AS VARCHAR) ||
+           CASE WHEN doc_id % 3 = 0
+                THEN chr(10) || 'rare-' || CAST(doc_id AS VARCHAR)
+                ELSE '' END AS text
+    FROM documents
+), l AS (
+    SELECT doc_id, string_split(coalesce(text, ''), chr(10)) AS ls FROM src
+), e AS (
+    SELECT doc_id, i AS pos, ls[i] AS line
+    FROM l, UNNEST(range(1, len(ls) + 1)) AS t(i)
+), hot AS (
+    SELECT line FROM e WHERE trim(line) <> ''
+    GROUP BY line HAVING count(*) >= 5
+)
+SELECT e.doc_id,
+       coalesce(string_agg(CASE WHEN h.line IS NULL THEN e.line END,
+                           chr(10) ORDER BY e.pos), '') AS text,
+       CAST(count(CASE WHEN h.line IS NULL THEN 1 END) AS BIGINT) AS n_kept,
+       CAST(count(h.line) AS BIGINT) AS n_dropped
+FROM e LEFT JOIN hot h ON e.line = h.line
+GROUP BY e.doc_id"""
+
+    o["corpus_decontaminate"] = """
+WITH corpus AS (
+    SELECT * FROM documents
+    WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+          % 100 >= 5
+), bench AS (
+    SELECT * FROM documents
+    WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+          % 100 < 5
+), cg AS (
+    SELECT DISTINCT doc_id AS id, sh
+    FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS ws
+          FROM corpus) w,
+         UNNEST(list_transform(range(1, greatest(len(ws) - 2, 0) + 1),
+                               i -> array_to_string(ws[i:i+2], ' '))) AS t(sh)
+), bg AS (
+    SELECT DISTINCT sh
+    FROM (SELECT string_split_regex(trim(lower(text)), '\\s+') AS ws
+          FROM bench) w,
+         UNNEST(list_transform(range(1, greatest(len(ws) - 2, 0) + 1),
+                               i -> array_to_string(ws[i:i+2], ' '))) AS t(sh)
+)
+SELECT id AS doc_id,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(count(b.sh) AS BIGINT) AS n_hits,
+       round(CAST(count(b.sh) AS DOUBLE) / count(*), 6) AS hit_ratio
+FROM cg LEFT JOIN bg b USING (sh)
+GROUP BY id HAVING count(b.sh) > 0"""
+
+    o["corpus_temperature_sample"] = """
+WITH g AS (
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_group FROM documents
+    GROUP BY lang
+), s AS (
+    SELECT lang, n_group,
+           CAST(floor(sqrt(n_group)) AS BIGINT) AS s FROM g
+), d AS (SELECT CAST(sum(s) AS BIGINT) AS denom FROM s),
+c AS (
+    SELECT lang, n_group,
+           least(CAST(1000000 AS BIGINT),
+                 (1000000 * 120 * s) // (denom * n_group)) AS cut_ppm
+    FROM s, d
+)
+SELECT doc_id, documents.lang, n_group, cut_ppm
+FROM documents JOIN c USING (lang)
+WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+      % 1000000 < cut_ppm"""
+
     from engine.datawork.similarity import (LSH_BANDS as _EB,
                                             LSH_ROWS as _ER)
     o["dedup_guard_report"] = _minhash_sig_sql() + f""",

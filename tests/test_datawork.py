@@ -682,3 +682,82 @@ def test_pack_shards_plan_has_no_window(spark, docs):
     # offsets broadcast); no hash shuffle anywhere
     assert "rangepartitioning" in plan
     assert "Exchange hashpartitioning" not in plan, plan
+
+
+def test_dedup_lines_drops_hot_keeps_order_and_blanks(spark):
+    from engine.datawork.curation import dedup_lines
+    boiler = "COOKIE BANNER"
+    df = spark.createDataFrame([
+        (1, f"alpha\n{boiler}\n\nbeta"),
+        (2, f"{boiler}\ngamma"),
+        (3, f"delta\n{boiler}"),
+        (4, "unique only"),
+        (5, None),
+    ], "doc_id int, text string")
+    got = {r["doc_id"]: r for r in dedup_lines(df, min_count=3).collect()}
+    assert got[1]["text"] == "alpha\n\nbeta"          # blank line survives
+    assert got[1]["n_kept"] == 3 and got[1]["n_dropped"] == 1
+    assert got[2]["text"] == "gamma"
+    assert got[3]["text"] == "delta"
+    assert got[4]["text"] == "unique only" and got[4]["n_dropped"] == 0
+    assert got[5]["text"] == "" and got[5]["n_kept"] == 1  # NULL → one '' line
+    assert len(got) == 5
+
+
+def test_dedup_lines_min_count_boundary(spark):
+    from engine.datawork.curation import dedup_lines
+    df = spark.createDataFrame(
+        [(1, "twice\na"), (2, "twice\nb")], "doc_id int, text string")
+    got2 = {r["doc_id"]: r["text"]
+            for r in dedup_lines(df, min_count=2).collect()}
+    got3 = {r["doc_id"]: r["text"]
+            for r in dedup_lines(df, min_count=3).collect()}
+    assert got2 == {1: "a", 2: "b"}          # count 2 >= 2 → dropped
+    assert got3 == {1: "twice\na", 2: "twice\nb"}  # 2 < 3 → kept
+
+
+def test_contamination_report_counts_shared_grams(spark):
+    from engine.datawork.curation import contamination_report
+    docs = spark.createDataFrame([
+        (1, "the quick brown fox jumps high"),     # shares "the quick brown"
+        (2, "completely different words entirely here now"),
+        (3, "the quick brown fox jumps high"),     # same as 1
+    ], "doc_id int, text string")
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox runs")], "doc_id int, text string")
+    got = {r["doc_id"]: r for r in
+           contamination_report(docs, bench, n=3).collect()}
+    assert set(got) == {1, 3}                       # doc 2 clean → absent
+    # doc 1: grams {the quick brown, quick brown fox, brown fox jumps,
+    #               fox jumps high}; bench holds the first two
+    assert got[1]["n_grams"] == 4 and got[1]["n_hits"] == 2
+    assert got[1]["hit_ratio"] == 0.5
+
+
+def test_temperature_sample_flattens_mixture(spark):
+    """A 10:1 skewed two-group corpus sampled at alpha=0.5 must upweight
+    the small group: realized rates ratio ≈ sqrt(10):1, not 10:1, and the
+    total lands near the budget. Decision is the md5 ppm-bucket — recompute
+    it here as the independent check."""
+    import hashlib
+    from engine.datawork.curation import temperature_sample
+    rows = [(i, "big" if i < 4000 else "small") for i in range(4400)]
+    df = spark.createDataFrame(rows, "doc_id int, lang string")
+    got = temperature_sample(df, budget=400, group_col="lang").collect()
+    by = {}
+    for r in got:
+        by.setdefault(r["lang"], []).append(r)
+    n_big, n_small = len(by["big"]), len(by["small"])
+    # exact expected sets: cut_ppm from the documented integer formula
+    s_big, s_small = int(4000 ** 0.5), int(400 ** 0.5)
+    denom = s_big + s_small
+    cut_big = min(10**6, (10**6 * 400 * s_big) // (denom * 4000))
+    cut_small = min(10**6, (10**6 * 400 * s_small) // (denom * 400))
+    assert by["big"][0]["cut_ppm"] == cut_big
+    assert by["small"][0]["cut_ppm"] == cut_small
+    for r in got:
+        b = int(hashlib.md5(str(r["doc_id"]).encode()).hexdigest()[:8], 16)
+        assert b % 10**6 < r["cut_ppm"]
+    # small group keeps a ~sqrt(10)x higher rate than proportional
+    assert cut_small / cut_big == pytest.approx(10 ** 0.5, rel=0.05)
+    assert 300 < n_big + n_small < 500
