@@ -902,6 +902,52 @@ def q_corpus_decontaminate(spark, sf_dir):
                                 docs.filter(bucket < 5), n=3)
 
 
+def q_events_interval_join(spark, sf_dir):
+    """Bucketed interval (range) join — clicks inside ANY user's
+    purchase-activity window (per-user-day [min ts, max ts] spans with
+    >= 2 purchases). No equality key: a naive Spark plan is a
+    BroadcastNestedLoopJoin; this quantizes time into 1h buckets, explodes
+    intervals to covered buckets, equi-joins, refilters exactly — each
+    pair meets once, no distinct pass. engine/datawork/ranges.py."""
+    from engine.datawork.ranges import interval_join
+    ev = _t(spark, sf_dir, "events")
+    iv = (ev.filter(F.col("event_type") == "purchase")
+          .groupBy(F.col("user_id").alias("iv_user"),
+                   F.to_date("ts").alias("day"))
+          .agg(F.min("ts").alias("ts_start"), F.max("ts").alias("ts_end"),
+               F.count("*").alias("c"))
+          .filter(F.col("c") >= 2).drop("c"))
+    clicks = (ev.filter(F.col("event_type") == "click")
+              .select("event_id", "ts"))
+    return (interval_join(clicks, iv, "ts", "ts_start", "ts_end",
+                          bucket_width_s=3600)
+            .select("event_id", "iv_user", "day")
+            .orderBy("event_id", "iv_user", "day"))
+
+
+def q_doc_tfidf_top_terms(spark, sf_dir):
+    """Per-doc top-5 TF-IDF terms (sklearn-smoothed idf, deterministic
+    tie-break). engine/datawork/corpus.py."""
+    from engine.datawork.corpus import tfidf_top_terms
+    return tfidf_top_terms(_t(spark, sf_dir, "documents"), top_k=5)
+
+
+def q_doc_pii_redact(spark, sf_dir):
+    """PII scrub over a deterministically PII-planted derivation of the
+    corpus (the synthetic texts carry no emails/IPs/card runs, so they are
+    planted FROM the input: per-doc email, doc_id-derived IPv4, one card
+    run) — replacement + per-pattern counts, zero shuffle.
+    engine/datawork/curation.py."""
+    from engine.datawork.curation import redact_pii
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    planted = docs.select("doc_id", F.concat(
+        F.col("text"), F.lit(" contact u"), did.cast("string"),
+        F.lit("@example.org via 10."), (did % 200).cast("string"),
+        F.lit(".0.7 acct 4111222233334444")).alias("text"))
+    return redact_pii(planted)
+
+
 def q_corpus_temperature_sample(spark, sf_dir):
     """Temperature (alpha=0.5) mixture sampling: ~120 docs drawn with
     per-lang rates ∝ sqrt(group size) — low-resource upweighting. Pure
@@ -1062,6 +1108,9 @@ _RAW_QUERIES: dict = {
         "corpus_line_dedup": q_corpus_line_dedup,
         "corpus_decontaminate": q_corpus_decontaminate,
         "corpus_temperature_sample": q_corpus_temperature_sample,
+        "events_interval_join": q_events_interval_join,
+        "doc_tfidf_top_terms": q_doc_tfidf_top_terms,
+        "doc_pii_redact": q_doc_pii_redact,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_buckets": q_ann_lsh_buckets,
         "embedding_near_pairs": q_embedding_near_pairs,

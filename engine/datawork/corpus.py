@@ -108,3 +108,36 @@ def length_quantiles(docs: DataFrame, group_col: str = "lang",
                     F.round(F.col("q")[0], 4).alias("p50"),
                     F.round(F.col("q")[1], 4).alias("p90"),
                     F.round(F.col("q")[2], 4).alias("p99")))
+
+
+def tfidf_top_terms(docs: DataFrame, top_k: int = 5,
+                    id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Per-document top-k terms by smoothed TF-IDF
+    (idf = ln((N+1)/(df+1)) + 1 — the scikit-learn smoothing, never
+    negative/zero), deterministic tie-break (score desc, term asc).
+
+    Shapes: tf is one (id, term) aggregate with map-side combine; df
+    derives from tf (already distinct per doc) with a second small
+    aggregate; N enters as a broadcast 1-row aggregate, never a collect;
+    the ranking window partitions by doc (bounded by per-doc vocabulary,
+    never data-sized). The tf↔df join shuffles on the term — vocabulary-
+    sized, and AQE handles the stopword-skewed head."""
+    from .dedup import _ensure_parallelism
+    w = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    tok = (_ensure_parallelism(docs)
+           .filter(F.trim(F.col(text_col)) != "")
+           .select(F.col(id_col).alias("id"), F.explode(w).alias("term")))
+    tf = tok.groupBy("id", "term").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    idf = F.log((F.col("n_docs") + 1) / (F.col("df") + 1)) + 1
+    scored = (tf.join(df, "term").crossJoin(F.broadcast(n))
+              .select("id", "term", "tf",
+                      F.round(F.col("tf") * idf, 6).alias("score")))
+    from pyspark.sql import Window
+    rk = F.row_number().over(
+        Window.partitionBy("id").orderBy(F.col("score").desc(), "term"))
+    return (scored.withColumn("rank", rk).filter(F.col("rank") <= top_k)
+            .select(F.col("id").alias(id_col), "term", "tf", "score",
+                    F.col("rank").cast("int").alias("rank")))

@@ -160,3 +160,37 @@ def temperature_sample(docs: DataFrame, budget: int,
             .join(F.broadcast(cuts), group_col)
             .filter(_ppm_bucket(F.col(id_col)) < F.col("cut_ppm"))
             .select(id_col, group_col, "n_group", "cut_ppm"))
+
+
+#: PII patterns — RE2/Java-regex common subset (no lookaround, no backrefs)
+#: so the Spark expression and the DuckDB oracle compile identically.
+#: Order matters: emails first (their digit runs must not be half-eaten by
+#: the number pass), then IPv4 (dotted digits would match neither other
+#: pattern but redact before generic runs for clarity), then bare
+#: 13-19-digit runs (card-shaped).
+PII_PATTERNS = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "[IP]"),
+    (r"\b\d{13,19}\b", "[NUMBER]"),
+)
+
+
+def redact_pii(docs: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text") -> DataFrame:
+    """Scrub card-shaped digit runs, IPv4s, and emails from ``text``,
+    replacing each with a typed placeholder; per-pattern match counts are
+    emitted so the redaction rate is observable per doc (the counts are
+    taken BEFORE any replacement — patterns are mutually non-overlapping
+    by construction, see PII_PATTERNS ordering note).
+
+    Pure codegen column expressions — zero shuffle, scales as a map."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    counts = [F.regexp_count(t, F.lit(pat)).cast("bigint").alias(name)
+              for pat, name in (
+                  (PII_PATTERNS[0][0], "n_emails"),
+                  (PII_PATTERNS[1][0], "n_ips"),
+                  (PII_PATTERNS[2][0], "n_numbers"))]
+    red = t
+    for pat, repl in PII_PATTERNS:
+        red = F.regexp_replace(red, pat, repl)
+    return docs.select(F.col(id_col), red.alias(text_col), *counts)

@@ -763,6 +763,71 @@ SELECT id AS doc_id,
 FROM cg LEFT JOIN bg b USING (sh)
 GROUP BY id HAVING count(b.sh) > 0"""
 
+    o["events_interval_join"] = """
+WITH iv AS (
+    SELECT user_id AS iv_user, CAST(ts AS DATE) AS day,
+           min(ts) AS ts_start, max(ts) AS ts_end
+    FROM events WHERE event_type = 'purchase'
+    GROUP BY 1, 2 HAVING count(*) >= 2
+)
+SELECT event_id, iv_user, day
+FROM events e JOIN iv ON e.ts BETWEEN iv.ts_start AND iv.ts_end
+WHERE e.event_type = 'click'
+ORDER BY event_id, iv_user, day"""
+
+    o["doc_tfidf_top_terms"] = """
+WITH tok AS (
+    SELECT doc_id AS id, t.term
+    FROM (SELECT doc_id,
+                 string_split_regex(trim(lower(text)), '\\s+') AS ws
+          FROM documents WHERE trim(text) <> '') w,
+         UNNEST(ws) AS t(term)
+), tf AS (
+    SELECT id, term, CAST(count(*) AS BIGINT) AS tf
+    FROM tok GROUP BY id, term
+), df AS (
+    SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+), n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+scored AS (
+    SELECT id, tf.term, tf,
+           round(tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1), 6) AS score
+    FROM tf JOIN df USING (term), n
+), ranked AS (
+    SELECT id, term, tf, score,
+           CAST(row_number() OVER (PARTITION BY id
+                                   ORDER BY score DESC, term) AS INTEGER)
+               AS rank
+    FROM scored
+)
+SELECT id AS doc_id, term, tf, score, rank FROM ranked WHERE rank <= 5"""
+
+    # identical PII planting to __spark_entry__.q_doc_pii_redact; the
+    # patterns are the RE2/Java common subset from curation.PII_PATTERNS
+    o["doc_pii_redact"] = r"""
+WITH src AS (
+    SELECT doc_id,
+           text || ' contact u' || CAST(doc_id AS VARCHAR) ||
+           '@example.org via 10.' || CAST(doc_id % 200 AS VARCHAR) ||
+           '.0.7 acct 4111222233334444' AS text
+    FROM documents
+)
+SELECT doc_id,
+       regexp_replace(
+           regexp_replace(
+               regexp_replace(coalesce(text, ''),
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                   '[EMAIL]', 'g'),
+               '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g'),
+           '\b\d{13,19}\b', '[NUMBER]', 'g') AS text,
+       CAST(len(regexp_extract_all(coalesce(text, ''),
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+           AS n_emails,
+       CAST(len(regexp_extract_all(coalesce(text, ''),
+            '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+       CAST(len(regexp_extract_all(coalesce(text, ''),
+            '\b\d{13,19}\b')) AS BIGINT) AS n_numbers
+FROM src"""
+
     o["corpus_temperature_sample"] = """
 WITH g AS (
     SELECT lang, CAST(count(*) AS BIGINT) AS n_group FROM documents

@@ -761,3 +761,87 @@ def test_temperature_sample_flattens_mixture(spark):
     # small group keeps a ~sqrt(10)x higher rate than proportional
     assert cut_small / cut_big == pytest.approx(10 ** 0.5, rel=0.05)
     assert 300 < n_big + n_small < 500
+
+
+def test_interval_join_matches_naive_and_handles_edges(spark):
+    """Bucketed interval join must equal the naive BETWEEN filter,
+    including inclusive endpoints, multi-match points, invalid (s > e)
+    intervals, and a mega-interval routed through the broadcast branch
+    (max_buckets=2 forces it)."""
+    import datetime as dt
+    from engine.datawork.ranges import interval_join
+    T = lambda m: dt.datetime(2024, 1, 1, 0, m)
+    pts = spark.createDataFrame(
+        [(i, T(m)) for i, m in enumerate([0, 10, 30, 59, 45])],
+        "pid int, ts timestamp")
+    ivs = spark.createDataFrame([
+        (100, T(0), T(10)),      # inclusive both ends: catches pids 0,1
+        (101, T(10), T(40)),     # overlaps: pids 1,2
+        (102, T(50), T(40)),     # invalid s>e: matches nothing
+        (103, T(0), T(59)),      # spans everything → long branch at mb=2
+    ], "iid int, ts_start timestamp, ts_end timestamp")
+    got = {(r["pid"], r["iid"]) for r in interval_join(
+        pts, ivs, "ts", "ts_start", "ts_end",
+        bucket_width_s=600, max_buckets=2).collect()}
+    naive = {(p["pid"], v["iid"])
+             for p in pts.collect() for v in ivs.collect()
+             if v["ts_start"] <= v["ts_end"]
+             and v["ts_start"] <= p["ts"] <= v["ts_end"]}
+    assert got == naive
+    assert (0, 103) in got and (1, 100) in got and (1, 101) in got
+    assert not any(i == 102 for _, i in got)
+
+
+def test_interval_join_no_duplicate_pairs_across_buckets(spark):
+    """An interval spanning many buckets must emit each contained point
+    exactly once (pairs meet only in the point's bucket)."""
+    import datetime as dt
+    from engine.datawork.ranges import interval_join
+    pts = spark.createDataFrame(
+        [(i, dt.datetime(2024, 1, 1, i)) for i in range(20)],
+        "pid int, ts timestamp")
+    ivs = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1, 2), dt.datetime(2024, 1, 1, 18))],
+        "iid int, ts_start timestamp, ts_end timestamp")
+    rows = interval_join(pts, ivs, "ts", "ts_start", "ts_end",
+                         bucket_width_s=3600).collect()
+    assert sorted(r["pid"] for r in rows) == list(range(2, 19))
+
+
+def test_tfidf_top_terms_ranks_rare_over_common(spark):
+    import math
+    from engine.datawork.corpus import tfidf_top_terms
+    df = spark.createDataFrame([
+        (1, "common rare1 common common"),
+        (2, "common plain"),
+        (3, "common plain"),
+    ], "doc_id int, text string")
+    got = {(r["doc_id"], r["rank"]): r for r in
+           tfidf_top_terms(df, top_k=2).collect()}
+    # doc 1: rare1 df=1 idf=ln(4/2)+1; common df=3 tf=3 idf=ln(4/4)+1=1
+    assert got[(1, 2)]["term"] == "rare1"
+    assert got[(1, 1)]["term"] == "common" and got[(1, 1)]["tf"] == 3
+    assert got[(1, 1)]["score"] == 3.0          # tf=3 × idf=1
+    assert got[(1, 2)]["score"] == round(math.log(2) + 1, 6)
+    # docs 2/3 identical: rarer 'plain' (df=2) outranks ubiquitous
+    # 'common' (idf=1), and both docs emit identical rows
+    assert got[(2, 1)]["term"] == got[(3, 1)]["term"] == "plain"
+    assert got[(2, 2)]["term"] == got[(3, 2)]["term"] == "common"
+    assert got[(2, 1)]["score"] == round(math.log(4 / 3) + 1, 6)
+
+
+def test_redact_pii_replaces_and_counts(spark):
+    from engine.datawork.curation import redact_pii
+    df = spark.createDataFrame([
+        (1, "mail bob.smith+x@corp.example.org from 192.168.1.77 "
+            "card 4111222233334444 ok"),
+        (2, "clean text with number 123 and 1.5 only"),
+        (3, None),
+    ], "doc_id int, text string")
+    got = {r["doc_id"]: r for r in redact_pii(df).collect()}
+    assert got[1]["text"] == "mail [EMAIL] from [IP] card [NUMBER] ok"
+    assert (got[1]["n_emails"], got[1]["n_ips"], got[1]["n_numbers"]) \
+        == (1, 1, 1)
+    assert got[2]["text"] == got[2]["text"] and got[2]["n_numbers"] == 0
+    assert "123" in got[2]["text"]             # short runs untouched
+    assert got[3]["text"] == ""                # NULL normalizes
