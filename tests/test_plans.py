@@ -235,3 +235,30 @@ def test_embed_verify_joins_add_no_exchange_over_base_cache(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
     assert any("InMemoryTableScan" in n for n in nodes)
     assert nodes.count("Exchange") <= 5
+
+
+def test_interval_join_is_equi_join_not_nested_loop(spark):
+    """The bucketed interval join's fine path must plan as a hash/merge
+    EQUI-join on the bucket id — never the BroadcastNestedLoopJoin Spark
+    produces for a bare range predicate. (The deliberate nested-loop
+    broadcast branch for mega-intervals only appears when max_buckets is
+    exceeded; with hour buckets over day-scale windows it stays empty but
+    still shows in the plan as a broadcast join over a filtered —
+    provably tiny — side.)"""
+    from engine.datawork.ranges import interval_join
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    iv = (ev.filter(F.col("event_type") == "purchase")
+          .groupBy("user_id", F.to_date("ts").alias("day"))
+          .agg(F.min("ts").alias("ts_start"), F.max("ts").alias("ts_end"))
+          .drop("user_id", "day")
+          .withColumn("iid", F.monotonically_increasing_id()))
+    pts = ev.filter(F.col("event_type") == "click").select("event_id", "ts")
+    plan = interval_join(pts, iv, "ts", "ts_start", "ts_end",
+                         bucket_width_s=3600) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    # exactly ONE nested-loop join: the deliberate mega-interval branch
+    # (its build side is filtered to coverage > max_buckets — tiny by
+    # contract); the fine path is an EQUI-join on the bucket id
+    assert plan.count("BroadcastNestedLoopJoin") == 1
+    assert "Join [_b" in plan
