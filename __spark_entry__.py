@@ -902,6 +902,48 @@ def q_corpus_decontaminate(spark, sf_dir):
                                 docs.filter(bucket < 5), n=3)
 
 
+def q_events_stream_join(spark, sf_dir):
+    """STREAM-STREAM inner join with watermarks on both sides and a
+    time-range condition (click → purchase by the same user within 1 h) —
+    the Structured Streaming shape where the range bound is what lets the
+    join state be evicted (without it, both sides buffer forever; with it,
+    state is bounded by watermark + 1 h — the 100 TB/day contract). Drained
+    with AvailableNow over a static input, nothing is late, so the result
+    must equal the batch join — the oracle."""
+    ev_path = os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(ev_path).schema
+
+    def side(event_type, alias_prefix):
+        s = (spark.readStream.schema(schema)
+             .option("pathGlobFilter", "events.parquet").parquet(sf_dir)
+             .filter(F.col("event_type") == event_type))
+        # NTZ wall time → instant via NTZ-native epoch (see
+        # q_events_stream_window for why not a plain cast)
+        epoch = F.expr("timestampdiff(SECOND, "
+                       "TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+        return (s.select(F.col("user_id").alias(f"{alias_prefix}_user"),
+                         F.timestamp_seconds(epoch)
+                          .alias(f"{alias_prefix}_ts"),
+                         F.col("value").alias(f"{alias_prefix}_value"))
+                .withWatermark(f"{alias_prefix}_ts", "1 hour"))
+
+    clicks, purchases = side("click", "c"), side("purchase", "p")
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")))
+    name = "events_stream_join_sink"
+    q = (joined.writeStream.format("memory").queryName(name)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return (spark.table(name)
+            .groupBy(F.col("c_user").alias("user_id"))
+            .agg(F.count("*").alias("n_pairs"),
+                 F.round(F.sum("p_value"), 4).alias("purchase_value"))
+            .orderBy("user_id"))
+
+
 def q_events_interval_join(spark, sf_dir):
     """Bucketed interval (range) join — clicks inside ANY user's
     purchase-activity window (per-user-day [min ts, max ts] spans with
@@ -1109,6 +1151,7 @@ _RAW_QUERIES: dict = {
         "corpus_decontaminate": q_corpus_decontaminate,
         "corpus_temperature_sample": q_corpus_temperature_sample,
         "events_interval_join": q_events_interval_join,
+        "events_stream_join": q_events_stream_join,
         "doc_tfidf_top_terms": q_doc_tfidf_top_terms,
         "doc_pii_redact": q_doc_pii_redact,
         "ann_cosine_topk": q_ann_cosine_topk,

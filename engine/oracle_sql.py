@@ -763,6 +763,17 @@ SELECT id AS doc_id,
 FROM cg LEFT JOIN bg b USING (sh)
 GROUP BY id HAVING count(b.sh) > 0"""
 
+    o["events_stream_join"] = """
+SELECT c.user_id,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       round(sum(p.value), 4) AS purchase_value
+FROM events c JOIN events p
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click' AND p.event_type = 'purchase'
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+GROUP BY c.user_id
+ORDER BY c.user_id"""
+
     o["events_interval_join"] = """
 WITH iv AS (
     SELECT user_id AS iv_user, CAST(ts AS DATE) AS day,

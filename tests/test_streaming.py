@@ -265,3 +265,54 @@ def test_stream_dedup_drops_replayed_tail(spark):
     replayed = ev.filter(
         F.col("ts") >= F.lit(mx) - F.expr("INTERVAL 30 MINUTES")).count()
     assert replayed >= 1
+
+
+def test_stream_stream_join_matches_across_microbatches(spark, tmp_path):
+    """A click in micro-batch 1 must still match a purchase arriving in
+    micro-batch 2 (join state holds the click until watermark + bound
+    passes), and pairs must emit exactly once. Two staged files +
+    maxFilesPerTrigger=1 force real batch boundaries."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from engine.spark.streaming import stage_ordered_batches
+
+    T = lambda m: dt.datetime(2024, 1, 1, 10, m)
+    b1 = spark.createDataFrame(
+        [(1, 7, T(0), "click", 0.0),      # matches purchase in batch 2
+         (2, 8, T(5), "click", 0.0),
+         (3, 8, T(7), "purchase", 5.0)],  # same-batch match for click 2
+        "event_id int, user_id int, ts timestamp, "
+        "event_type string, value double")
+    b2 = spark.createDataFrame(
+        [(4, 7, T(30), "purchase", 9.0),   # cross-batch match for click 1
+         (5, 7, T(59), "purchase", 2.0),   # second match for click 1
+         (6, 9, T(40), "purchase", 1.0)],  # no click → no pair
+        b1.schema)
+    stage = str(tmp_path / "stage")
+    stage_ordered_batches([b1, b2], stage)
+
+    def side(et, p):
+        s = (spark.readStream.schema(b1.schema)
+             .option("pathGlobFilter", "*.parquet")
+             .option("maxFilesPerTrigger", "1").parquet(stage)
+             .filter(F.col("event_type") == et))
+        return (s.select(F.col("user_id").alias(f"{p}_user"),
+                         F.col("ts").cast("timestamp_ltz")
+                          .alias(f"{p}_ts"),
+                         F.col("event_id").alias(f"{p}_id"))
+                .withWatermark(f"{p}_ts", "1 hour"))
+
+    joined = side("click", "c").join(
+        side("purchase", "p"),
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")))
+    q = (joined.writeStream.format("memory")
+         .queryName("ss_join_test_sink").outputMode("append")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = sorted((r["c_id"], r["p_id"])
+                 for r in spark.table("ss_join_test_sink").collect())
+    assert got == [(1, 4), (1, 5), (2, 3)]
