@@ -902,6 +902,23 @@ def q_corpus_decontaminate(spark, sf_dir):
                                 docs.filter(bucket < 5), n=3)
 
 
+def q_events_pivot_daily(spark, sf_dir):
+    """PIVOT: one row per day, one count column per event type. The value
+    list is EXPLICIT — that is the scale-relevant choice: with it, pivot
+    compiles to a single conditional aggregate (one shuffle, map-side
+    partials); without it, Spark first runs a distinct job over the pivot
+    column to discover the universe (an extra full pass + a driver-sized
+    value set)."""
+    ev = _t(spark, sf_dir, "events")
+    kinds = ["click", "error", "purchase", "signup", "view"]
+    piv = (ev.groupBy(F.to_date("ts").alias("day"))
+           .pivot("event_type", kinds).agg(F.count(F.lit(1))))
+    return (piv.select("day", *[F.coalesce(F.col(k), F.lit(0))
+                                .cast("bigint").alias(f"n_{k}")
+                                for k in kinds])
+            .orderBy("day"))
+
+
 def q_events_stream_join(spark, sf_dir):
     """STREAM-STREAM inner join with watermarks on both sides and a
     time-range condition (click → purchase by the same user within 1 h) —
@@ -1152,6 +1169,7 @@ _RAW_QUERIES: dict = {
         "corpus_temperature_sample": q_corpus_temperature_sample,
         "events_interval_join": q_events_interval_join,
         "events_stream_join": q_events_stream_join,
+        "events_pivot_daily": q_events_pivot_daily,
         "doc_tfidf_top_terms": q_doc_tfidf_top_terms,
         "doc_pii_redact": q_doc_pii_redact,
         "ann_cosine_topk": q_ann_cosine_topk,

@@ -763,6 +763,16 @@ SELECT id AS doc_id,
 FROM cg LEFT JOIN bg b USING (sh)
 GROUP BY id HAVING count(b.sh) > 0"""
 
+    o["events_pivot_daily"] = """
+SELECT CAST(ts AS DATE) AS day,
+       CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS n_click,
+       CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS n_error,
+       CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT)
+           AS n_purchase,
+       CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS n_signup,
+       CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS n_view
+FROM events GROUP BY 1 ORDER BY 1"""
+
     o["events_stream_join"] = """
 SELECT c.user_id,
        CAST(count(*) AS BIGINT) AS n_pairs,
