@@ -902,6 +902,23 @@ def q_corpus_decontaminate(spark, sf_dir):
                                 docs.filter(bucket < 5), n=3)
 
 
+def q_events_hll_daily(spark, sf_dir):
+    """Sketch surface: per-day DISTINCT-USER counts via HyperLogLog++
+    (approx_count_distinct, rsd=1%) next to the exact count. NO DuckDB
+    oracle by design — HLL registers are engine-specific, so the driver
+    records rows-only; the pytest gate instead bounds |approx-exact| <= 5%
+    per day (tests/test_datawork.py). The scale point: the exact distinct
+    is a full shuffle of (day, user) pairs, the sketch is a fixed
+    ~1.5 KB/day register set merged map-side — at 100 TB the sketch is the
+    only affordable daily-uniques path."""
+    ev = _t(spark, sf_dir, "events")
+    return (ev.groupBy(F.to_date("ts").alias("day"))
+            .agg(F.approx_count_distinct("user_id", rsd=0.01)
+                  .alias("users_approx"),
+                 F.count_distinct("user_id").alias("users_exact"))
+            .orderBy("day"))
+
+
 def q_events_pivot_daily(spark, sf_dir):
     """PIVOT: one row per day, one count column per event type. The value
     list is EXPLICIT — that is the scale-relevant choice: with it, pivot
@@ -1170,6 +1187,7 @@ _RAW_QUERIES: dict = {
         "events_interval_join": q_events_interval_join,
         "events_stream_join": q_events_stream_join,
         "events_pivot_daily": q_events_pivot_daily,
+        "events_hll_daily": q_events_hll_daily,
         "doc_tfidf_top_terms": q_doc_tfidf_top_terms,
         "doc_pii_redact": q_doc_pii_redact,
         "ann_cosine_topk": q_ann_cosine_topk,

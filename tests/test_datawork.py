@@ -845,3 +845,16 @@ def test_redact_pii_replaces_and_counts(spark):
     assert got[2]["text"] == got[2]["text"] and got[2]["n_numbers"] == 0
     assert "123" in got[2]["text"]             # short runs untouched
     assert got[3]["text"] == ""                # NULL normalizes
+
+
+def test_hll_daily_within_error_bound(spark):
+    """events_hll_daily has no SQL oracle (HLL registers are
+    engine-specific) — THIS is its correctness gate: per-day approx
+    uniques within 5% of exact (rsd=1%, so 5% is a generous ceiling)."""
+    import __spark_entry__ as e
+    rows = e.queries()["events_hll_daily"](
+        spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        assert abs(r["users_approx"] - r["users_exact"]) \
+            <= max(1, 0.05 * r["users_exact"]), r
