@@ -902,6 +902,29 @@ def q_corpus_decontaminate(spark, sf_dir):
                                 docs.filter(bucket < 5), n=3)
 
 
+def q_events_rolling_7d(spark, sf_dir):
+    """Trailing-7-day rolling totals per day — the RANGE window frame
+    (rangeBetween on an epoch-day ordering, not rowsBetween: days can be
+    missing, and a row frame would silently span gaps). Scale shape: the
+    frame runs over the PRE-AGGREGATED daily table (one row per day), so
+    the window cost is negligible; the single data-sized shuffle is the
+    daily aggregate underneath."""
+    from pyspark.sql import Window
+    ev = _t(spark, sf_dir, "events")
+    daily = (ev.groupBy(F.to_date("ts").alias("day"))
+             .agg(F.count("*").alias("n"),
+                  F.sum("value").alias("v")))
+    epoch_day = F.datediff(F.col("day"), F.lit("1970-01-01"))
+    w = (Window.orderBy(epoch_day.cast("long"))
+         .rangeBetween(-6, Window.currentRow))
+    return (daily.select(
+        "day",
+        F.col("n").cast("bigint").alias("n_day"),
+        F.sum("n").over(w).cast("bigint").alias("n_7d"),
+        F.round(F.sum("v").over(w), 4).alias("value_7d"))
+        .orderBy("day"))
+
+
 def q_events_hll_daily(spark, sf_dir):
     """Sketch surface: per-day DISTINCT-USER counts via HyperLogLog++
     (approx_count_distinct, rsd=1%) next to the exact count. NO DuckDB
@@ -1188,6 +1211,7 @@ _RAW_QUERIES: dict = {
         "events_stream_join": q_events_stream_join,
         "events_pivot_daily": q_events_pivot_daily,
         "events_hll_daily": q_events_hll_daily,
+        "events_rolling_7d": q_events_rolling_7d,
         "doc_tfidf_top_terms": q_doc_tfidf_top_terms,
         "doc_pii_redact": q_doc_pii_redact,
         "ann_cosine_topk": q_ann_cosine_topk,

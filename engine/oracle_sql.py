@@ -763,6 +763,20 @@ SELECT id AS doc_id,
 FROM cg LEFT JOIN bg b USING (sh)
 GROUP BY id HAVING count(b.sh) > 0"""
 
+    o["events_rolling_7d"] = """
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS day, count(*) AS n, sum(value) AS v
+    FROM events GROUP BY 1
+)
+SELECT day,
+       CAST(n AS BIGINT) AS n_day,
+       CAST(sum(n) OVER w AS BIGINT) AS n_7d,
+       round(sum(v) OVER w, 4) AS value_7d
+FROM daily
+WINDOW w AS (ORDER BY day
+             RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW)
+ORDER BY day"""
+
     o["events_pivot_daily"] = """
 SELECT CAST(ts AS DATE) AS day,
        CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS n_click,
