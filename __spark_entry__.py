@@ -1142,6 +1142,35 @@ def q_multimodal_features(spark, sf_dir):
                          .alias("feature_sum"), "error")
 
 
+def q_multimodal_ppm_decode(spark, sf_dir):
+    """REAL image decode in the multimodal path: P6 PPM payloads are
+    synthesized JVM-side from doc_id (constant channel values r=id%256,
+    g=id*7%256, b=id*13%256 over a 4x3 raster, built with chr+encode
+    ISO-8859-1 so codepoints ARE bytes), then decoded by the pure-numpy
+    PPM parser in engine/datawork/multimodal.py. The oracle is CLOSED
+    FORM — it predicts geometry and channel means analytically, so value
+    equality proves the decoder recovered the planted pixels from raw
+    bytes. Every 10th doc carries a PNG payload (stub error channel) and
+    every (10k+5)th a truncated raster (parser error channel)."""
+    from engine.datawork.multimodal import PPM_MIME, image_stats
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    px = F.concat(F.chr(did % 256), F.chr((did * 7) % 256),
+                  F.chr((did * 13) % 256))
+    header = F.lit("P6\n4 3\n255\n")
+    good = F.encode(F.concat(header, F.repeat(px, 12)), "ISO-8859-1")
+    truncated = F.encode(F.concat(header, F.repeat(px, 11)), "ISO-8859-1")
+    payload = (F.when(did % 10 == 0, F.encode(F.lit("PNGJUNKBYTES"),
+                                              "ISO-8859-1"))
+                .when(did % 10 == 5, truncated)
+                .otherwise(good))
+    mime = F.when(did % 10 == 0, F.lit("image/png")).otherwise(F.lit(PPM_MIME))
+    assets = docs.select(
+        F.concat(F.lit("asset-"), did.cast("string")).alias("asset_id"),
+        mime.alias("mime"), payload.alias("payload"))
+    return image_stats(assets)
+
+
 def _shipped(fn: Callable) -> Callable:
     def wrapper(spark: SparkSession, sf_dir: str) -> DataFrame:
         _ensure_code_shipped(spark)
@@ -1212,6 +1241,7 @@ _RAW_QUERIES: dict = {
         "events_pivot_daily": q_events_pivot_daily,
         "events_hll_daily": q_events_hll_daily,
         "events_rolling_7d": q_events_rolling_7d,
+        "multimodal_ppm_decode": q_multimodal_ppm_decode,
         "doc_tfidf_top_terms": q_doc_tfidf_top_terms,
         "doc_pii_redact": q_doc_pii_redact,
         "ann_cosine_topk": q_ann_cosine_topk,

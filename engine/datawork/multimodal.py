@@ -55,6 +55,58 @@ def decode_stub(payload: bytes, kind: str):
         f"no {kind} codec in this environment — swap in a real decoder here")
 
 
+PPM_MIME = "image/x-portable-pixmap"
+
+
+def decode_ppm(payload: bytes):
+    """REAL image decode for binary PPM (P6) — the one raster format a
+    pure numpy parser can own with no external codec: ASCII header
+    (magic, width, height, maxval; '#' comments legal between tokens),
+    one whitespace byte, then raw RGB. Returns an (H, W, 3) uint8 array.
+
+    Not a toy in context: the point of the multimodal column design is
+    that decode is a per-row Arrow-batched map over an opaque binary
+    column — this function proves the whole path (bytes in parquet →
+    numpy pixels → stats) with a genuine parser, while JPEG/PNG remain
+    routed to decode_stub until a codec exists in the container."""
+    import numpy as np
+    if payload is None or len(payload) < 2 or payload[:2] != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    pos, tokens = 2, []
+    while len(tokens) < 3:
+        while pos < len(payload) and payload[pos:pos + 1].isspace():
+            pos += 1
+        if payload[pos:pos + 1] == b"#":
+            while pos < len(payload) and payload[pos:pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos:pos + 1].isspace():
+            pos += 1
+        if pos == start:
+            raise ValueError("truncated PPM header")
+        tokens.append(payload[start:pos])
+    try:
+        w, h, maxval = (int(t) for t in tokens)
+    except ValueError:
+        raise ValueError("non-numeric PPM header field")
+    if w <= 0 or h <= 0 or not 0 < maxval < 256:
+        raise ValueError("unsupported PPM geometry or maxval")
+    pos += 1  # exactly one whitespace byte after maxval, per spec
+    pix = payload[pos:pos + 3 * w * h]
+    if len(pix) != 3 * w * h:
+        raise ValueError("truncated PPM pixel data")
+    return np.frombuffer(pix, dtype=np.uint8).reshape(h, w, 3)
+
+
+def decode(payload: bytes, mime: str):
+    """Codec dispatch: PPM decodes for real; everything else hits the
+    stub (the integration point for PIL/libav when present)."""
+    if mime == PPM_MIME:
+        return decode_ppm(payload)
+    return decode_stub(payload, mime or "unknown")
+
+
 def deterministic_features(payload: bytes, dim: int = FEATURE_DIM) -> List[float]:
     """Seeded fake feature vector: md5 hex-digest chain → [0,1) doubles
     (each value is an 8-hex-digit slice / 2^32 — an exact dyadic rational,
@@ -110,3 +162,49 @@ def sample_frames(assets: DataFrame, every_ms: int = 1000) -> DataFrame:
                         F.lit(every_ms))
     return (vids.withColumn("frame_ts_ms", F.explode(stamps))
                 .select("asset_id", "frame_ts_ms", "mime", "width", "height"))
+
+
+IMAGE_STATS_SCHEMA = StructType([
+    StructField("asset_id", StringType(), False),
+    StructField("n_bytes", LongType(), False),
+    StructField("img_width", IntegerType(), True),
+    StructField("img_height", IntegerType(), True),
+    StructField("mean_r", DoubleType(), True),
+    StructField("mean_g", DoubleType(), True),
+    StructField("mean_b", DoubleType(), True),
+    StructField("error", StringType(), True),
+])
+
+
+def _image_stat_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        rows = []
+        for asset_id, mime, payload in zip(pdf["asset_id"], pdf["mime"],
+                                           pdf["payload"]):
+            raw = bytes(payload) if payload is not None else b""
+            rec = {"asset_id": asset_id, "n_bytes": len(raw),
+                   "img_width": None, "img_height": None,
+                   "mean_r": None, "mean_g": None, "mean_b": None,
+                   "error": None}
+            try:  # never throw — error channel instead
+                img = decode(raw, mime)
+                h, w = img.shape[:2]
+                means = img.reshape(-1, 3).mean(axis=0, dtype="float64")
+                rec.update(img_width=w, img_height=h,
+                           mean_r=round(float(means[0]), 6),
+                           mean_g=round(float(means[1]), 6),
+                           mean_b=round(float(means[2]), 6))
+            except Exception as exc:
+                rec["error"] = f"{type(exc).__name__}: {exc}"
+            rows.append(rec)
+        yield pd.DataFrame(rows,
+                           columns=[f.name for f in IMAGE_STATS_SCHEMA.fields])
+
+
+def image_stats(assets: DataFrame) -> DataFrame:
+    """Decode image payloads (PPM real, others → error channel) and emit
+    per-image geometry + channel means — dimensions come from the DECODED
+    array, never trusted metadata. Arrow-batched map, no shuffle; the
+    binary column stays columnar end-to-end."""
+    return assets.select("asset_id", "mime", "payload").mapInPandas(
+        _image_stat_batches, schema=IMAGE_STATS_SCHEMA)

@@ -763,6 +763,31 @@ SELECT id AS doc_id,
 FROM cg LEFT JOIN bg b USING (sh)
 GROUP BY id HAVING count(b.sh) > 0"""
 
+    # closed-form prediction of the PPM decode: the Spark side parses real
+    # bytes; matching these analytic values proves the parser recovered
+    # the planted pixels. Byte counts: header 'P6\\n4 3\\n255\\n' = 11,
+    # raster 3*4*3 = 36 (good) / 33 (truncated), 'PNGJUNKBYTES' = 12.
+    o["multimodal_ppm_decode"] = """
+SELECT 'asset-' || CAST(doc_id AS VARCHAR) AS asset_id,
+       CAST(CASE WHEN doc_id % 10 = 0 THEN 12
+                 WHEN doc_id % 10 = 5 THEN 44
+                 ELSE 47 END AS BIGINT) AS n_bytes,
+       CASE WHEN doc_id % 10 IN (0, 5) THEN NULL ELSE 4 END AS img_width,
+       CASE WHEN doc_id % 10 IN (0, 5) THEN NULL ELSE 3 END AS img_height,
+       CASE WHEN doc_id % 10 IN (0, 5) THEN NULL
+            ELSE CAST(doc_id % 256 AS DOUBLE) END AS mean_r,
+       CASE WHEN doc_id % 10 IN (0, 5) THEN NULL
+            ELSE CAST((doc_id * 7) % 256 AS DOUBLE) END AS mean_g,
+       CASE WHEN doc_id % 10 IN (0, 5) THEN NULL
+            ELSE CAST((doc_id * 13) % 256 AS DOUBLE) END AS mean_b,
+       CASE WHEN doc_id % 10 = 0
+            THEN 'NotImplementedError: no image/png codec in this ' ||
+                 'environment — swap in a real decoder here'
+            WHEN doc_id % 10 = 5
+            THEN 'ValueError: truncated PPM pixel data'
+            ELSE NULL END AS error
+FROM documents"""
+
     o["events_rolling_7d"] = """
 WITH daily AS (
     SELECT CAST(ts AS DATE) AS day, count(*) AS n, sum(value) AS v

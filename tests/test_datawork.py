@@ -858,3 +858,43 @@ def test_hll_daily_within_error_bound(spark):
     for r in rows:
         assert abs(r["users_approx"] - r["users_exact"]) \
             <= max(1, 0.05 * r["users_exact"]), r
+
+
+def test_decode_ppm_roundtrip_and_errors():
+    """Spark-free decoder check: a numpy-built P6 payload (with a header
+    comment) round-trips exactly; malformed payloads raise typed errors."""
+    import numpy as np
+    import pytest as _pt
+    from engine.datawork.multimodal import decode_ppm
+    img = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    payload = b"P6\n# a comment\n3 2\n255\n" + img.tobytes()
+    got = decode_ppm(payload)
+    assert got.shape == (2, 3, 3) and (got == img).all()
+    with _pt.raises(ValueError, match="not a P6"):
+        decode_ppm(b"P5\n1 1\n255\n\x00")
+    with _pt.raises(ValueError, match="truncated PPM pixel"):
+        decode_ppm(payload[:-1])
+    with _pt.raises(ValueError, match="geometry or maxval"):
+        decode_ppm(b"P6\n3 2\n65535\n" + img.tobytes())
+
+
+def test_image_stats_decodes_planted_pixels_and_channels_errors(spark):
+    """image_stats must recover planted constant-channel pixel means from
+    real P6 bytes, and route non-PPM mimes through the error column."""
+    import numpy as np
+    from engine.datawork.multimodal import PPM_MIME, image_stats
+    img = np.zeros((3, 4, 3), dtype=np.uint8)
+    img[..., 0], img[..., 1], img[..., 2] = 10, 20, 250
+    good = b"P6\n4 3\n255\n" + img.tobytes()
+    df = spark.createDataFrame(
+        [("a", PPM_MIME, bytearray(good)),
+         ("b", "image/png", bytearray(b"\x89PNG...")),
+         ("c", PPM_MIME, bytearray(good[:-5]))],
+        "asset_id string, mime string, payload binary")
+    got = {r["asset_id"]: r for r in image_stats(df).collect()}
+    a = got["a"]
+    assert (a["img_width"], a["img_height"]) == (4, 3)
+    assert (a["mean_r"], a["mean_g"], a["mean_b"]) == (10.0, 20.0, 250.0)
+    assert a["error"] is None
+    assert got["b"]["error"].startswith("NotImplementedError")
+    assert got["c"]["error"] == "ValueError: truncated PPM pixel data"
