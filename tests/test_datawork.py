@@ -898,3 +898,62 @@ def test_image_stats_decodes_planted_pixels_and_channels_errors(spark):
     assert a["error"] is None
     assert got["b"]["error"].startswith("NotImplementedError")
     assert got["c"]["error"] == "ValueError: truncated PPM pixel data"
+
+
+def test_dedup_lines_differential_random_corpus(spark):
+    """Seeded random-corpus differential: dedup_lines must equal a
+    pure-Python reference on messy inputs — repeated lines within one doc,
+    whitespace-only lines, empty docs, unicode."""
+    import random
+    rng = random.Random(20260817)
+    pool = (["dup-" + str(i) for i in range(8)]
+            + ["uniq-" + str(i) for i in range(300)]
+            + ["", "   ", "\t", "héllo wörld", "唯一的行"])
+    rows = [(i, "\n".join(rng.choice(pool)
+                          for _ in range(rng.randint(0, 12))))
+            for i in range(120)]
+    from collections import Counter
+    from engine.datawork.curation import dedup_lines
+    min_count = 4
+    freq = Counter(l for _, t in rows for l in t.split("\n")
+                   if l.strip() != "")
+    hot = {l for l, c in freq.items() if c >= min_count}
+    expect = {}
+    for i, t in rows:
+        kept = [l for l in t.split("\n") if l not in hot]
+        expect[i] = ("\n".join(kept), len(kept),
+                     len(t.split("\n")) - len(kept))
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {r["doc_id"]: (r["text"], r["n_kept"], r["n_dropped"])
+           for r in dedup_lines(df, min_count=min_count).collect()}
+    assert got == expect
+    assert any(v[2] > 0 for v in got.values())  # the corpus had hot lines
+
+
+def test_interval_join_differential_random(spark):
+    """Seeded random points/intervals (including zero-length and
+    bucket-boundary-straddling spans) vs the naive quadratic reference,
+    at two bucket widths — output must be width-invariant."""
+    import datetime as dt
+    import random
+    rng = random.Random(42)
+    base = dt.datetime(2024, 3, 1)
+    pts = [(i, base + dt.timedelta(seconds=rng.randint(0, 86_400)))
+           for i in range(150)]
+    ivs = []
+    for j in range(60):
+        s = rng.randint(0, 86_400)
+        ivs.append((j, base + dt.timedelta(seconds=s),
+                    base + dt.timedelta(seconds=s + rng.choice(
+                        [0, 1, 59, 3600, 7200, 40_000]))))
+    naive = {(p, j) for p, ts in pts for j, s, e in ivs if s <= ts <= e}
+    from engine.datawork.ranges import interval_join
+    pdf = spark.createDataFrame(pts, "pid int, ts timestamp")
+    idf = spark.createDataFrame(
+        ivs, "iid int, ts_start timestamp, ts_end timestamp")
+    for width in (600, 7200):
+        got = {(r["pid"], r["iid"]) for r in interval_join(
+            pdf, idf, "ts", "ts_start", "ts_end",
+            bucket_width_s=width).collect()}
+        assert got == naive, f"width={width}"
+    assert naive  # non-vacuous
