@@ -18,6 +18,12 @@ columns, passed through where the op allows]):
     vocab           top-k token vocabulary
     sample          reproducible hash sample (--percent)
     quantiles       per-group length quantiles (--group-col)
+    line-dedup      CCNet-style corpus-frequency line removal (--min-count)
+    decontaminate   n-gram overlap report vs an eval set (--bench path)
+    temperature-sample  alpha=0.5 mixture sample (--budget)
+    tfidf           per-doc top-k TF-IDF terms (--top-k)
+    redact-pii      email/IPv4/card-run scrub with per-pattern counts
+    pack            token-budget shard packing (--pack-budget)
 
 Also runnable as ``python -m engine.datawork.job`` for local smoke.
 """
@@ -64,7 +70,9 @@ def check_unique_ids(docs, id_col: str = "doc_id") -> None:
 
 def run_op(spark, op: str, input_path: str, percent: int = 10,
            group_col: str = "lang", top_k: int = 200,
-           threshold: float = 0.5, check_ids: bool = False):
+           threshold: float = 0.5, check_ids: bool = False,
+           min_count: int = 2, bench_path: str | None = None,
+           budget: int = 1000, pack_budget: int = 2048):
     docs = spark.read.parquet(input_path)
     if check_ids and op in DEDUP_OPS:
         check_unique_ids(docs)
@@ -104,6 +112,26 @@ def run_op(spark, op: str, input_path: str, percent: int = 10,
     if op == "quantiles":
         from .corpus import length_quantiles
         return length_quantiles(docs, group_col=group_col)
+    if op == "line-dedup":
+        from .curation import dedup_lines
+        return dedup_lines(docs, min_count=min_count)
+    if op == "decontaminate":
+        from .curation import contamination_report
+        if not bench_path:
+            raise SystemExit("--op decontaminate requires --bench <parquet>")
+        return contamination_report(docs, spark.read.parquet(bench_path))
+    if op == "temperature-sample":
+        from .curation import temperature_sample
+        return temperature_sample(docs, budget=budget, group_col=group_col)
+    if op == "tfidf":
+        from .corpus import tfidf_top_terms
+        return tfidf_top_terms(docs, top_k=min(top_k, 50))
+    if op == "redact-pii":
+        from .curation import redact_pii
+        return redact_pii(docs)
+    if op == "pack":
+        from .pack import pack_shards
+        return pack_shards(docs, budget=pack_budget)
     raise SystemExit(f"unknown --op {op!r}")
 
 
@@ -113,7 +141,9 @@ def main(argv=None) -> int:
                     choices=["exact-dups", "minhash-pairs", "verified-pairs",
                              "clusters", "dedup-apply", "dedup-apply-full",
                              "guard-report", "vocab",
-                             "sample", "quantiles"])
+                             "sample", "quantiles", "line-dedup",
+                             "decontaminate", "temperature-sample",
+                             "tfidf", "redact-pii", "pack"])
     ap.add_argument("--input", required=True)
     ap.add_argument("--output", required=True)
     ap.add_argument("--percent", type=int, default=10)
@@ -123,6 +153,14 @@ def main(argv=None) -> int:
                     help="signature-estimate Jaccard verify threshold for "
                          "verified-pairs/clusters/dedup-apply*; 0 = raw "
                          "unverified candidates")
+    ap.add_argument("--min-count", type=int, default=2,
+                    help="line-dedup hotness threshold")
+    ap.add_argument("--bench", default=None,
+                    help="eval-set parquet for --op decontaminate")
+    ap.add_argument("--budget", type=int, default=1000,
+                    help="temperature-sample target size")
+    ap.add_argument("--pack-budget", type=int, default=2048,
+                    help="tokens per shard for --op pack")
     ap.add_argument("--master", default=None,
                     help="local override; omit under spark-submit")
     ap.add_argument("--no-check-ids", action="store_true",
@@ -137,7 +175,9 @@ def main(argv=None) -> int:
           f"(proactive split sizing over {args.input})")
     out = run_op(spark, args.op, args.input, args.percent,
                  args.group_col, args.top_k, args.threshold,
-                 check_ids=not args.no_check_ids)
+                 check_ids=not args.no_check_ids,
+                 min_count=args.min_count, bench_path=args.bench,
+                 budget=args.budget, pack_budget=args.pack_budget)
     out.write.mode("overwrite").parquet(args.output)
     n = spark.read.parquet(args.output).count()
     print(f"op={args.op} rows={n} output={args.output}")
