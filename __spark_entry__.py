@@ -1031,6 +1031,14 @@ def q_doc_tfidf_top_terms(spark, sf_dir):
     return tfidf_top_terms(_t(spark, sf_dir, "documents"), top_k=5)
 
 
+def q_doc_unigram_nll(spark, sf_dir):
+    """Per-doc mean negative log-prob under the corpus unigram LM
+    (add-one smoothed) — the CCNet-style fluency/quality proxy.
+    engine/datawork/corpus.py."""
+    from engine.datawork.corpus import unigram_logprob
+    return unigram_logprob(_t(spark, sf_dir, "documents"))
+
+
 def q_doc_pii_redact(spark, sf_dir):
     """PII scrub over a deterministically PII-planted derivation of the
     corpus (the synthetic texts carry no emails/IPs/card runs, so they are
@@ -1243,6 +1251,7 @@ _RAW_QUERIES: dict = {
         "events_rolling_7d": q_events_rolling_7d,
         "multimodal_ppm_decode": q_multimodal_ppm_decode,
         "doc_tfidf_top_terms": q_doc_tfidf_top_terms,
+        "doc_unigram_nll": q_doc_unigram_nll,
         "doc_pii_redact": q_doc_pii_redact,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_buckets": q_ann_lsh_buckets,

@@ -141,3 +141,38 @@ def tfidf_top_terms(docs: DataFrame, top_k: int = 5,
     return (scored.withColumn("rank", rk).filter(F.col("rank") <= top_k)
             .select(F.col("id").alias(id_col), "term", "tf", "score",
                     F.col("rank").cast("int").alias("rank")))
+
+
+def unigram_logprob(docs: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """CCNet-style language-model quality signal, reduced to the unigram
+    case so it stays closed-form and engine-exact: score each doc by the
+    mean negative log-probability of its tokens under the CORPUS unigram
+    distribution (add-one smoothed). Low = fluent/common phrasing, high =
+    rare-token soup — the standard cheap proxy for "looks like natural
+    text" when no external LM can ship with the job.
+
+    nll = -mean_i ln((count(term_i) + 1) / (total_tokens + vocab_size))
+
+    Shapes: corpus counts are ONE token aggregate (map-side combined);
+    the scalar (total, vocab) pair rides a broadcast 1-row aggregate; the
+    per-doc mean is a second aggregate over the token join. Same join
+    skew note as tfidf: stopword-headed term keys, AQE splits them.
+    Empty/whitespace docs score NULL (no tokens — no evidence either way).
+    """
+    from .dedup import _ensure_parallelism
+    w = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    tok = (_ensure_parallelism(docs)
+           .filter(F.trim(F.col(text_col)) != "")
+           .select(F.col(id_col).alias("id"), F.explode(w).alias("term")))
+    cnt = tok.groupBy("term").agg(F.count("*").alias("cnt"))
+    scalars = cnt.agg(F.sum("cnt").alias("total"),
+                      F.count("*").alias("vocab"))
+    lp = F.log((F.col("cnt") + 1) / (F.col("total") + F.col("vocab")))
+    scored = (tok.join(cnt, "term").crossJoin(F.broadcast(scalars))
+              .groupBy("id")
+              .agg(F.count("*").cast("bigint").alias("n_tokens"),
+                   F.round(-F.avg(lp), 6).alias("nll")))
+    return (docs.select(F.col(id_col))
+            .join(scored.withColumnRenamed("id", id_col), id_col, "left")
+            .select(id_col, "n_tokens", "nll"))

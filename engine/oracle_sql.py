@@ -861,6 +861,28 @@ scored AS (
 )
 SELECT id AS doc_id, term, tf, score, rank FROM ranked WHERE rank <= 5"""
 
+    o["doc_unigram_nll"] = """
+WITH tok AS (
+    SELECT doc_id AS id, t.term
+    FROM (SELECT doc_id,
+                 string_split_regex(trim(lower(text)), '\\s+') AS ws
+          FROM documents WHERE trim(text) <> '') w,
+         UNNEST(ws) AS t(term)
+), cnt AS (
+    SELECT term, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY term
+), s AS (
+    SELECT CAST(sum(cnt) AS BIGINT) AS total,
+           CAST(count(*) AS BIGINT) AS vocab FROM cnt
+), scored AS (
+    SELECT id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           round(-avg(ln((cnt + 1.0) / (total + vocab))), 6) AS nll
+    FROM tok JOIN cnt USING (term), s
+    GROUP BY id
+)
+SELECT doc_id, n_tokens, nll
+FROM documents LEFT JOIN scored ON scored.id = documents.doc_id"""
+
     # identical PII planting to __spark_entry__.q_doc_pii_redact; the
     # patterns are the RE2/Java common subset from curation.PII_PATTERNS
     o["doc_pii_redact"] = r"""

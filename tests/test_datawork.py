@@ -957,3 +957,21 @@ def test_interval_join_differential_random(spark):
             bucket_width_s=width).collect()}
         assert got == naive, f"width={width}"
     assert naive  # non-vacuous
+
+
+def test_unigram_logprob_orders_common_over_rare(spark):
+    """A doc of corpus-common tokens must score a LOWER mean NLL than a
+    doc of hapaxes, values matching the closed form; empty docs → NULL."""
+    import math
+    from engine.datawork.corpus import unigram_logprob
+    df = spark.createDataFrame(
+        [(1, "the the the"), (2, "zzyx qwfp vbnk"), (3, "the zzyx"),
+         (4, "   ")], "doc_id int, text string")
+    got = {r["doc_id"]: r for r in unigram_logprob(df).collect()}
+    # corpus: the×4, zzyx×2, qwfp×1, vbnk×1 → total=8, vocab=4
+    nll = lambda c: -math.log((c + 1) / 12)
+    assert got[1]["nll"] == round(nll(4), 6)
+    assert got[2]["nll"] == round((nll(2) + nll(1) + nll(1)) / 3, 6)
+    assert got[3]["nll"] == round((nll(4) + nll(2)) / 2, 6)
+    assert got[1]["nll"] < got[3]["nll"] < got[2]["nll"]
+    assert got[4]["nll"] is None and got[4]["n_tokens"] is None
