@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import os
 import sys
+import time
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -706,7 +707,12 @@ def q_dedup_incremental(spark, sf_dir):
     corpus, wave = docs.filter(bucket < 8), docs.filter(bucket >= 8)
     idx = os.path.join(tempfile.gettempdir(),
                        f"spark_graft_incr_{_tag(sf_dir)}")
+    t0 = time.monotonic()
     write_minhash_index(corpus, idx)
+    # build/probe split for the bench (the end-to-end query is the honest
+    # demo — index build from scratch every call — but the two costs scale
+    # differently: build ∝ corpus, probe ∝ wave, so bench reports both)
+    q_dedup_incremental.last_build_s = round(time.monotonic() - t0, 3)
     return (incremental_verified_pairs(wave, idx, threshold=0.5)
             .orderBy("id_a", "id_b"))
 

@@ -109,6 +109,18 @@ def main() -> None:
     phases = (_pipeline.LAST_RUN_STATS.phases
               if _pipeline.LAST_RUN_STATS else None)
 
+    # build/probe split of the dedup_incremental entry (its end-to-end
+    # timing above includes a from-scratch index build every call; build
+    # scales with the corpus, probe with the wave — report both so neither
+    # masks a regression in the other)
+    build_s = getattr(entry.q_dedup_incremental, "last_build_s", None)
+    if phases is not None and build_s is not None \
+            and isinstance(timings.get("dedup_incremental"), float):
+        phases = dict(phases)
+        phases["incremental_index_build"] = build_s
+        phases["incremental_probe"] = round(
+            timings["dedup_incremental"] - build_s, 3)
+
     # ingestion-proof correctness artifact (VERDICT r4 #5): the round-4
     # driver snapshot silently dropped 3 of 53 queries, so the bench entry
     # the driver DOES invoke now refreshes CORRECTNESS_SELF.json itself —
