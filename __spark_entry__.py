@@ -1061,6 +1061,32 @@ def q_doc_pii_redact(spark, sf_dir):
     return redact_pii(planted)
 
 
+def _curate_inputs(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    bucket = (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")),
+                                 1, 8), 16, 10).cast("long") % 100)
+    return docs.filter(bucket >= 5), docs.filter(bucket < 5)
+
+
+def q_corpus_curate(spark, sf_dir):
+    """The COMPOSED curation pipeline — quality gate → layered dedup →
+    decontamination (vs the hash-split eval set) → temperature sampling —
+    as one lazy Catalyst plan. The oracle spells the identical funnel as
+    a single CTE chain, so value equality checks the composition, not
+    just each stage. engine/datawork/curation.py."""
+    from engine.datawork.curation import curate_corpus
+    corpus, bench = _curate_inputs(spark, sf_dir)
+    return curate_corpus(corpus, bench, budget=60)
+
+
+def q_corpus_curate_funnel(spark, sf_dir):
+    """Per-stage survivor counts of the composed curation pipeline —
+    the per-wave ingest telemetry row. engine/datawork/curation.py."""
+    from engine.datawork.curation import curate_funnel
+    corpus, bench = _curate_inputs(spark, sf_dir)
+    return curate_funnel(corpus, bench, budget=60).orderBy("stage_idx")
+
+
 def q_corpus_temperature_sample(spark, sf_dir):
     """Temperature (alpha=0.5) mixture sampling: ~120 docs drawn with
     per-lang rates ∝ sqrt(group size) — low-resource upweighting. Pure
@@ -1250,6 +1276,8 @@ _RAW_QUERIES: dict = {
         "corpus_line_dedup": q_corpus_line_dedup,
         "corpus_decontaminate": q_corpus_decontaminate,
         "corpus_temperature_sample": q_corpus_temperature_sample,
+        "corpus_curate": q_corpus_curate,
+        "corpus_curate_funnel": q_corpus_curate_funnel,
         "events_interval_join": q_events_interval_join,
         "events_stream_join": q_events_stream_join,
         "events_pivot_daily": q_events_pivot_daily,

@@ -194,3 +194,95 @@ def redact_pii(docs: DataFrame, id_col: str = "doc_id",
     for pat, repl in PII_PATTERNS:
         red = F.regexp_replace(red, pat, repl)
     return docs.select(F.col(id_col), red.alias(text_col), *counts)
+
+
+def curate_survivors(docs: DataFrame, bench: DataFrame,
+                     contamination_max: float = 0.05,
+                     id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """The curation funnel up to (but not including) sampling — the
+    composed pre-mixing pipeline a training-data ingest actually runs:
+
+      1. quality gate   — Gopher/C4 flags, keep pass_quality
+      2. layered dedup  — exact-fingerprint + near-dup cluster losers
+                          dropped (same chain as dedup_apply_full)
+      3. decontamination — drop docs sharing >= contamination_max of
+                          their 3-grams with the eval set
+
+    Single lazy plan end to end: each stage is a filter/anti-join over
+    the previous one, so Catalyst sees the whole funnel at once (scan
+    pruning and pushdown cross stage boundaries). Callers that branch the
+    funnel (e.g. the per-stage count report) should persist intermediate
+    stages — curate_funnel documents that tradeoff.
+    """
+    from .clusters import duplicate_clusters
+    from .corpus import deduplicated_corpus_full
+    from .dedup import minhash_lsh_candidates
+    from .textstats import with_quality_flags
+    cols = docs.columns
+    quality = (with_quality_flags(docs, text_col=text_col)
+               .filter(F.col("pass_quality")).select(*cols))
+    clusters = duplicate_clusters(
+        minhash_lsh_candidates(quality, id_col=id_col, text_col=text_col))
+    deduped = deduplicated_corpus_full(quality, clusters, id_col=id_col,
+                                       text_col=text_col)
+    flagged = (contamination_report(deduped, bench, id_col=id_col,
+                                    text_col=text_col)
+               .filter(F.col("hit_ratio") >= contamination_max)
+               .select(id_col))
+    return deduped.join(flagged, id_col, "left_anti")
+
+
+def curate_corpus(docs: DataFrame, bench: DataFrame, budget: int,
+                  contamination_max: float = 0.05,
+                  group_col: str = "lang", id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """quality → dedup → decontaminate → temperature-sample: the final
+    sampled mixture (see curate_survivors for the funnel stages)."""
+    survivors = curate_survivors(docs, bench, contamination_max,
+                                 id_col, text_col)
+    return temperature_sample(survivors, budget=budget,
+                              group_col=group_col, id_col=id_col)
+
+
+def curate_funnel(docs: DataFrame, bench: DataFrame, budget: int,
+                  contamination_max: float = 0.05,
+                  group_col: str = "lang", id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Per-stage survivor counts — the ingest telemetry row a pipeline
+    publishes per wave: (stage_idx, stage, n_docs) for input / quality /
+    dedup / decontaminated / sampled.
+
+    Counting five stages evaluates overlapping lineage; at corpus scale
+    persist the quality and dedup stages first (here the whole funnel is
+    counted lazily — the demo favors a single self-contained plan)."""
+    from .clusters import duplicate_clusters
+    from .corpus import deduplicated_corpus_full
+    from .dedup import minhash_lsh_candidates
+    from .textstats import with_quality_flags
+    cols = docs.columns
+    quality = (with_quality_flags(docs, text_col=text_col)
+               .filter(F.col("pass_quality")).select(*cols))
+    clusters = duplicate_clusters(
+        minhash_lsh_candidates(quality, id_col=id_col, text_col=text_col))
+    deduped = deduplicated_corpus_full(quality, clusters, id_col=id_col,
+                                       text_col=text_col)
+    flagged = (contamination_report(deduped, bench, id_col=id_col,
+                                    text_col=text_col)
+               .filter(F.col("hit_ratio") >= contamination_max)
+               .select(id_col))
+    clean = deduped.join(flagged, id_col, "left_anti")
+    sampled = temperature_sample(clean, budget=budget, group_col=group_col,
+                                 id_col=id_col)
+
+    def stage(idx, name, df):
+        return df.agg(F.count("*").cast("bigint").alias("n_docs")).select(
+            F.lit(idx).cast("int").alias("stage_idx"),
+            F.lit(name).alias("stage"), "n_docs")
+
+    out = stage(0, "input", docs)
+    for i, (name, df) in enumerate(
+            [("quality", quality), ("dedup", deduped),
+             ("decontaminated", clean), ("sampled", sampled)], start=1):
+        out = out.unionByName(stage(i, name, df))
+    return out

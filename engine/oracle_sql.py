@@ -22,22 +22,29 @@ def _stoplist(lang: str) -> str:
 
 _WORDS = "string_split_regex(trim(lower(text)), '\\s+')"
 
-_SHINGLES = f"""
+def _shingles_from(src: str) -> str:
+    """The shingles CTE over an arbitrary source relation (default callers
+    use the documents view; the composed curate oracle feeds a filtered
+    CTE instead)."""
+    return f"""
 shingles AS (
     SELECT DISTINCT doc_id AS id, sh
-    FROM (SELECT doc_id, {_WORDS} AS ws FROM documents) w,
+    FROM (SELECT doc_id, {_WORDS} AS ws FROM {src}) w,
          UNNEST(list_transform(range(1, greatest(len(ws) - 2, 0) + 1),
                                i -> array_to_string(ws[i:i+2], ' '))) AS t(sh)
 )"""
 
 
-def _minhash_sig_sql() -> str:
+_SHINGLES = _shingles_from("documents")
+
+
+def _minhash_sig_sql(src: str = "documents", lead: str = "WITH ") -> str:
     from engine.datawork.dedup import MINHASH_K, MINHASH_PRIME
     mins = ",\n        ".join(
         f"min((ha + {i} * hb) % {MINHASH_PRIME}) AS mh{i}"
         for i in range(MINHASH_K))
     return f"""
-WITH {_SHINGLES},
+{lead}{_shingles_from(src)},
 hashed AS (
     SELECT id,
            CAST(('0x' || substr(md5(sh), 1, 8)) AS BIGINT) AS ha,
@@ -664,6 +671,148 @@ losers AS (
 SELECT d.doc_id, d.lang, d.source, d.n_chars
 FROM documents d LEFT JOIN losers l ON d.doc_id = l.doc_id
 WHERE l.doc_id IS NULL"""
+
+    # ---- the COMPOSED curation funnel (quality → layered dedup →
+    # decontamination → temperature sample) as ONE CTE chain, reusing the
+    # exact spellings of doc_quality_flags / dedup_apply_full /
+    # corpus_decontaminate / corpus_temperature_sample over the staged
+    # relations — value equality checks the composition end to end
+    _ppm_b = ("CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) "
+              "AS BIGINT)")
+    _qpred = ("(nw >= 50 AND nw <= 100000) AND (mwl >= 3.0 AND mwl <= 10.0)"
+              " AND (symr <= 0.1) AND (bulf <= 0.9) AND (ellf <= 0.3)"
+              " AND (repf <= 0.3) AND (alphar >= 0.8) AND (nstop >= 2)")
+    _funnel = f"""
+WITH corpus AS (
+    SELECT * FROM documents WHERE {_ppm_b} % 100 >= 5
+), bench AS (
+    SELECT * FROM documents WHERE {_ppm_b} % 100 < 5
+), qbase AS (
+    SELECT doc_id,
+           {_WORDS} AS ws,
+           string_split(text, chr(10)) AS lines,
+           CASE WHEN trim(text) = '' THEN 0 ELSE len({_WORDS}) END AS nw,
+           coalesce(list_sum(list_transform({_WORDS}, x -> length(x))), 0) AS sl,
+           len(regexp_extract_all(text, '{SYMBOL_RE}')) AS nsym
+    FROM corpus
+), qfeat AS (
+    SELECT doc_id, nw,
+           CASE WHEN nw > 0 THEN sl / nw ELSE 0.0 END AS mwl,
+           CASE WHEN nw > 0 THEN nsym / nw ELSE 0.0 END AS symr,
+           len(lines) AS nl,
+           len(list_filter(lines, l -> regexp_matches(l, '{BULLET_LINE_RE}'))) AS nbul,
+           len(list_filter(lines, l -> regexp_matches(l, '{ELLIPSIS_END_RE}'))) AS nell,
+           list_filter(list_transform(lines, l -> trim(l)), l -> l != '') AS nb,
+           len(list_filter(ws, x -> regexp_matches(x, '[a-z]'))) AS nalpha,
+           len(list_intersect(list_distinct(ws), {stops_en})) AS nstop
+    FROM qbase
+), qr AS (
+    SELECT doc_id, nw, mwl, symr, nstop,
+           CASE WHEN nl > 0 THEN nbul / nl ELSE 0.0 END AS bulf,
+           CASE WHEN nl > 0 THEN nell / nl ELSE 0.0 END AS ellf,
+           CASE WHEN len(nb) > 0
+                THEN (len(nb) - len(list_distinct(nb))) / len(nb)
+                ELSE 0.0 END AS repf,
+           CASE WHEN nw > 0 THEN nalpha / nw ELSE 0.0 END AS alphar
+    FROM qfeat
+), qsrc AS (
+    SELECT c.* FROM corpus c JOIN qr USING (doc_id) WHERE {_qpred}
+), {_minhash_sig_sql(src='qsrc', lead='').lstrip()},
+buckets_raw AS (
+    {band_rows}
+),
+buckets AS (
+    SELECT id, band, bucket FROM buckets_raw
+    QUALIFY count(*) OVER (PARTITION BY band, bucket) <= 100
+),
+pairs AS (
+    SELECT DISTINCT a.id AS id_a, b.id AS id_b
+    FROM buckets a JOIN buckets b
+      ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+),
+edges AS (
+    SELECT id_a AS src, id_b AS dst FROM pairs
+    UNION SELECT id_b, id_a FROM pairs
+),
+reach AS (
+    WITH RECURSIVE r(src, dst) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT r.src, e.dst FROM r JOIN edges e ON r.dst = e.src
+    ) SELECT * FROM r
+),
+near_losers AS (
+    SELECT src AS doc_id FROM reach GROUP BY src
+    HAVING src != min(dst)
+),
+qfp AS (SELECT doc_id AS id, {fp} AS fingerprint FROM qsrc),
+exact_losers AS (
+    SELECT id AS doc_id FROM (
+        SELECT id, min(id) OVER (PARTITION BY fingerprint) AS canon FROM qfp
+    ) WHERE id != canon
+),
+losers AS (
+    SELECT doc_id FROM near_losers UNION SELECT doc_id FROM exact_losers
+),
+ddup AS (
+    SELECT q.* FROM qsrc q LEFT JOIN losers l ON q.doc_id = l.doc_id
+    WHERE l.doc_id IS NULL
+),
+bsh AS (
+    SELECT DISTINCT sh
+    FROM (SELECT {_WORDS} AS ws FROM bench) w,
+         UNNEST(list_transform(range(1, greatest(len(ws) - 2, 0) + 1),
+                               i -> array_to_string(ws[i:i+2], ' '))) AS t(sh)
+),
+contam AS (
+    SELECT s.id, count(*) AS n_grams, count(b.sh) AS n_hits
+    FROM shingles s JOIN ddup d ON s.id = d.doc_id
+    LEFT JOIN bsh b ON s.sh = b.sh
+    GROUP BY s.id
+),
+decon_drop AS (
+    SELECT id FROM contam
+    WHERE round(CAST(n_hits AS DOUBLE) / n_grams, 6) >= 0.05
+),
+clean AS (
+    SELECT d.* FROM ddup d LEFT JOIN decon_drop x ON d.doc_id = x.id
+    WHERE x.id IS NULL
+),
+gW AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_group FROM clean
+       GROUP BY lang),
+sW AS (SELECT lang, n_group, CAST(floor(sqrt(n_group)) AS BIGINT) AS s
+       FROM gW),
+dW AS (SELECT CAST(sum(s) AS BIGINT) AS denom FROM sW),
+cW AS (SELECT lang, n_group,
+              least(CAST(1000000 AS BIGINT),
+                    (1000000 * 60 * s) // (denom * n_group)) AS cut_ppm
+       FROM sW, dW),
+sampled AS (
+    SELECT doc_id, clean.lang, n_group, cut_ppm
+    FROM clean JOIN cW USING (lang)
+    WHERE {_ppm_b} % 1000000 < cut_ppm
+)"""
+    # MATERIALIZED on every multi-referenced heavy CTE: DuckDB inlines
+    # CTEs by default, so the shingle+64-min-hash chain would otherwise be
+    # re-evaluated up to 16x (once per band_rows branch) and again for
+    # every funnel-count subquery — measured 239 s → 0.8 s at sf0.01
+    for _cte in ("qsrc", "shingles", "sig", "ddup", "clean"):
+        _funnel = _funnel.replace(f"{_cte} AS (", f"{_cte} AS MATERIALIZED (")
+    o["corpus_curate"] = _funnel + """
+SELECT doc_id, lang, n_group, cut_ppm FROM sampled"""
+    o["corpus_curate_funnel"] = _funnel + """
+SELECT * FROM (
+    SELECT 0 AS stage_idx, 'input' AS stage,
+           CAST((SELECT count(*) FROM corpus) AS BIGINT) AS n_docs
+    UNION ALL SELECT 1, 'quality',
+           CAST((SELECT count(*) FROM qsrc) AS BIGINT)
+    UNION ALL SELECT 2, 'dedup',
+           CAST((SELECT count(*) FROM ddup) AS BIGINT)
+    UNION ALL SELECT 3, 'decontaminated',
+           CAST((SELECT count(*) FROM clean) AS BIGINT)
+    UNION ALL SELECT 4, 'sampled',
+           CAST((SELECT count(*) FROM sampled) AS BIGINT)
+) ORDER BY stage_idx"""
 
     o["token_vocab_topk"] = f"""
 SELECT token, CAST(count(*) AS BIGINT) AS n

@@ -975,3 +975,21 @@ def test_unigram_logprob_orders_common_over_rare(spark):
     assert got[3]["nll"] == round((nll(4) + nll(2)) / 2, 6)
     assert got[1]["nll"] < got[3]["nll"] < got[2]["nll"]
     assert got[4]["nll"] is None and got[4]["n_tokens"] is None
+
+
+def test_curate_funnel_monotone_and_consistent(spark, docs):
+    """The composed funnel: counts non-increasing through the stages, and
+    the sampled stage count equals the rows curate_corpus returns."""
+    from engine.datawork.curation import curate_corpus, curate_funnel
+    bucket = (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")),
+                                 1, 8), 16, 10).cast("long") % 100)
+    corpus, bench = docs.filter(bucket >= 5), docs.filter(bucket < 5)
+    funnel = {r["stage"]: r["n_docs"]
+              for r in curate_funnel(corpus, bench, budget=20).collect()}
+    assert list(funnel) == ["input", "quality", "dedup",
+                            "decontaminated", "sampled"]
+    assert (funnel["input"] >= funnel["quality"] >= funnel["dedup"]
+            >= funnel["decontaminated"] >= funnel["sampled"])
+    assert funnel["sampled"] > 0
+    rows = curate_corpus(corpus, bench, budget=20).collect()
+    assert len(rows) == funnel["sampled"]
