@@ -24,6 +24,9 @@ columns, passed through where the op allows]):
     tfidf           per-doc top-k TF-IDF terms (--top-k)
     redact-pii      email/IPv4/card-run scrub with per-pattern counts
     pack            token-budget shard packing (--pack-budget)
+    curate          composed funnel: quality -> dedup -> decontaminate
+                    (--bench) -> temperature sample (--budget)
+    curate-funnel   the per-stage survivor counts of the same funnel
 
 Also runnable as ``python -m engine.datawork.job`` for local smoke.
 """
@@ -132,6 +135,13 @@ def run_op(spark, op: str, input_path: str, percent: int = 10,
     if op == "pack":
         from .pack import pack_shards
         return pack_shards(docs, budget=pack_budget)
+    if op in ("curate", "curate-funnel"):
+        from .curation import curate_corpus, curate_funnel
+        if not bench_path:
+            raise SystemExit(f"--op {op} requires --bench <parquet>")
+        fn = curate_corpus if op == "curate" else curate_funnel
+        return fn(docs, spark.read.parquet(bench_path), budget=budget,
+                  group_col=group_col)
     raise SystemExit(f"unknown --op {op!r}")
 
 
@@ -143,7 +153,7 @@ def main(argv=None) -> int:
                              "guard-report", "vocab",
                              "sample", "quantiles", "line-dedup",
                              "decontaminate", "temperature-sample",
-                             "tfidf", "redact-pii", "pack"])
+                             "tfidf", "redact-pii", "pack", "curate", "curate-funnel"])
     ap.add_argument("--input", required=True)
     ap.add_argument("--output", required=True)
     ap.add_argument("--percent", type=int, default=10)
