@@ -153,6 +153,17 @@ def main() -> int:
         return {"shards": agg["mx"] + 1, "tokens": agg["tok"]}
     timed("pack_2048", run_pack)
 
+    # the composed funnel at scale: quality gate + the full 500k dedup
+    # chain + decontamination + sampling in one plan (bench = 1% hash
+    # split, budget = 1% of survivors' order)
+    def run_curate():
+        from engine.datawork.curation import curate_funnel
+        rows = curate_funnel(docs.filter(bucket >= 1),
+                             docs.filter(bucket < 1),
+                             budget=out["n_docs"] // 100).collect()
+        return {r["stage"]: r["n_docs"] for r in rows}
+    timed("curate_funnel", run_curate)
+
     from engine.datawork import dedup as dedup_mod
     out["rebalance_triggers"] = dedup_mod.REBALANCE_TRIGGERS
     if args.json:
