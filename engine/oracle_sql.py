@@ -1139,8 +1139,11 @@ SELECT id_a, id_b, cosine FROM (
 ORDER BY id_a, id_b"""
 
     from engine.datawork.similarity import LSH_BANDS, LSH_ROWS
+    # base is referenced by banded AND twice by the verify join — without
+    # MATERIALIZED DuckDB inlines it and recomputes the plane-signature
+    # expression per reference (A/B at sf0.01: 65 s → 33 s, identical rows)
     o["embedding_near_pairs_lsh"] = f"""
-WITH base AS (  -- banded LSH: {LSH_BANDS} bands × {LSH_ROWS} planes, exact verify
+WITH base AS MATERIALIZED (  -- banded LSH: {LSH_BANDS} bands × {LSH_ROWS} planes, exact verify
     SELECT vec_id AS id, embedding AS v, {_norm_sql('embedding')} AS nrm,
            {_plane_bucket_sql('embedding', LSH_BANDS * LSH_ROWS)} AS sig
     FROM embeddings
