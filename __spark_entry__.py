@@ -895,6 +895,17 @@ def q_corpus_line_dedup(spark, sf_dir):
                        min_count=5)
 
 
+def q_corpus_line_dedup_report(spark, sf_dir):
+    """Hot-line census for the line-dedup rule: how many distinct lines
+    are at/above the frequency threshold, how many line occurrences they
+    carry (what dedup_lines would drop), and the hottest line's count —
+    the broadcast-size observability row (the hot set is the mark join's
+    build side). engine/datawork/curation.py."""
+    from engine.datawork.curation import line_dedup_report
+    return line_dedup_report(_banner_corpus(_t(spark, sf_dir, "documents")),
+                             min_count=5)
+
+
 def q_corpus_decontaminate(spark, sf_dir):
     """Benchmark decontamination: corpus docs sharing >= 1 word 3-gram with
     a held-out eval split (md5 bucket < 5%) — the GPT-3-appendix
@@ -1274,6 +1285,7 @@ _RAW_QUERIES: dict = {
         "doc_length_quantiles": q_doc_length_quantiles,
         "corpus_pack_shards": q_corpus_pack_shards,
         "corpus_line_dedup": q_corpus_line_dedup,
+        "corpus_line_dedup_report": q_corpus_line_dedup_report,
         "corpus_decontaminate": q_corpus_decontaminate,
         "corpus_temperature_sample": q_corpus_temperature_sample,
         "corpus_curate": q_corpus_curate,

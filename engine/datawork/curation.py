@@ -85,6 +85,42 @@ def dedup_lines(docs: DataFrame, min_count: int = 2,
             .withColumnRenamed("id", id_col))
 
 
+def line_dedup_report(docs: DataFrame, min_count: int = 2,
+                      id_col: str = "doc_id", text_col: str = "text",
+                      sep: str = "\n") -> DataFrame:
+    """Census of what ``dedup_lines`` would drop — the observability row
+    the dedup family's ``guard_report`` publishes for its guards, extended
+    to the line-frequency rule (round-5 lead: at boilerplate-heavy corpora
+    the hot-line set can outgrow AQE's broadcast threshold and the mark
+    join silently degrades to a shuffle; this report is how an operator
+    sees that coming — ``hot_lines`` IS the build side's row count).
+
+    One row: (guard, threshold, hot_lines, dropped_rows, max_line_count)
+    where dropped_rows = total line occurrences the dedup would remove and
+    max_line_count = the hottest line's frequency. Same line semantics as
+    ``dedup_lines`` (blank lines never hot, NULL text = one empty line);
+    the census keys on md5(line) like the dedup itself."""
+    from .dedup import _ensure_parallelism
+    if min_count < 2:
+        raise ValueError(f"min_count must be >= 2, got {min_count}")
+    lines = (_ensure_parallelism(docs)
+             .select(F.explode(F.split(F.coalesce(F.col(text_col),
+                                                  F.lit("")),
+                                       sep, -1)).alias("line"))
+             .filter(F.trim(F.col("line")) != "")
+             .groupBy(F.md5(F.col("line")).alias("lh"))
+             .agg(F.count("*").alias("cnt")))
+    return lines.agg(
+        F.lit("line_freq").alias("guard"),
+        F.lit(min_count).cast("int").alias("threshold"),
+        F.count(F.when(F.col("cnt") >= min_count, 1))
+         .cast("bigint").alias("hot_lines"),
+        F.coalesce(F.sum(F.when(F.col("cnt") >= min_count, F.col("cnt"))),
+                   F.lit(0)).cast("bigint").alias("dropped_rows"),
+        F.coalesce(F.max("cnt"), F.lit(0)).cast("bigint")
+         .alias("max_line_count"))
+
+
 def contamination_report(docs: DataFrame, bench: DataFrame, n: int = 3,
                          id_col: str = "doc_id",
                          text_col: str = "text") -> DataFrame:

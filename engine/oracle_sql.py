@@ -883,6 +883,31 @@ SELECT e.doc_id,
 FROM e LEFT JOIN hot h ON e.line = h.line
 GROUP BY e.doc_id"""
 
+    o["corpus_line_dedup_report"] = """
+WITH src AS (
+    SELECT doc_id,
+           text || chr(10) || 'banner-' || CAST(doc_id % 7 AS VARCHAR) ||
+           CASE WHEN doc_id % 3 = 0
+                THEN chr(10) || 'rare-' || CAST(doc_id AS VARCHAR)
+                ELSE '' END AS text
+    FROM documents
+), l AS (
+    SELECT doc_id, string_split(coalesce(text, ''), chr(10)) AS ls FROM src
+), e AS (
+    SELECT ls[i] AS line
+    FROM l, UNNEST(range(1, len(ls) + 1)) AS t(i)
+), cnts AS (
+    SELECT line, count(*) AS cnt FROM e
+    WHERE trim(line) <> '' GROUP BY line
+)
+SELECT 'line_freq' AS guard,
+       CAST(5 AS INTEGER) AS threshold,
+       CAST(count(CASE WHEN cnt >= 5 THEN 1 END) AS BIGINT) AS hot_lines,
+       CAST(coalesce(sum(CASE WHEN cnt >= 5 THEN cnt END), 0) AS BIGINT)
+           AS dropped_rows,
+       CAST(coalesce(max(cnt), 0) AS BIGINT) AS max_line_count
+FROM cnts"""
+
     o["corpus_decontaminate"] = """
 WITH corpus AS (
     SELECT * FROM documents

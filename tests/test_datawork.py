@@ -716,6 +716,33 @@ def test_dedup_lines_min_count_boundary(spark):
     assert got3 == {1: "twice\na", 2: "twice\nb"}  # 2 < 3 → kept
 
 
+def test_line_dedup_report_matches_dedup_lines(spark):
+    """The census must agree with what dedup_lines actually drops, and
+    blank lines must never count as hot."""
+    from engine.datawork.curation import dedup_lines, line_dedup_report
+    boiler = "COOKIE BANNER"
+    df = spark.createDataFrame([
+        (1, f"alpha\n{boiler}\n\nbeta"),
+        (2, f"{boiler}\ngamma\n\n"),
+        (3, f"delta\n{boiler}"),
+        (4, "unique only"),
+        (5, None),
+    ], "doc_id int, text string")
+    rep = line_dedup_report(df, min_count=3).collect()
+    assert len(rep) == 1
+    r = rep[0]
+    assert (r["guard"], r["threshold"]) == ("line_freq", 3)
+    assert r["hot_lines"] == 1                      # the banner only
+    assert r["max_line_count"] == 3                 # banner appears 3×
+    dropped = dedup_lines(df, min_count=3).agg(
+        F.sum("n_dropped")).collect()[0][0]
+    assert r["dropped_rows"] == dropped == 3
+    # below threshold: nothing hot, max count still reported
+    r2 = line_dedup_report(df, min_count=4).collect()[0]
+    assert r2["hot_lines"] == 0 and r2["dropped_rows"] == 0
+    assert r2["max_line_count"] == 3
+
+
 def test_contamination_report_counts_shared_grams(spark):
     from engine.datawork.curation import contamination_report
     docs = spark.createDataFrame([
