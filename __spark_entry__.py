@@ -633,6 +633,27 @@ def q_transcript_tokens_bpe(spark, sf_dir):
         "conv_id", "turn_idx", "n_tokens", "tokens_md5")
 
 
+def q_sft_pairs(spark, sf_dir):
+    """SFT (context, target) assembly with a fixed 6-turn context window —
+    one hash shuffle by conv_id, bounded ROWS frame, md5 digests pin the
+    assembled bytes. Oracle: the same window algebra in DuckDB
+    (string_agg over an identical ROWS frame)."""
+    from engine.datawork.sft import sft_examples
+    src = spark.read.parquet(
+        os.path.join(_synth_dir(sf_dir), "transcripts.parquet"))
+    return sft_examples(src, ctx_turns=6)
+
+
+def q_sft_pairs_budget(spark, sf_dir):
+    """Character-budget SFT context (maximal suffix under 4000 chars) via
+    a RANGE frame over the cumulative rendered cost — no per-row loop.
+    Oracle: identical cumsum + RANGE frame in DuckDB."""
+    from engine.datawork.sft import sft_examples_budget
+    src = spark.read.parquet(
+        os.path.join(_synth_dir(sf_dir), "transcripts.parquet"))
+    return sft_examples_budget(src, ctx_budget=4000)
+
+
 def q_doc_quality_flags(spark, sf_dir):
     """The standard named pretraining filters (Gopher rules / C4 line
     heuristics) as individual boolean columns — each rule observable and
@@ -1268,6 +1289,8 @@ _RAW_QUERIES: dict = {
         "doc_repetition": q_doc_repetition,
         "doc_quality_flags": q_doc_quality_flags,
         "transcript_tokens_bpe": q_transcript_tokens_bpe,
+        "sft_pairs": q_sft_pairs,
+        "sft_pairs_budget": q_sft_pairs_budget,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_sigs": q_dedup_minhash_sigs,
         "dedup_minhash_pairs": q_dedup_minhash_pairs,

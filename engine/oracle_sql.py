@@ -312,6 +312,56 @@ FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL"""
 SELECT conv_id, turn_idx, n_tokens, tokens_md5
 FROM {exp('expected_bpe')}"""
 
+    # ---- SFT example assembly (engine/datawork/sft.py) ----
+    # Rendering contract: '<|role|>\n<text>' units joined by '\n\n';
+    # NULL role/text blank. Window frames mirror the Spark spellings.
+    _sft_t = f"""
+t AS (
+    SELECT conv_id, turn_idx, coalesce(role, '') AS role,
+           coalesce(text, '') AS tgt,
+           '<|' || coalesce(role, '') || '|>' || chr(10)
+                || coalesce(text, '') AS u
+    FROM read_parquet('{exp_dir}/transcripts.parquet')
+)"""
+    _sft_emit = """
+SELECT conv_id, turn_idx, n_ctx,
+       CAST(length(ctx) AS BIGINT) AS ctx_chars,
+       md5(ctx) AS ctx_md5,
+       CAST(length(tgt) AS BIGINT) AS target_chars,
+       md5(tgt) AS target_md5
+FROM w WHERE role = 'assistant' AND n_ctx >= 1"""
+
+    o["sft_pairs"] = f"""
+WITH {_sft_t},
+w AS (
+    SELECT conv_id, turn_idx, role, tgt,
+           string_agg(u, chr(10) || chr(10)) OVER win AS ctx,
+           CAST(count(u) OVER win AS INT) AS n_ctx
+    FROM t
+    WINDOW win AS (PARTITION BY conv_id ORDER BY turn_idx
+                   ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING)
+)
+{_sft_emit}"""
+
+    o["sft_pairs_budget"] = f"""
+WITH {_sft_t},
+cs AS (
+    SELECT *, coalesce(sum(CAST(length(u) + 2 AS BIGINT)) OVER
+                  (PARTITION BY conv_id ORDER BY turn_idx
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS cstart
+    FROM t
+),
+w AS (
+    SELECT conv_id, turn_idx, role, tgt,
+           string_agg(u, chr(10) || chr(10)) OVER win AS ctx,
+           CAST(count(u) OVER win AS INT) AS n_ctx
+    FROM cs
+    WINDOW win AS (PARTITION BY conv_id ORDER BY cstart
+                   RANGE BETWEEN 4000 PRECEDING AND 1 PRECEDING)
+)
+{_sft_emit}"""
+
     o["sql_function_surface"] = f"""
 SELECT conv_id, turn_idx, cleaned_md5
 FROM {exp('expected_turns')} WHERE payload_kind = 'md_clean'"""

@@ -1,0 +1,120 @@
+"""SFT example assembly: window semantics vs a brute-force Python model."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from engine.datawork.sft import CTX_SEP, sft_examples, sft_examples_budget
+
+
+def _md5(s: str) -> str:
+    return hashlib.md5(s.encode("utf-8")).hexdigest()
+
+
+def _render(role, text) -> str:
+    return f"<|{role or ''}|>\n{text or ''}"
+
+
+def _brute(rows, *, ctx_turns=None, ctx_budget=None, target_role="assistant"):
+    """Reference model: per conversation, walk turns in idx order and
+    assemble each target's context literally."""
+    convs: dict = {}
+    for conv, idx, role, text in rows:
+        convs.setdefault(conv, []).append((idx, role, text))
+    out = {}
+    for conv, turns in convs.items():
+        turns.sort()
+        for i, (idx, role, text) in enumerate(turns):
+            if (role or "") != target_role:
+                continue
+            prior = turns[:i]
+            if ctx_turns is not None:
+                take = prior[-ctx_turns:]
+            else:
+                take, total = [], 0
+                for p in reversed(prior):
+                    c = len(_render(p[1], p[2])) + 2
+                    if total + c > ctx_budget:
+                        break
+                    take.insert(0, p)
+                    total += c
+            if not take:
+                continue
+            ctx = CTX_SEP.join(_render(r, t) for _, r, t in take)
+            tgt = text or ""
+            out[(conv, idx)] = (len(take), len(ctx), _md5(ctx),
+                                len(tgt), _md5(tgt))
+    return out
+
+
+ROWS = [
+    ("c1", 0, "user", "hello there"),
+    ("c1", 1, "assistant", "hi! how can I help?"),
+    ("c1", 2, "tool", "lookup(weather)"),
+    ("c1", 3, "assistant", "it is sunny"),
+    ("c1", 4, "user", "thanks"),
+    ("c1", 5, "assistant", "anytime"),
+    ("c2", 0, "assistant", "orphan target: no context, dropped"),
+    ("c2", 1, "user", "x" * 300),
+    ("c2", 2, "assistant", "long-context target"),
+    ("c3", 0, None, None),
+    ("c3", 1, "assistant", "after a null turn"),
+]
+
+
+def _collect(df):
+    return {(r.conv_id, r.turn_idx): (r.n_ctx, r.ctx_chars, r.ctx_md5,
+                                      r.target_chars, r.target_md5)
+            for r in df.collect()}
+
+
+@pytest.mark.parametrize("k", [1, 2, 8])
+def test_fixed_window_matches_brute(spark, k):
+    df = spark.createDataFrame(
+        ROWS, "conv_id string, turn_idx int, role string, text string")
+    got = _collect(sft_examples(df, ctx_turns=k))
+    assert got == _brute(ROWS, ctx_turns=k)
+
+
+@pytest.mark.parametrize("budget", [30, 120, 10_000])
+def test_budget_window_matches_brute(spark, budget):
+    df = spark.createDataFrame(
+        ROWS, "conv_id string, turn_idx int, role string, text string")
+    got = _collect(sft_examples_budget(df, ctx_budget=budget))
+    assert got == _brute(ROWS, ctx_budget=budget)
+
+
+def test_budget_context_always_fits(spark):
+    df = spark.createDataFrame(
+        ROWS, "conv_id string, turn_idx int, role string, text string")
+    for r in sft_examples_budget(df, ctx_budget=100).collect():
+        assert r.ctx_chars <= 98  # budget minus the saved joiner share
+
+
+def test_zero_context_targets_dropped(spark):
+    df = spark.createDataFrame(
+        ROWS, "conv_id string, turn_idx int, role string, text string")
+    keys = set(_collect(sft_examples(df, ctx_turns=4)))
+    assert ("c2", 0) not in keys  # assistant turn 0 has no prior turns
+
+
+def test_single_exchange_per_variant(spark):
+    """Both variants shuffle once (hash by conv_id); the budget variant's
+    two window specs share the partitioning, so no second Exchange."""
+    df = spark.createDataFrame(
+        ROWS, "conv_id string, turn_idx int, role string, text string")
+    for out in (sft_examples(df), sft_examples_budget(df)):
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange hashpartitioning") == 1
+        assert "Exchange rangepartitioning" not in plan
+
+
+def test_invalid_params_raise(spark):
+    df = spark.createDataFrame(
+        ROWS, "conv_id string, turn_idx int, role string, text string")
+    with pytest.raises(ValueError):
+        sft_examples(df, ctx_turns=0)
+    with pytest.raises(ValueError):
+        sft_examples_budget(df, ctx_budget=0)
