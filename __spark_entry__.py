@@ -1128,6 +1128,50 @@ def q_corpus_temperature_sample(spark, sf_dir):
     return temperature_sample(_t(spark, sf_dir, "documents"), budget=120)
 
 
+def q_corpus_mixture_sample(spark, sf_dir):
+    """Domain-mixture sampling to EXPLICIT per-source weights (the data-
+    mixture knob of LM training recipes): ~60 docs at 8:4:2:1:1 over
+    src0..src4, every other source dropped. src0's target (30) exceeds
+    its population (25) so its cutoff caps at 1e6 — the keep-everything
+    path is exercised. Same integerized BIGINT+md5-ppm machinery as
+    temperature_sample. engine/datawork/curation.py."""
+    from engine.datawork.curation import mixture_sample
+    return mixture_sample(
+        _t(spark, sf_dir, "documents"), budget=60,
+        weights={"src0": 8, "src1": 4, "src2": 2, "src3": 1, "src4": 1},
+        group_col="source")
+
+
+def q_corpus_splits(spark, sf_dir):
+    """Deterministic train/val/test assignment (md5 ppm-bucket of the id:
+    stable under reordering and corpus growth, zero shuffle), rolled up
+    per (lang, split). engine/datawork/curation.py."""
+    from engine.datawork.curation import assign_splits
+    return (assign_splits(_t(spark, sf_dir, "documents"),
+                          train_pct=90, val_pct=5)
+            .groupBy("lang", "split")
+            .agg(F.count("*").cast("bigint").alias("n_docs"),
+                 F.sum("n_chars").cast("bigint").alias("n_chars")))
+
+
+def q_corpus_snapshot_diff(spark, sf_dir):
+    """Snapshot delta (added/removed/changed) between two corpus versions
+    derived deterministically from the documents table: 'old' drops
+    doc_id%11==5, 'new' drops doc_id%13==4 and rewrites text for
+    doc_id%7==0. The full-outer join carries only (id, md5) digests —
+    fingerprint-sized exchange at any corpus size.
+    engine/datawork/corpus.py."""
+    from engine.datawork.corpus import snapshot_diff
+    docs = _t(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 11 != 5)
+    new = (docs.filter(F.col("doc_id") % 13 != 4)
+           .withColumn("text", F.when(F.col("doc_id") % 7 == 0,
+                                      F.concat(F.col("text"),
+                                               F.lit(" [v2]")))
+                       .otherwise(F.col("text"))))
+    return snapshot_diff(old, new)
+
+
 def q_ann_ivf_assignments(spark, sf_dir):
     """IVF coarse quantization: every vector assigned to its best centroid
     cell (deterministic codebook rule; at scale the cell is the partition
@@ -1311,6 +1355,9 @@ _RAW_QUERIES: dict = {
         "corpus_line_dedup_report": q_corpus_line_dedup_report,
         "corpus_decontaminate": q_corpus_decontaminate,
         "corpus_temperature_sample": q_corpus_temperature_sample,
+        "corpus_mixture_sample": q_corpus_mixture_sample,
+        "corpus_splits": q_corpus_splits,
+        "corpus_snapshot_diff": q_corpus_snapshot_diff,
         "corpus_curate": q_corpus_curate,
         "corpus_curate_funnel": q_corpus_curate_funnel,
         "events_interval_join": q_events_interval_join,

@@ -176,3 +176,37 @@ def unigram_logprob(docs: DataFrame, id_col: str = "doc_id",
     return (docs.select(F.col(id_col))
             .join(scored.withColumnRenamed("id", id_col), id_col, "left")
             .select(id_col, "n_tokens", "nll"))
+
+
+def snapshot_diff(old: DataFrame, new: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Delta between two corpus snapshots: which ids were added, removed,
+    or had their content change. The wave-ingest bookkeeping op — a
+    production corpus is versioned, and downstream consumers (index
+    rebuilds, incremental dedup, retraining triggers) want the delta, not
+    a full rescan.
+
+    Scale shape: both sides project to (id, md5(text)) BEFORE the join,
+    so the full-outer shuffle carries 32-byte digests instead of document
+    text — at 100 TB the exchange is fingerprint-sized. Unchanged rows
+    (the overwhelming majority between adjacent snapshots) are filtered
+    out post-join, map-side, before anything else consumes the result.
+
+    Output: (id, status in {'added','removed','changed'}, old_md5,
+    new_md5) — digests kept so a consumer can verify which side it holds.
+    """
+    o = old.select(F.col(id_col).alias("id"),
+                   F.md5(F.coalesce(F.col(text_col), F.lit("")))
+                   .alias("old_md5"))
+    n = new.select(F.col(id_col).alias("id"),
+                   F.md5(F.coalesce(F.col(text_col), F.lit("")))
+                   .alias("new_md5"))
+    j = o.join(n, "id", "full_outer")
+    status = (F.when(F.col("old_md5").isNull(), F.lit("added"))
+              .when(F.col("new_md5").isNull(), F.lit("removed"))
+              .when(F.col("old_md5") != F.col("new_md5"),
+                    F.lit("changed")))
+    return (j.withColumn("status", status)
+            .filter(F.col("status").isNotNull())
+            .select(F.col("id").alias(id_col), "status",
+                    "old_md5", "new_md5"))

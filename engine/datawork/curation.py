@@ -322,3 +322,73 @@ def curate_funnel(docs: DataFrame, bench: DataFrame, budget: int,
              ("decontaminated", clean), ("sampled", sampled)], start=1):
         out = out.unionByName(stage(i, name, df))
     return out
+
+
+def mixture_sample(docs: DataFrame, budget: int, weights: dict,
+                   group_col: str = "source",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Domain-mixture sampling to EXPLICIT target proportions: draw
+    ~``budget`` docs with per-group sample counts proportional to the
+    integer ``weights`` (the "data mixture" knob of LM training recipes —
+    e.g. upweight curated sources, downweight crawl). Groups absent from
+    ``weights`` are dropped.
+
+    Same integerized machinery as ``temperature_sample`` so the draw is
+    EXACTLY reproducible across engines: per-group keep cutoff
+
+        cut_ppm_g = min(1e6, (1e6 * budget * w_g) div (sum_w * n_g))
+
+    in pure BIGINT arithmetic, keep iff the doc's md5 ppm-bucket falls
+    below the cutoff. A group whose target exceeds its population keeps
+    everything (cutoff caps at 1e6) — the realized mixture then
+    undershoots that group's share, which the returned (n_group, cut_ppm)
+    columns expose. BIGINT bound: 1e6 * budget * max(w) < 2^63.
+
+    Returns sampled rows as (id, group, n_group, cut_ppm).
+    """
+    if budget < 1:
+        raise ValueError(f"budget must be >= 1, got {budget}")
+    if not weights or any(int(w) < 0 for w in weights.values()):
+        raise ValueError("weights must be a non-empty map of >=0 ints")
+    sum_w = sum(int(w) for w in weights.values())
+    if sum_w <= 0:
+        raise ValueError("at least one weight must be positive")
+    spark = docs.sparkSession
+    wdf = spark.createDataFrame(
+        sorted((g, int(w)) for g, w in weights.items()),
+        f"{group_col} string, w bigint")
+    groups = (docs.groupBy(group_col)
+              .agg(F.count("*").alias("n_group"))
+              .join(F.broadcast(wdf), group_col)
+              .filter(F.col("w") > 0))
+    cuts = groups.select(
+        group_col, "n_group",
+        F.least(F.lit(_PPM).cast("bigint"),
+                F.expr(f"({_PPM} * {int(budget)}L * w) div "
+                       f"({sum_w} * n_group)")).alias("cut_ppm"))
+    return (docs.select(id_col, group_col)
+            .join(F.broadcast(cuts), group_col)
+            .filter(_ppm_bucket(F.col(id_col)) < F.col("cut_ppm"))
+            .select(id_col, group_col, "n_group", "cut_ppm"))
+
+
+def assign_splits(docs: DataFrame, train_pct: int = 98, val_pct: int = 1,
+                  id_col: str = "doc_id") -> DataFrame:
+    """Deterministic train/val/test assignment by md5 ppm-bucket of the
+    id — no RNG, stable under reordering, repartitioning, and corpus
+    growth (a doc's split never changes when other docs arrive, the
+    property shuffle-based splits lack). Percentages are integers;
+    test gets the remainder.
+
+    Pure map-side column expression — zero shuffle, zero state. Returns
+    the input with a ``split`` column appended (pass-through, so the
+    assignment composes into any plan for free).
+    """
+    if not (0 < train_pct < 100 and 0 <= val_pct
+            and train_pct + val_pct <= 100):
+        raise ValueError(f"bad split percentages: {train_pct}/{val_pct}")
+    b = _ppm_bucket(F.col(id_col))
+    split = (F.when(b < train_pct * (_PPM // 100), F.lit("train"))
+             .when(b < (train_pct + val_pct) * (_PPM // 100), F.lit("val"))
+             .otherwise(F.lit("test")))
+    return docs.withColumn("split", split)

@@ -1153,6 +1153,58 @@ FROM documents JOIN c USING (lang)
 WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
       % 1000000 < cut_ppm"""
 
+    # mixture_sample: explicit weights 8:4:2:1:1 over src0..src4,
+    # budget 60, sum_w 16 — mirrors q_corpus_mixture_sample exactly.
+    o["corpus_mixture_sample"] = """
+WITH w(source, wt) AS (VALUES ('src0', CAST(8 AS BIGINT)), ('src1', 4),
+                              ('src2', 2), ('src3', 1), ('src4', 1)),
+g AS (
+    SELECT source, CAST(count(*) AS BIGINT) AS n_group FROM documents
+    GROUP BY source
+), c AS (
+    SELECT g.source, n_group,
+           least(CAST(1000000 AS BIGINT),
+                 (1000000 * 60 * wt) // (16 * n_group)) AS cut_ppm
+    FROM g JOIN w USING (source) WHERE wt > 0
+)
+SELECT doc_id, documents.source, n_group, cut_ppm
+FROM documents JOIN c USING (source)
+WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+      % 1000000 < cut_ppm"""
+
+    o["corpus_splits"] = """
+WITH s AS (
+    SELECT lang, n_chars,
+           CASE WHEN b < 90 * 10000 THEN 'train'
+                WHEN b < 95 * 10000 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (SELECT lang, n_chars,
+                 CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                      AS BIGINT) % 1000000 AS b
+          FROM documents) t
+)
+SELECT lang, split, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS n_chars
+FROM s GROUP BY lang, split"""
+
+    o["corpus_snapshot_diff"] = """
+WITH old AS (
+    SELECT doc_id, md5(coalesce(text, '')) AS old_md5
+    FROM documents WHERE doc_id % 11 != 5
+), new AS (
+    SELECT doc_id,
+           md5(coalesce(CASE WHEN doc_id % 7 = 0 THEN text || ' [v2]'
+                             ELSE text END, '')) AS new_md5
+    FROM documents WHERE doc_id % 13 != 4
+)
+SELECT coalesce(old.doc_id, new.doc_id) AS doc_id,
+       CASE WHEN old_md5 IS NULL THEN 'added'
+            WHEN new_md5 IS NULL THEN 'removed'
+            WHEN old_md5 != new_md5 THEN 'changed' END AS status,
+       old_md5, new_md5
+FROM old FULL OUTER JOIN new ON old.doc_id = new.doc_id
+WHERE (old_md5 IS NULL OR new_md5 IS NULL OR old_md5 != new_md5)"""
+
     from engine.datawork.similarity import (LSH_BANDS as _EB,
                                             LSH_ROWS as _ER)
     o["dedup_guard_report"] = _minhash_sig_sql() + f""",

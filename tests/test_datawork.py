@@ -1020,3 +1020,60 @@ def test_curate_funnel_monotone_and_consistent(spark, docs):
     assert funnel["sampled"] > 0
     rows = curate_corpus(corpus, bench, budget=20).collect()
     assert len(rows) == funnel["sampled"]
+
+
+# ---------------------------------------------------------------------------
+# corpus versioning / mixing / splitting (round 5, third session)
+# ---------------------------------------------------------------------------
+
+def test_snapshot_diff_statuses(spark):
+    from engine.datawork.corpus import snapshot_diff
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (4, None)],
+        "doc_id bigint, text string")
+    new = spark.createDataFrame(
+        [(2, "b"), (3, "C2"), (4, ""), (5, "e")],
+        "doc_id bigint, text string")
+    got = {r.doc_id: r.status for r in snapshot_diff(old, new).collect()}
+    # 2 unchanged (absent); 4: NULL text hashes like '' so unchanged too
+    assert got == {1: "removed", 3: "changed", 5: "added"}
+
+
+def test_mixture_sample_cap_and_drop(spark):
+    from engine.datawork.curation import mixture_sample
+    rows = [(i, "big" if i < 400 else ("small" if i < 420 else "out"))
+            for i in range(440)]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string")
+    out = mixture_sample(df, budget=40, weights={"big": 1, "small": 1},
+                         group_col="source").collect()
+    by = {}
+    for r in out:
+        by.setdefault(r.source, []).append(r)
+    assert "out" not in by                      # unweighted group dropped
+    # small's target (20) matches its population: cutoff caps, keeps all
+    assert {r.cut_ppm for r in by["small"]} == {1_000_000}
+    assert len(by["small"]) == 20
+    # big keeps ~ budget/2 of 400 (hash draw, generous bounds)
+    assert 5 <= len(by["big"]) <= 45
+    with pytest.raises(ValueError):
+        mixture_sample(df, budget=0, weights={"big": 1})
+    with pytest.raises(ValueError):
+        mixture_sample(df, budget=10, weights={})
+
+
+def test_assign_splits_partition_and_stability(spark):
+    from engine.datawork.curation import assign_splits
+    df = spark.createDataFrame([(i,) for i in range(2000)], "doc_id bigint")
+    out = {r.doc_id: r.split for r in
+           assign_splits(df, train_pct=80, val_pct=10).collect()}
+    assert len(out) == 2000
+    n_train = sum(1 for v in out.values() if v == "train")
+    assert 1450 <= n_train <= 1750               # ~80% under hash noise
+    assert set(out.values()) == {"train", "val", "test"}
+    # growth stability: the first 500 ids keep their splits verbatim
+    small = {r.doc_id: r.split for r in
+             assign_splits(df.filter("doc_id < 500"),
+                           train_pct=80, val_pct=10).collect()}
+    assert small == {k: v for k, v in out.items() if k < 500}
+    with pytest.raises(ValueError):
+        assign_splits(df, train_pct=0)
