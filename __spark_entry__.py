@@ -1240,6 +1240,44 @@ def q_ann_lsh_topk_probe(spark, sf_dir):
     return lsh_bucket_topk(emb, qvec, k=10, probe_bits=1)
 
 
+def q_ann_index_probe(spark, sf_dir):
+    """Multi-probe top-k off the PERSISTED ANN index (similarity's
+    analogue of the incremental dedup index): corpus vectors are bucketed
+    and range-partition-sorted to parquet once, then the probe is a
+    pushed-down bucket-IN filter + local top-k merge — zero shuffles,
+    corpus never rescanned. Result contract: identical to
+    ann_lsh_topk_probe's in-memory path (shared oracle).
+    engine/datawork/ann_index.py."""
+    import tempfile
+    from engine.datawork.ann_index import probe_index, write_ann_index
+    emb = _t(spark, sf_dir, "embeddings")
+    idx = os.path.join(tempfile.gettempdir(),
+                       f"spark_graft_annidx_{_tag(sf_dir)}")
+    t0 = time.monotonic()
+    write_ann_index(emb, idx)
+    q_ann_index_probe.last_build_s = round(time.monotonic() - t0, 3)
+    qvec = [float(x) for x in
+            emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]]
+    return (probe_index(spark, idx, qvec, k=10, probe_bits=1)
+            .select(F.col("id").alias("vec_id"), "score"))
+
+
+def q_ann_index_probe_batch(spark, sf_dir):
+    """A WAVE of queries (vec_id % 17 == 0) against the persisted ANN
+    index: the bucketed wave is broadcast to the pruned corpus scan (the
+    corpus side never shuffles), collisions verify by exact cosine, and
+    each query keeps its top-3 (self-matches excluded).
+    engine/datawork/ann_index.py."""
+    import tempfile
+    from engine.datawork.ann_index import probe_index_batch, write_ann_index
+    emb = _t(spark, sf_dir, "embeddings")
+    idx = os.path.join(tempfile.gettempdir(),
+                       f"spark_graft_annidx_{_tag(sf_dir)}")
+    write_ann_index(emb, idx)
+    queries = emb.filter(F.col("vec_id") % 17 == 0)
+    return probe_index_batch(spark, idx, queries, k=3)
+
+
 def q_multimodal_features(spark, sf_dir):
     """Binary-column plumbing (decode stubbed — rows-only check)."""
     from engine.datawork.multimodal import extract_features
@@ -1378,6 +1416,8 @@ _RAW_QUERIES: dict = {
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_ivf_trained": q_ann_ivf_trained,
         "ann_ivf_trained_topk": q_ann_ivf_trained_topk,
+        "ann_index_probe": q_ann_index_probe,
+        "ann_index_probe_batch": q_ann_index_probe_batch,
         "multimodal_features": q_multimodal_features,
         "pdf_payload_extract": q_pdf_payload_extract,
     }

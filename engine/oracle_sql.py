@@ -1454,6 +1454,33 @@ SELECT vec_id, score FROM scored
 WHERE {_ham} <= 1
 ORDER BY score DESC, vec_id LIMIT 10"""
 
+    # persisted-index probe: by construction identical to the in-memory
+    # multi-probe path (the index is bucketed with the same frozen planes),
+    # so it shares that oracle — the driver gate doubles as the
+    # equivalence proof, the conversation_documents_salted pattern.
+    o["ann_index_probe"] = o["ann_lsh_topk_probe"]
+
+    o["ann_index_probe_batch"] = f"""
+WITH b AS (
+    SELECT vec_id, embedding, {_plane_bucket_sql('embedding')} AS bkt
+    FROM embeddings
+), q AS (
+    SELECT vec_id AS qid, embedding AS qv, bkt AS qb
+    FROM b WHERE vec_id % 17 = 0
+), scored AS (
+    SELECT q.qid, b.vec_id AS id,
+           CAST(round({_dot_sql('b.embedding', 'q.qv')}
+                / ({_norm_sql('b.embedding')} * {_norm_sql('q.qv')}), 6)
+                AS DOUBLE) AS score
+    FROM b JOIN q ON b.bkt = q.qb AND b.vec_id != q.qid
+), rk AS (
+    SELECT qid, id, score,
+           CAST(row_number() OVER (PARTITION BY qid
+                                   ORDER BY score DESC, id) AS INT) AS rank
+    FROM scored
+)
+SELECT qid, id, score, rank FROM rk WHERE rank <= 3"""
+
     o["pdf_payload_extract"] = """
 SELECT doc_id,
        md5(trim(text)) AS cleaned_md5,
