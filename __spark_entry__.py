@@ -927,6 +927,46 @@ def q_corpus_line_dedup_report(spark, sf_dir):
                              min_count=5)
 
 
+def _boiler_corpus(docs):
+    """Deterministic duplicated-substring derivation of the documents
+    table (the synthetic texts are near-distinct random words, so a
+    shared multi-token phrase is planted FROM the input itself): every
+    doc gains a unique lead token then one of 5 shared 8-token
+    boilerplate phrases; every 4th doc repeats its phrase after a unique
+    mid token (within-doc duplication). Spelled identically in the
+    DuckDB oracle."""
+    did = F.col("doc_id")
+    phrase = F.concat(F.lit("terms-"), (did % 5).cast("string"),
+                      F.lit(" of service apply to all posted content"))
+    return docs.select("doc_id", F.concat(
+        F.col("text"), F.lit(" lead-"), did.cast("string"), F.lit(" "),
+        phrase,
+        F.when(did % 4 == 0,
+               F.concat(F.lit(" mid-"), did.cast("string"), F.lit(" "),
+                        phrase)).otherwise(F.lit(""))).alias("text"))
+
+
+def q_dedup_substring_spans(spark, sf_dir):
+    """Exact-substring dedup, span report: maximal spans of token
+    6-grams whose content occurs >= 2 times corpus-wide (Lee et al.
+    ExactSubstr re-expressed as bounded windows + interval union — see
+    engine/datawork/substrings.py). One gram hash-aggregate + one
+    doc-partitioned window; no quadratic term anywhere."""
+    from engine.datawork.substrings import duplicate_ngram_spans
+    return duplicate_ngram_spans(
+        _boiler_corpus(_t(spark, sf_dir, "documents")), n=6, min_count=2)
+
+
+def q_dedup_substring_apply(spark, sf_dir):
+    """Exact-substring dedup, applied: duplicated spans cut from every
+    doc (drop-all-occurrences, the dedup_lines-consistent contract);
+    coverage applied via a per-doc span array + indexed higher-order
+    filter — no second explode. engine/datawork/substrings.py."""
+    from engine.datawork.substrings import drop_duplicate_spans
+    return drop_duplicate_spans(
+        _boiler_corpus(_t(spark, sf_dir, "documents")), n=6, min_count=2)
+
+
 def q_corpus_decontaminate(spark, sf_dir):
     """Benchmark decontamination: corpus docs sharing >= 1 word 3-gram with
     a held-out eval split (md5 bucket < 5%) — the GPT-3-appendix
@@ -1075,6 +1115,20 @@ def q_doc_unigram_nll(spark, sf_dir):
     engine/datawork/corpus.py."""
     from engine.datawork.corpus import unigram_logprob
     return unigram_logprob(_t(spark, sf_dir, "documents"))
+
+
+def q_doc_ppl_buckets(spark, sf_dir):
+    """CCNet head/middle/tail: per-LANGUAGE terciles of the unigram-LM
+    NLL — the bucket assignment CCNet feeds to downstream sampling.
+    Composes unigram_logprob with quality_buckets (ntile over one
+    group-hash shuffle; NULLs-last + doc_id tiebreak make the tiling a
+    pure function of the data in both engines).
+    engine/datawork/corpus.py."""
+    from engine.datawork.corpus import quality_buckets, unigram_logprob
+    docs = _t(spark, sf_dir, "documents")
+    scored = (unigram_logprob(docs)
+              .join(docs.select("doc_id", "lang"), "doc_id"))
+    return quality_buckets(scored, score_col="nll", group_col="lang")
 
 
 def q_doc_pii_redact(spark, sf_dir):
@@ -1389,6 +1443,8 @@ _RAW_QUERIES: dict = {
         "corpus_sample": q_corpus_sample,
         "doc_length_quantiles": q_doc_length_quantiles,
         "corpus_pack_shards": q_corpus_pack_shards,
+        "dedup_substring_spans": q_dedup_substring_spans,
+        "dedup_substring_apply": q_dedup_substring_apply,
         "corpus_line_dedup": q_corpus_line_dedup,
         "corpus_line_dedup_report": q_corpus_line_dedup_report,
         "corpus_decontaminate": q_corpus_decontaminate,
@@ -1406,6 +1462,7 @@ _RAW_QUERIES: dict = {
         "multimodal_ppm_decode": q_multimodal_ppm_decode,
         "doc_tfidf_top_terms": q_doc_tfidf_top_terms,
         "doc_unigram_nll": q_doc_unigram_nll,
+        "doc_ppl_buckets": q_doc_ppl_buckets,
         "doc_pii_redact": q_doc_pii_redact,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_buckets": q_ann_lsh_buckets,

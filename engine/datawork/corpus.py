@@ -110,6 +110,42 @@ def length_quantiles(docs: DataFrame, group_col: str = "lang",
                     F.round(F.col("q")[2], 4).alias("p99")))
 
 
+def quality_buckets(scored: DataFrame, score_col: str = "nll",
+                    group_col: str = "lang", id_col: str = "doc_id",
+                    n_buckets: int = 3) -> DataFrame:
+    """CCNet-style per-group quantile buckets: within each group (a
+    language, a source), rank docs by a quality score and cut into
+    n_buckets equal-count tiles — bucket 1 = best (lowest score when the
+    score is a perplexity/NLL). With the default 3, labels follow
+    CCNet's head/middle/tail.
+
+    Cross-engine determinism is the whole trick: NULL scores sort LAST
+    (Spark defaults them first ascending, DuckDB last — pinned
+    explicitly), and ``id_col`` breaks score ties so ntile assignment is
+    a pure function of the data in both engines. ntile's distribution
+    rule (first n_rows % n tiles get the extra row) is SQL-standard and
+    identical in Spark and DuckDB.
+
+    Scale shape: ONE shuffle (hash by group) + an in-partition sort; a
+    skewed mega-group bounds task time, not memory (ntile streams).
+    For groups so hot a single task cannot sort them, pre-aggregate to
+    approximate cutoffs instead (length_quantiles' percentile_approx
+    note) — the exact version IS the oracle here.
+    """
+    from pyspark.sql import Window
+    w = Window.partitionBy(group_col).orderBy(
+        F.col(score_col).asc_nulls_last(), F.col(id_col))
+    tile = F.ntile(n_buckets).over(w)
+    if n_buckets == 3:
+        label = F.element_at(F.array(F.lit("head"), F.lit("middle"),
+                                     F.lit("tail")), tile)
+    else:
+        label = F.concat(F.lit("b"), tile.cast("string"))
+    return scored.select(id_col, group_col, score_col,
+                         tile.cast("int").alias("bucket"),
+                         label.alias("bucket_label"))
+
+
 def tfidf_top_terms(docs: DataFrame, top_k: int = 5,
                     id_col: str = "doc_id",
                     text_col: str = "text") -> DataFrame:

@@ -958,6 +958,83 @@ SELECT 'line_freq' AS guard,
        CAST(coalesce(max(cnt), 0) AS BIGINT) AS max_line_count
 FROM cnts"""
 
+    # exact-substring dedup over the same deterministic boilerplate
+    # derivation the Spark side plants (__spark_entry__._boiler_corpus).
+    # g is referenced twice (hot + dup) and tk twice — MATERIALIZED, or
+    # DuckDB re-evaluates the window explode per reference.
+    _sub_prefix = """
+WITH src AS (
+    SELECT doc_id,
+           text || ' lead-' || CAST(doc_id AS VARCHAR) || ' terms-' ||
+           CAST(doc_id % 5 AS VARCHAR) ||
+           ' of service apply to all posted content' ||
+           CASE WHEN doc_id % 4 = 0
+                THEN ' mid-' || CAST(doc_id AS VARCHAR) || ' terms-' ||
+                     CAST(doc_id % 5 AS VARCHAR) ||
+                     ' of service apply to all posted content'
+                ELSE '' END AS text
+    FROM documents
+), tk AS MATERIALIZED (
+    SELECT doc_id,
+           list_filter(string_split_regex(trim(coalesce(text, '')),
+                                          '\\s+'),
+                       t -> t <> '') AS toks
+    FROM src
+), g AS MATERIALIZED (
+    SELECT doc_id, i - 1 AS s,
+           md5(array_to_string(toks[i:i+5], ' ')) AS gram
+    FROM tk, UNNEST(range(1, greatest(len(toks) - 5, 0) + 1)) AS t(i)
+), hot AS (
+    SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2
+), dup AS (
+    SELECT g.doc_id, g.s FROM g JOIN hot USING (gram)
+), m AS (
+    SELECT doc_id, s,
+           CASE WHEN s > coalesce(max(s + 6) OVER (
+                    PARTITION BY doc_id ORDER BY s
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    -1)
+                THEN 1 ELSE 0 END AS is_new
+    FROM dup
+), sp0 AS (
+    SELECT doc_id, s,
+           sum(is_new) OVER (PARTITION BY doc_id ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS span_id
+    FROM m
+), sp AS (
+    SELECT doc_id, CAST(min(s) AS INTEGER) AS span_start,
+           CAST(max(s) + 6 AS INTEGER) AS span_end,
+           CAST(count(*) AS BIGINT) AS n_windows
+    FROM sp0 GROUP BY doc_id, span_id
+)"""
+
+    o["dedup_substring_spans"] = _sub_prefix + """
+SELECT sp.doc_id, span_start, span_end, n_windows,
+       array_to_string(tk.toks[span_start + 1:span_end], ' ')
+           AS span_text
+FROM sp JOIN tk USING (doc_id)"""
+
+    o["dedup_substring_apply"] = _sub_prefix + """, e AS (
+    SELECT doc_id, i - 1 AS pos, toks[i] AS tok
+    FROM tk, UNNEST(range(1, len(toks) + 1)) AS t(i)
+), agg AS (
+    SELECT e.doc_id,
+           coalesce(string_agg(
+               CASE WHEN sp.doc_id IS NULL THEN e.tok END,
+               ' ' ORDER BY e.pos), '') AS text,
+           CAST(count(CASE WHEN sp.doc_id IS NULL THEN 1 END) AS BIGINT)
+               AS n_kept,
+           CAST(count(sp.doc_id) AS BIGINT) AS n_dropped
+    FROM e LEFT JOIN sp ON e.doc_id = sp.doc_id
+                       AND e.pos >= sp.span_start AND e.pos < sp.span_end
+    GROUP BY e.doc_id
+)
+SELECT s.doc_id, coalesce(a.text, '') AS text,
+       CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
+       CAST(coalesce(a.n_dropped, 0) AS BIGINT) AS n_dropped
+FROM src s LEFT JOIN agg a USING (doc_id)"""
+
     o["corpus_decontaminate"] = """
 WITH corpus AS (
     SELECT * FROM documents
@@ -1106,6 +1183,40 @@ WITH tok AS (
 )
 SELECT doc_id, n_tokens, nll
 FROM documents LEFT JOIN scored ON scored.id = documents.doc_id"""
+
+    # CCNet buckets: the doc_unigram_nll chain + per-lang ntile(3);
+    # NULLS LAST + doc_id tiebreak pin the ordering (Spark's ascending
+    # default is nulls-FIRST — the Spark side pins asc_nulls_last)
+    o["doc_ppl_buckets"] = """
+WITH tok AS (
+    SELECT doc_id AS id, t.term
+    FROM (SELECT doc_id,
+                 string_split_regex(trim(lower(text)), '\\s+') AS ws
+          FROM documents WHERE trim(text) <> '') w,
+         UNNEST(ws) AS t(term)
+), cnt AS (
+    SELECT term, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY term
+), s AS (
+    SELECT CAST(sum(cnt) AS BIGINT) AS total,
+           CAST(count(*) AS BIGINT) AS vocab FROM cnt
+), scored AS (
+    SELECT id, round(-avg(ln((cnt + 1.0) / (total + vocab))), 6) AS nll
+    FROM tok JOIN cnt USING (term), s
+    GROUP BY id
+), fulljoin AS (
+    SELECT d.doc_id, d.lang, scored.nll
+    FROM documents d LEFT JOIN scored ON scored.id = d.doc_id
+), tiled AS (
+    SELECT doc_id, lang, nll,
+           CAST(ntile(3) OVER (PARTITION BY lang
+                ORDER BY nll ASC NULLS LAST, doc_id) AS INTEGER)
+               AS bucket
+    FROM fulljoin
+)
+SELECT doc_id, lang, nll, bucket,
+       CASE bucket WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                   ELSE 'tail' END AS bucket_label
+FROM tiled"""
 
     # identical PII planting to __spark_entry__.q_doc_pii_redact; the
     # patterns are the RE2/Java common subset from curation.PII_PATTERNS

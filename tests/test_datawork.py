@@ -1077,3 +1077,25 @@ def test_assign_splits_partition_and_stability(spark):
     assert small == {k: v for k, v in out.items() if k < 500}
     with pytest.raises(ValueError):
         assign_splits(df, train_pct=0)
+
+
+def test_quality_buckets_tiling_and_nulls(spark):
+    from engine.datawork.corpus import quality_buckets
+    rows = [(i, "en" if i < 10 else "de",
+             None if i in (3, 7) else float(i)) for i in range(17)]
+    df = spark.createDataFrame(rows, "doc_id bigint, lang string, nll double")
+    out = {r.doc_id: r for r in
+           quality_buckets(df, score_col="nll").collect()}
+    assert len(out) == 17
+    # en: 10 rows -> tiles of 4/3/3; NULL scores sort LAST -> tail
+    en = sorted((r.bucket, r.doc_id) for r in out.values() if r.lang == "en")
+    assert [b for b, _ in en] == [1] * 4 + [2] * 3 + [3] * 3
+    assert out[3].bucket == 3 and out[7].bucket == 3
+    # non-null order respected: lowest scores land in head
+    assert [d for b, d in en if b == 1] == [0, 1, 2, 4]
+    assert {r.bucket_label for r in out.values()} == {"head", "middle",
+                                                      "tail"}
+    # n_buckets != 3 falls back to numeric labels
+    lab = {r.bucket_label for r in
+           quality_buckets(df, score_col="nll", n_buckets=2).collect()}
+    assert lab == {"b1", "b2"}
