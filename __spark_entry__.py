@@ -967,6 +967,28 @@ def q_dedup_substring_apply(spark, sf_dir):
         _boiler_corpus(_t(spark, sf_dir, "documents")), n=6, min_count=2)
 
 
+def q_winnow_fingerprints(spark, sf_dir):
+    """Winnowing (MOSS) fingerprints: per-window minimal k=4-gram hash,
+    w=5 — the sparse position-robust signature (any shared run of >=
+    w+k-1 tokens shares a fingerprint). One doc-hash shuffle; the
+    min-in-window is pure codegen over gram||pos strings.
+    engine/datawork/substrings.py."""
+    from engine.datawork.substrings import winnow_fingerprints
+    return winnow_fingerprints(
+        _boiler_corpus(_t(spark, sf_dir, "documents")), k=4, w=5)
+
+
+def q_winnow_similar_pairs(spark, sf_dir):
+    """MOSS copy detection: doc pairs sharing >= 2 winnowing
+    fingerprints via the inverted-index equi-join (hot grams with df >
+    1000 dropped first — boilerplate carries no copy evidence and
+    bounds the per-gram fan-out). engine/datawork/substrings.py."""
+    from engine.datawork.substrings import winnow_similar_pairs
+    return winnow_similar_pairs(
+        _boiler_corpus(_t(spark, sf_dir, "documents")), k=4, w=5,
+        min_shared=2)
+
+
 def q_corpus_decontaminate(spark, sf_dir):
     """Benchmark decontamination: corpus docs sharing >= 1 word 3-gram with
     a held-out eval split (md5 bucket < 5%) — the GPT-3-appendix
@@ -1445,6 +1467,8 @@ _RAW_QUERIES: dict = {
         "corpus_pack_shards": q_corpus_pack_shards,
         "dedup_substring_spans": q_dedup_substring_spans,
         "dedup_substring_apply": q_dedup_substring_apply,
+        "winnow_fingerprints": q_winnow_fingerprints,
+        "winnow_similar_pairs": q_winnow_similar_pairs,
         "corpus_line_dedup": q_corpus_line_dedup,
         "corpus_line_dedup_report": q_corpus_line_dedup_report,
         "corpus_decontaminate": q_corpus_decontaminate,

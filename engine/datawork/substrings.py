@@ -128,6 +128,90 @@ def duplicate_ngram_spans(docs: DataFrame, n: int = 6, min_count: int = 2,
                         " ").alias("span_text")))
 
 
+def winnow_fingerprints(docs: DataFrame, k: int = 4, w: int = 5,
+                        id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken 2003,
+    the MOSS algorithm): hash every token k-gram, slide a window of w
+    consecutive positions, select each window's minimal hash (position
+    as tiebreak), and emit the distinct selections. Guarantee: any
+    duplicated run of >= w+k-1 tokens shares at least one fingerprint —
+    a sparse (density 2/(w+1)) signature robust to where the copy sits.
+
+    Returns (id_col, pos, gram): 0-based token position + md5 of the
+    selected k-gram. No UDF: the min-in-window is one windowed ``min``
+    over ``gram || zero-padded-pos`` (md5 hex is fixed-width, so string
+    order == (hash, pos) order in both engines).
+
+    Scale shape: window generation is per-row codegen; the only shuffle
+    is the doc-hash partition for the window pass; DISTINCT on the
+    selections is per-doc-bounded (map-side combine collapses the w-fold
+    repetition of each selected hash early).
+    """
+    from .dedup import _ensure_parallelism
+    toks = (_ensure_parallelism(docs)
+            .select(F.col(id_col).alias("id"),
+                    _tokens(text_col).alias("toks")))
+    grams = toks.select(
+        "id", F.posexplode(_windows(F.col("toks"), k)).alias("start",
+                                                             "gram"))
+    key = F.concat(F.col("gram"),
+                   F.lpad(F.col("start").cast("string"), 10, "0"))
+    doc_w = Window.partitionBy("id")
+    order_w = Window.partitionBy("id").orderBy("start")
+    sel = (grams
+           .withColumn("pick",
+                       F.min(key).over(order_w.rowsBetween(0, w - 1)))
+           # only COMPLETE windows select (starts are dense 0..max, so
+           # a window is complete iff it starts <= max_start - (w-1))
+           .withColumn("max_start", F.max("start").over(doc_w))
+           .filter(F.col("start") <= F.col("max_start") - (w - 1)))
+    return (sel.select(
+        F.col("id").alias(id_col),
+        F.substring("pick", 33, 10).cast("int").alias("pos"),
+        F.substring("pick", 1, 32).alias("gram"))
+        .distinct())
+
+
+def winnow_similar_pairs(docs: DataFrame, k: int = 4, w: int = 5,
+                         min_shared: int = 2, max_df: int = 1000,
+                         id_col: str = "doc_id",
+                         text_col: str = "text") -> DataFrame:
+    """Document pairs sharing >= min_shared winnowing fingerprints — the
+    MOSS plagiarism/copy detector as an inverted-index join. Returns
+    (id_a, id_b, n_shared) with id_a < id_b.
+
+    Never all-pairs: candidates come from the equi-join on the selected
+    gram hash, and grams selected by more than ``max_df`` docs are
+    dropped first (a fingerprint shared by everyone is boilerplate, not
+    evidence — the same hot-key guard as dedup's MinHash-LSH buckets,
+    bounding the per-gram pair fan-out at max_df^2).
+    """
+    from .dedup import _cache_slot
+    # the selection pass (gram explode + two window functions) feeds the
+    # df-count AND both self-join sides — persist it once (repartitioned
+    # by gram so the count, the guard join, and the pair join all run on
+    # one co-partitioning; the fingerprint table is ~2/(w+1) of the gram
+    # table, signature-sized like dedup's minhash sigs, not corpus-sized)
+    fp = _cache_slot(
+        "winnow_fp",
+        winnow_fingerprints(docs, k=k, w=w, id_col=id_col,
+                            text_col=text_col)
+        .select(F.col(id_col).alias("id"), "gram").distinct()
+        .repartition("gram"))
+    df_cnt = fp.groupBy("gram").agg(F.count("*").alias("df"))
+    keep = df_cnt.filter((F.col("df") >= 2) & (F.col("df") <= max_df))
+    fp_k = fp.join(keep.select("gram"), "gram")
+    pairs = (fp_k.alias("a")
+             .join(fp_k.alias("b"),
+                   (F.col("a.gram") == F.col("b.gram")) &
+                   (F.col("a.id") < F.col("b.id")))
+             .groupBy(F.col("a.id").alias("id_a"),
+                      F.col("b.id").alias("id_b"))
+             .agg(F.count("*").cast("bigint").alias("n_shared")))
+    return pairs.filter(F.col("n_shared") >= min_shared)
+
+
 def drop_duplicate_spans(docs: DataFrame, n: int = 6, min_count: int = 2,
                          id_col: str = "doc_id",
                          text_col: str = "text") -> DataFrame:

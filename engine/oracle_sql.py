@@ -962,7 +962,7 @@ FROM cnts"""
     # derivation the Spark side plants (__spark_entry__._boiler_corpus).
     # g is referenced twice (hot + dup) and tk twice — MATERIALIZED, or
     # DuckDB re-evaluates the window explode per reference.
-    _sub_prefix = """
+    _boiler_tk = """
 WITH src AS (
     SELECT doc_id,
            text || ' lead-' || CAST(doc_id AS VARCHAR) || ' terms-' ||
@@ -980,11 +980,17 @@ WITH src AS (
                                           '\\s+'),
                        t -> t <> '') AS toks
     FROM src
-), g AS MATERIALIZED (
+)"""
+
+    def _gram_cte(k: int) -> str:
+        return f""", g AS MATERIALIZED (
     SELECT doc_id, i - 1 AS s,
-           md5(array_to_string(toks[i:i+5], ' ')) AS gram
-    FROM tk, UNNEST(range(1, greatest(len(toks) - 5, 0) + 1)) AS t(i)
-), hot AS (
+           md5(array_to_string(toks[i:i+{k - 1}], ' ')) AS gram
+    FROM tk, UNNEST(range(1, greatest(len(toks) - {k - 1}, 0) + 1))
+         AS t(i)
+)"""
+
+    _sub_prefix = _boiler_tk + _gram_cte(6) + """, hot AS (
     SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2
 ), dup AS (
     SELECT g.doc_id, g.s FROM g JOIN hot USING (gram)
@@ -1034,6 +1040,40 @@ SELECT s.doc_id, coalesce(a.text, '') AS text,
        CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
        CAST(coalesce(a.n_dropped, 0) AS BIGINT) AS n_dropped
 FROM src s LEFT JOIN agg a USING (doc_id)"""
+
+    # winnowing (MOSS) fingerprints over the same boiler derivation;
+    # pick = min(gram || zero-padded pos) over each complete w=5 window
+    # of k=4-gram hashes — fixed-width hex makes string order ==
+    # (hash, pos) order in both engines
+    _winnow_sel = _boiler_tk + _gram_cte(4) + """, sel AS (
+    SELECT DISTINCT doc_id,
+           CAST(substr(pick, 33, 10) AS INTEGER) AS pos,
+           substr(pick, 1, 32) AS gram
+    FROM (
+        SELECT doc_id, s,
+               min(gram || lpad(CAST(s AS VARCHAR), 10, '0')) OVER (
+                   PARTITION BY doc_id ORDER BY s
+                   ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS pick,
+               max(s) OVER (PARTITION BY doc_id) AS max_s
+        FROM g)
+    WHERE s <= max_s - 4
+)"""
+
+    o["winnow_fingerprints"] = _winnow_sel + """
+SELECT doc_id, pos, gram FROM sel"""
+
+    o["winnow_similar_pairs"] = _winnow_sel + """, fp AS (
+    SELECT DISTINCT doc_id AS id, gram FROM sel
+), keep AS (
+    SELECT gram FROM fp GROUP BY gram
+    HAVING count(*) BETWEEN 2 AND 1000
+), fpk AS MATERIALIZED (
+    SELECT fp.id, fp.gram FROM fp JOIN keep USING (gram)
+)
+SELECT a.id AS id_a, b.id AS id_b,
+       CAST(count(*) AS BIGINT) AS n_shared
+FROM fpk a JOIN fpk b ON a.gram = b.gram AND a.id < b.id
+GROUP BY a.id, b.id HAVING count(*) >= 2"""
 
     o["corpus_decontaminate"] = """
 WITH corpus AS (

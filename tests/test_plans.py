@@ -262,3 +262,24 @@ def test_interval_join_is_equi_join_not_nested_loop(spark):
     # contract); the fine path is an EQUI-join on the bucket id
     assert plan.count("BroadcastNestedLoopJoin") == 1
     assert "Join [_b" in plan
+
+
+def test_substring_dedup_equi_join_no_cartesian(spark):
+    import __spark_entry__ as entry
+    for q in ("q_dedup_substring_spans", "q_dedup_substring_apply"):
+        plan = fmt(getattr(entry, q)(spark, SF))
+        # the hot-gram test is an equi join on the md5 key, never a
+        # nested-loop/cartesian; nothing sort-merges at this size
+        assert "CartesianProduct" not in plan and \
+               "BroadcastNestedLoop" not in plan, q
+        assert "SortMergeJoin" not in plan, q
+
+
+def test_winnow_pairs_reuse_cached_fingerprints(spark):
+    import __spark_entry__ as entry
+    plan = fmt(entry.q_winnow_similar_pairs(spark, SF))
+    assert "CartesianProduct" not in plan and \
+           "BroadcastNestedLoop" not in plan
+    # the selection pass must be computed once and served from cache to
+    # the df-count guard and both self-join sides
+    assert plan.count("InMemoryTableScan") >= 2

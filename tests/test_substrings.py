@@ -143,3 +143,65 @@ def test_min_count_threshold(spark):
                                  min_count=3).collect()
     assert sorted((r.doc_id, r.span_start, r.span_end) for r in rows) == [
         (0, 0, 6), (1, 0, 6), (2, 0, 6)]
+
+
+# ------------------------------------------------------------- winnowing
+def _brute_winnow(corpus, k, w):
+    fps = {}
+    for d, text in corpus.items():
+        ts = [t for t in text.strip().split() if t]
+        hs = [hashlib.md5(" ".join(ts[i:i + k]).encode()).hexdigest()
+              for i in range(len(ts) - k + 1)]
+        sel = set()
+        for p in range(len(hs) - w + 1):
+            win = [(hs[p + j], p + j) for j in range(w)]
+            sel.add(min(win))
+        fps[d] = {(pos, h) for h, pos in sel}
+    return fps
+
+
+def test_winnow_matches_brute_force(spark):
+    from engine.datawork.substrings import winnow_fingerprints
+    corpus = _planted(n_docs=40, seed=11)
+    exp = _brute_winnow(corpus, 4, 5)
+    got = {}
+    for r in winnow_fingerprints(_df(spark, corpus), k=4, w=5).collect():
+        got.setdefault(r.doc_id, set()).add((r.pos, r.gram))
+    assert got == {d: s for d, s in exp.items() if s}
+
+
+def test_winnow_guarantee_and_density(spark):
+    from engine.datawork.substrings import winnow_fingerprints
+    # two docs share a long run; winnowing must fingerprint it in both
+    shared = "q r s t u v w x y z"        # 10 tokens >= w+k-1 = 8
+    corpus = {0: "a b c " + shared + " d e f",
+              1: "m n " + shared + " o p"}
+    fp = {}
+    for r in winnow_fingerprints(_df(spark, corpus), k=4, w=5).collect():
+        fp.setdefault(r.doc_id, set()).add(r.gram)
+    assert fp[0] & fp[1], "shared run must share a fingerprint"
+
+
+def test_winnow_similar_pairs(spark):
+    from engine.datawork.substrings import winnow_similar_pairs
+    corpus = _planted(n_docs=30, seed=3)
+    exp_fp = _brute_winnow(corpus, 4, 5)
+    # brute pairs with the same df guard
+    from collections import Counter
+    df_cnt = Counter()
+    grams = {d: {h for _, h in s} for d, s in exp_fp.items()}
+    for d, gs in grams.items():
+        for g in gs:
+            df_cnt[g] += 1
+    keep = {g for g, c in df_cnt.items() if 2 <= c <= 1000}
+    exp = {}
+    docs = sorted(grams)
+    for i, a in enumerate(docs):
+        for b in docs[i + 1:]:
+            n = len(grams[a] & grams[b] & keep)
+            if n >= 2:
+                exp[(a, b)] = n
+    got = {(r.id_a, r.id_b): r.n_shared for r in
+           winnow_similar_pairs(_df(spark, corpus), k=4, w=5,
+                                min_shared=2).collect()}
+    assert got == exp and exp, "planted boilerplate must produce pairs"
