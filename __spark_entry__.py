@@ -1002,6 +1002,30 @@ def q_corpus_decontaminate(spark, sf_dir):
                                 docs.filter(bucket < 5), n=3)
 
 
+def q_corpus_decontaminate_spans(spark, sf_dir):
+    """Surgical decontamination: cut ONLY the benchmark-overlapping
+    6-gram spans from corpus docs (contamination_report's repairing
+    sibling). Same deterministic planting as corpus_decontaminate (md5
+    bucket < 5% = bench) plus a shared eval phrase appended to every
+    bench doc and every 6th corpus doc — those spans, and any natural
+    vocab collisions, are cut. Bench gram set broadcast; corpus never
+    shuffles on grams. engine/datawork/substrings.py."""
+    from engine.datawork.substrings import decontaminate_spans
+    docs = _t(spark, sf_dir, "documents")
+    bucket = (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")),
+                                 1, 8), 16, 10).cast("long") % 100)
+    phrase = F.lit(" the quick eval answer is forty two exactly")
+    bench = (docs.filter(bucket < 5)
+             .select("doc_id",
+                     F.concat(F.col("text"), phrase).alias("text")))
+    corpus = (docs.filter(bucket >= 5)
+              .select("doc_id",
+                      F.when(F.col("doc_id") % 6 == 0,
+                             F.concat(F.col("text"), phrase))
+                      .otherwise(F.col("text")).alias("text")))
+    return decontaminate_spans(corpus, bench, n=6)
+
+
 def q_events_rolling_7d(spark, sf_dir):
     """Trailing-7-day rolling totals per day — the RANGE window frame
     (rangeBetween on an epoch-day ordering, not rowsBetween: days can be
@@ -1472,6 +1496,7 @@ _RAW_QUERIES: dict = {
         "corpus_line_dedup": q_corpus_line_dedup,
         "corpus_line_dedup_report": q_corpus_line_dedup_report,
         "corpus_decontaminate": q_corpus_decontaminate,
+        "corpus_decontaminate_spans": q_corpus_decontaminate_spans,
         "corpus_temperature_sample": q_corpus_temperature_sample,
         "corpus_mixture_sample": q_corpus_mixture_sample,
         "corpus_splits": q_corpus_splits,

@@ -24,6 +24,12 @@ columns, passed through where the op allows]):
     tfidf           per-doc top-k TF-IDF terms (--top-k)
     redact-pii      email/IPv4/card-run scrub with per-pattern counts
     pack            token-budget shard packing (--pack-budget)
+    substring-spans duplicated n-gram spans (ExactSubstr; --ngram)
+    substring-dedup corpus with duplicated spans cut out
+    decontaminate-spans  cut bench-overlapping spans (--bench, --ngram)
+    winnow          winnowing (MOSS) fingerprints per doc
+    winnow-pairs    doc pairs sharing fingerprints (--min-count)
+    ppl-buckets     per-group unigram-NLL head/middle/tail terciles
     curate          composed funnel: quality -> dedup -> decontaminate
                     (--bench) -> temperature sample (--budget)
     curate-funnel   the per-stage survivor counts of the same funnel
@@ -75,7 +81,8 @@ def run_op(spark, op: str, input_path: str, percent: int = 10,
            group_col: str = "lang", top_k: int = 200,
            threshold: float = 0.5, check_ids: bool = False,
            min_count: int = 2, bench_path: str | None = None,
-           budget: int = 1000, pack_budget: int = 2048):
+           budget: int = 1000, pack_budget: int = 2048,
+           ngram: int = 6):
     docs = spark.read.parquet(input_path)
     if check_ids and op in DEDUP_OPS:
         check_unique_ids(docs)
@@ -135,6 +142,31 @@ def run_op(spark, op: str, input_path: str, percent: int = 10,
     if op == "pack":
         from .pack import pack_shards
         return pack_shards(docs, budget=pack_budget)
+    if op == "substring-spans":
+        from .substrings import duplicate_ngram_spans
+        return duplicate_ngram_spans(docs, n=ngram, min_count=min_count)
+    if op == "substring-dedup":
+        from .substrings import drop_duplicate_spans
+        return drop_duplicate_spans(docs, n=ngram, min_count=min_count)
+    if op == "decontaminate-spans":
+        from .substrings import decontaminate_spans
+        if not bench_path:
+            raise SystemExit(
+                "--op decontaminate-spans requires --bench <parquet>")
+        return decontaminate_spans(docs, spark.read.parquet(bench_path),
+                                   n=ngram)
+    if op == "winnow":
+        from .substrings import winnow_fingerprints
+        return winnow_fingerprints(docs)
+    if op == "winnow-pairs":
+        from .substrings import winnow_similar_pairs
+        return winnow_similar_pairs(docs, min_shared=min_count)
+    if op == "ppl-buckets":
+        from .corpus import quality_buckets, unigram_logprob
+        scored = (unigram_logprob(docs)
+                  .join(docs.select("doc_id", group_col), "doc_id"))
+        return quality_buckets(scored, score_col="nll",
+                               group_col=group_col)
     if op in ("curate", "curate-funnel"):
         from .curation import curate_corpus, curate_funnel
         if not bench_path:
@@ -153,7 +185,11 @@ def main(argv=None) -> int:
                              "guard-report", "vocab",
                              "sample", "quantiles", "line-dedup",
                              "decontaminate", "temperature-sample",
-                             "tfidf", "redact-pii", "pack", "curate", "curate-funnel"])
+                             "tfidf", "redact-pii", "pack",
+                             "substring-spans", "substring-dedup",
+                             "decontaminate-spans", "winnow",
+                             "winnow-pairs", "ppl-buckets",
+                             "curate", "curate-funnel"])
     ap.add_argument("--input", required=True)
     ap.add_argument("--output", required=True)
     ap.add_argument("--percent", type=int, default=10)
@@ -164,13 +200,17 @@ def main(argv=None) -> int:
                          "verified-pairs/clusters/dedup-apply*; 0 = raw "
                          "unverified candidates")
     ap.add_argument("--min-count", type=int, default=2,
-                    help="line-dedup hotness threshold")
+                    help="line-dedup / substring-dedup hotness threshold; "
+                         "min shared fingerprints for winnow-pairs")
     ap.add_argument("--bench", default=None,
                     help="eval-set parquet for --op decontaminate")
     ap.add_argument("--budget", type=int, default=1000,
                     help="temperature-sample target size")
     ap.add_argument("--pack-budget", type=int, default=2048,
                     help="tokens per shard for --op pack")
+    ap.add_argument("--ngram", type=int, default=6,
+                    help="window length for substring-spans/"
+                         "substring-dedup/decontaminate-spans")
     ap.add_argument("--master", default=None,
                     help="local override; omit under spark-submit")
     ap.add_argument("--no-check-ids", action="store_true",
@@ -187,7 +227,8 @@ def main(argv=None) -> int:
                  args.group_col, args.top_k, args.threshold,
                  check_ids=not args.no_check_ids,
                  min_count=args.min_count, bench_path=args.bench,
-                 budget=args.budget, pack_budget=args.pack_budget)
+                 budget=args.budget, pack_budget=args.pack_budget,
+                 ngram=args.ngram)
     out.write.mode("overwrite").parquet(args.output)
     n = spark.read.parquet(args.output).count()
     print(f"op={args.op} rows={n} output={args.output}")

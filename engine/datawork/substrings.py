@@ -59,16 +59,21 @@ def _tokens(text_col: str):
         lambda t: t != "")
 
 
-def _windows(toks, n: int):
+def _windows(toks, n: int, lower: bool = False):
     """md5 over each n-token window's space-joined content; empty array
     when the doc is shorter than n (sequence() would run DESCENDING for
-    start > stop — the guard is load-bearing, not cosmetic)."""
+    start > stop — the guard is load-bearing, not cosmetic). ``lower``
+    makes the HASH case-insensitive while positions keep addressing the
+    original tokens."""
     starts = F.when(F.size(toks) >= n,
                     F.sequence(F.lit(1), F.size(toks) - n + 1)
                     ).otherwise(F.array())
-    return F.transform(starts,
-                       lambda i: F.md5(F.array_join(F.slice(toks, i, n),
-                                                    " ")))
+
+    def _h(i):
+        joined = F.array_join(F.slice(toks, i, n), " ")
+        return F.md5(F.lower(joined) if lower else joined)
+
+    return F.transform(starts, _h)
 
 
 def _dup_windows(docs: DataFrame, n: int, min_count: int,
@@ -225,6 +230,14 @@ def drop_duplicate_spans(docs: DataFrame, n: int = 6, min_count: int = 2,
     """
     spans = _merged_spans(_dup_windows(docs, n, min_count, id_col,
                                        text_col), n)
+    return _cut_spans(docs, spans, id_col, text_col)
+
+
+def _cut_spans(docs: DataFrame, spans: DataFrame, id_col: str,
+               text_col: str) -> DataFrame:
+    """Remove span-covered tokens from every doc: per-doc span ARRAY +
+    indexed higher-order filter (spans are maximal and disjoint, so the
+    array is small); no second explode, no UDF."""
     per_doc = spans.groupBy("id").agg(
         F.collect_list(F.struct("span_start", "span_end")).alias("sp"))
     toks = docs.select(F.col(id_col).alias("id"),
@@ -242,3 +255,35 @@ def drop_duplicate_spans(docs: DataFrame, n: int = 6, min_count: int = 2,
                     F.size(kept).cast("bigint").alias("n_kept"),
                     (F.size("toks") - F.size(kept)).cast("bigint")
                     .alias("n_dropped")))
+
+
+def decontaminate_spans(docs: DataFrame, bench: DataFrame, n: int = 6,
+                        id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """Surgical benchmark decontamination: cut only the spans of ``docs``
+    whose token n-grams appear ANYWHERE in the ``bench`` eval set,
+    instead of dropping whole documents (curation.contamination_report
+    reports; this repairs). Matching is case-insensitive (the
+    contamination_report convention); the cut addresses the original
+    tokens.
+
+    Returns (id_col, text, n_kept, n_dropped) like drop_duplicate_spans.
+
+    Scale shape: the bench gram set is BROADCAST (eval sets are small by
+    construction — if yours is not, it is training data); the corpus
+    side is one window-generation pass + broadcast semi join + the
+    doc-partitioned span merge. The corpus never shuffles on gram
+    strings.
+    """
+    bench_grams = (bench.select(
+        F.explode(_windows(_tokens(text_col), n, lower=True))
+        .alias("gram")).distinct())
+    from .dedup import _ensure_parallelism
+    grams = (_ensure_parallelism(docs)
+             .select(F.col(id_col).alias("id"),
+                     F.posexplode(_windows(_tokens(text_col), n,
+                                           lower=True))
+                     .alias("start", "gram")))
+    dup = (grams.join(F.broadcast(bench_grams), "gram")
+           .select("id", "start"))
+    return _cut_spans(docs, _merged_spans(dup, n), id_col, text_col)

@@ -1075,6 +1075,84 @@ SELECT a.id AS id_a, b.id AS id_b,
 FROM fpk a JOIN fpk b ON a.gram = b.gram AND a.id < b.id
 GROUP BY a.id, b.id HAVING count(*) >= 2"""
 
+    # surgical decontamination: same bench/corpus split + phrase planting
+    # as the Spark side; hashes lower() (case-insensitive match), cut
+    # addresses original tokens
+    o["corpus_decontaminate_spans"] = """
+WITH bench AS (
+    SELECT doc_id,
+           text || ' the quick eval answer is forty two exactly' AS text
+    FROM documents
+    WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+               AS BIGINT) % 100 < 5
+), corpus AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 6 = 0
+                THEN text ||
+                     ' the quick eval answer is forty two exactly'
+                ELSE text END AS text
+    FROM documents
+    WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+               AS BIGINT) % 100 >= 5
+), btk AS (
+    SELECT list_filter(string_split_regex(trim(coalesce(text, '')),
+                                          '\\s+'),
+                       t -> t <> '') AS toks
+    FROM bench
+), bg AS (
+    SELECT DISTINCT md5(lower(array_to_string(toks[i:i+5], ' ')))
+               AS gram
+    FROM btk, UNNEST(range(1, greatest(len(toks) - 5, 0) + 1)) AS t(i)
+), tk AS MATERIALIZED (
+    SELECT doc_id,
+           list_filter(string_split_regex(trim(coalesce(text, '')),
+                                          '\\s+'),
+                       t -> t <> '') AS toks
+    FROM corpus
+), g AS (
+    SELECT doc_id, i - 1 AS s,
+           md5(lower(array_to_string(toks[i:i+5], ' '))) AS gram
+    FROM tk, UNNEST(range(1, greatest(len(toks) - 5, 0) + 1)) AS t(i)
+), dup AS (
+    SELECT g.doc_id, g.s FROM g JOIN bg USING (gram)
+), m AS (
+    SELECT doc_id, s,
+           CASE WHEN s > coalesce(max(s + 6) OVER (
+                    PARTITION BY doc_id ORDER BY s
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    -1)
+                THEN 1 ELSE 0 END AS is_new
+    FROM dup
+), sp0 AS (
+    SELECT doc_id, s,
+           sum(is_new) OVER (PARTITION BY doc_id ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS span_id
+    FROM m
+), sp AS (
+    SELECT doc_id, CAST(min(s) AS INTEGER) AS span_start,
+           CAST(max(s) + 6 AS INTEGER) AS span_end
+    FROM sp0 GROUP BY doc_id, span_id
+), e AS (
+    SELECT doc_id, i - 1 AS pos, toks[i] AS tok
+    FROM tk, UNNEST(range(1, len(toks) + 1)) AS t(i)
+), agg AS (
+    SELECT e.doc_id,
+           coalesce(string_agg(
+               CASE WHEN sp.doc_id IS NULL THEN e.tok END,
+               ' ' ORDER BY e.pos), '') AS text,
+           CAST(count(CASE WHEN sp.doc_id IS NULL THEN 1 END) AS BIGINT)
+               AS n_kept,
+           CAST(count(sp.doc_id) AS BIGINT) AS n_dropped
+    FROM e LEFT JOIN sp ON e.doc_id = sp.doc_id
+                       AND e.pos >= sp.span_start AND e.pos < sp.span_end
+    GROUP BY e.doc_id
+)
+SELECT c.doc_id, coalesce(a.text, '') AS text,
+       CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
+       CAST(coalesce(a.n_dropped, 0) AS BIGINT) AS n_dropped
+FROM corpus c LEFT JOIN agg a USING (doc_id)"""
+
     o["corpus_decontaminate"] = """
 WITH corpus AS (
     SELECT * FROM documents

@@ -302,6 +302,15 @@ def test_datawork_job_cli(spark, tmp_path):
     ver = run_op(spark, "verified-pairs",
                  "/root/testdata/sf0.001/documents.parquet").count()
     assert 0 < ver <= raw
+    # substring/winnow family dispatch (values covered in
+    # test_substrings.py; here: the ops run and keep every doc)
+    sub = run_op(spark, "substring-dedup",
+                 "/root/testdata/sf0.001/documents.parquet", ngram=6)
+    assert sub.count() == total
+    ppl = run_op(spark, "ppl-buckets",
+                 "/root/testdata/sf0.001/documents.parquet")
+    assert ppl.count() == total and \
+        {r.bucket for r in ppl.collect()} == {1, 2, 3}
 
 
 def test_ivf_topk_recall_vs_bruteforce(spark, emb):

@@ -205,3 +205,39 @@ def test_winnow_similar_pairs(spark):
            winnow_similar_pairs(_df(spark, corpus), k=4, w=5,
                                 min_shared=2).collect()}
     assert got == exp and exp, "planted boilerplate must produce pairs"
+
+
+# ------------------------------------------------------- decontamination
+def test_decontaminate_spans(spark):
+    from engine.datawork.substrings import decontaminate_spans
+    bench = {100: "What is the answer to life the universe and everything",
+             101: "name the CAPITAL of france please now"}
+    corpus = {
+        0: "intro words THE ANSWER to life the universe and everything "
+           "trailing thoughts",                       # case-insens. hit
+        1: "nothing shared with any benchmark document here at all ok",
+        2: "name the capital of france please now",   # fully contaminated
+        3: "",                                        # empty
+    }
+    # brute force: case-insensitive n-gram membership, n=6
+    n = 6
+    bgrams = set()
+    for t in bench.values():
+        ts = t.lower().split()
+        for i in range(len(ts) - n + 1):
+            bgrams.add(" ".join(ts[i:i + n]))
+    exp = {}
+    for d, t in corpus.items():
+        ts = [x for x in t.strip().split() if x]
+        low = [x.lower() for x in ts]
+        cov = set()
+        for i in range(len(ts) - n + 1):
+            if " ".join(low[i:i + n]) in bgrams:
+                cov.update(range(i, i + n))
+        kept = [t_ for i, t_ in enumerate(ts) if i not in cov]
+        exp[d] = (" ".join(kept), len(kept), len(ts) - len(kept))
+    out = {r.doc_id: (r.text, r.n_kept, r.n_dropped) for r in
+           decontaminate_spans(_df(spark, corpus),
+                               _df(spark, bench)).collect()}
+    assert out == exp
+    assert out[0][2] > 0 and out[2][0] == "" and out[1][2] == 0
