@@ -1163,6 +1163,27 @@ def q_doc_unigram_nll(spark, sf_dir):
     return unigram_logprob(_t(spark, sf_dir, "documents"))
 
 
+def q_corpus_stratified_sample(spark, sf_dir):
+    """Exact-quota stratified sample: the first 20 docs per language in
+    md5(id) order — deterministic balanced pulls for eval sets. One
+    group-hash shuffle; rank rows past the quota die at the window
+    (WindowGroupLimit pushes the top-k into the sort).
+    engine/datawork/corpus.py."""
+    from engine.datawork.corpus import stratified_sample
+    return stratified_sample(_t(spark, sf_dir, "documents"),
+                             per_group=20, group_col="lang")
+
+
+def q_corpus_heavy_hitters(spark, sf_dir):
+    """Misra-Gries heavy hitters, k=30: terms with corpus frequency >
+    N/31, EXACT (per-partition k-counter sketches bound memory and
+    yield a guaranteed candidate superset; only candidates get exact
+    counts — the full token histogram is never shuffled).
+    engine/datawork/sketch.py."""
+    from engine.datawork.sketch import heavy_hitters
+    return heavy_hitters(_t(spark, sf_dir, "documents"), k=30)
+
+
 def q_doc_ppl_buckets(spark, sf_dir):
     """CCNet head/middle/tail: per-LANGUAGE terciles of the unigram-LM
     NLL — the bucket assignment CCNet feeds to downstream sampling.
@@ -1512,6 +1533,8 @@ _RAW_QUERIES: dict = {
         "doc_tfidf_top_terms": q_doc_tfidf_top_terms,
         "doc_unigram_nll": q_doc_unigram_nll,
         "doc_ppl_buckets": q_doc_ppl_buckets,
+        "corpus_stratified_sample": q_corpus_stratified_sample,
+        "corpus_heavy_hitters": q_corpus_heavy_hitters,
         "doc_pii_redact": q_doc_pii_redact,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_buckets": q_ann_lsh_buckets,

@@ -94,6 +94,32 @@ def hash_sample(docs: DataFrame, percent: int = 10,
     return docs.filter(bucket < percent)
 
 
+def stratified_sample(docs: DataFrame, per_group: int,
+                      group_col: str = "lang",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Exactly min(per_group, group size) rows from every group — the
+    quota sampler for balanced eval sets and per-source inspection
+    pulls. Selection is the first ``per_group`` rows in md5(id) order
+    (doc_id tiebreak), so the pick is deterministic across engines,
+    runs, partitionings, AND stable under corpus growth within a group
+    only when ids are append-only — unlike percent-based hash_sample,
+    adding rows can displace earlier picks; that is inherent to exact
+    quotas.
+
+    Scale shape: one group-hash shuffle + in-partition TOP-K per group —
+    row_number streams, and rank > per_group rows are discarded at the
+    window, so the output is bounded by groups × per_group. A skewed
+    mega-group bounds task time, not memory.
+    """
+    from pyspark.sql import Window
+    rk = F.row_number().over(
+        Window.partitionBy(group_col).orderBy(
+            F.md5(F.col(id_col).cast("string")), F.col(id_col)))
+    return (docs.withColumn("_rk", rk)
+            .filter(F.col("_rk") <= per_group)
+            .drop("_rk"))
+
+
 def length_quantiles(docs: DataFrame, group_col: str = "lang",
                      value_col: str = "n_chars") -> DataFrame:
     """Per-group exact length percentiles (continuous interpolation — the

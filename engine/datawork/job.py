@@ -30,6 +30,8 @@ columns, passed through where the op allows]):
     winnow          winnowing (MOSS) fingerprints per doc
     winnow-pairs    doc pairs sharing fingerprints (--min-count)
     ppl-buckets     per-group unigram-NLL head/middle/tail terciles
+    stratified-sample  exact --top-k docs per --group-col (md5 order)
+    heavy-hitters   terms with freq > N/(k+1), exact (--top-k = k)
     curate          composed funnel: quality -> dedup -> decontaminate
                     (--bench) -> temperature sample (--budget)
     curate-funnel   the per-stage survivor counts of the same funnel
@@ -161,6 +163,13 @@ def run_op(spark, op: str, input_path: str, percent: int = 10,
     if op == "winnow-pairs":
         from .substrings import winnow_similar_pairs
         return winnow_similar_pairs(docs, min_shared=min_count)
+    if op == "stratified-sample":
+        from .corpus import stratified_sample
+        return stratified_sample(docs, per_group=top_k,
+                                 group_col=group_col)
+    if op == "heavy-hitters":
+        from .sketch import heavy_hitters
+        return heavy_hitters(docs, k=top_k)
     if op == "ppl-buckets":
         from .corpus import quality_buckets, unigram_logprob
         scored = (unigram_logprob(docs)
@@ -189,6 +198,7 @@ def main(argv=None) -> int:
                              "substring-spans", "substring-dedup",
                              "decontaminate-spans", "winnow",
                              "winnow-pairs", "ppl-buckets",
+                             "stratified-sample", "heavy-hitters",
                              "curate", "curate-funnel"])
     ap.add_argument("--input", required=True)
     ap.add_argument("--output", required=True)

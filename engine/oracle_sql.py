@@ -1302,6 +1302,29 @@ WITH tok AS (
 SELECT doc_id, n_tokens, nll
 FROM documents LEFT JOIN scored ON scored.id = documents.doc_id"""
 
+    o["corpus_stratified_sample"] = """
+SELECT doc_id, text, lang, source, n_chars FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY lang
+        ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+    FROM documents)
+WHERE rk <= 20"""
+
+    # heavy hitters: the Spark side never builds this histogram (it
+    # exact-counts only the MG candidate superset), but the OUTPUT is
+    # provably identical to the full GROUP BY — that is the point
+    o["corpus_heavy_hitters"] = """
+WITH tok AS (
+    SELECT t.term
+    FROM (SELECT string_split_regex(trim(lower(text)), '\\s+') AS ws
+          FROM documents WHERE trim(text) <> '') w,
+         UNNEST(ws) AS t(term)
+), s AS (
+    SELECT CAST(count(*) AS BIGINT) AS n FROM tok
+)
+SELECT term, CAST(count(*) AS BIGINT) AS cnt
+FROM tok, s GROUP BY term, n HAVING count(*) * 31 > n"""
+
     # CCNet buckets: the doc_unigram_nll chain + per-lang ntile(3);
     # NULLS LAST + doc_id tiebreak pin the ordering (Spark's ascending
     # default is nulls-FIRST — the Spark side pins asc_nulls_last)

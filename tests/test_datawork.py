@@ -1108,3 +1108,27 @@ def test_quality_buckets_tiling_and_nulls(spark):
     lab = {r.bucket_label for r in
            quality_buckets(df, score_col="nll", n_buckets=2).collect()}
     assert lab == {"b1", "b2"}
+
+
+def test_stratified_sample_quota_and_determinism(spark):
+    import hashlib
+    from engine.datawork.corpus import stratified_sample
+    rows = [(i, "en" if i % 3 else "de", f"t{i}") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id bigint, lang string, text string")
+    out = stratified_sample(df, per_group=10, group_col="lang").collect()
+    by_g = {}
+    for r in out:
+        by_g.setdefault(r.lang, []).append(r.doc_id)
+    assert sorted(len(v) for v in by_g.values()) == [10, 10]
+    # the pick is exactly the first 10 ids in md5 order per group
+    for g, ids in by_g.items():
+        pool = [i for i, lg, _ in rows if lg == g]
+        want = sorted(pool, key=lambda i: (
+            hashlib.md5(str(i).encode()).hexdigest(), i))[:10]
+        assert sorted(ids) == sorted(want)
+    # quota above group size returns the whole group
+    small = stratified_sample(df.filter("doc_id < 4"), per_group=10,
+                              group_col="lang").count()
+    assert small == 4
+    # schema passthrough: extra columns survive
+    assert {"doc_id", "lang", "text"} == set(out[0].asDict())
