@@ -1066,6 +1066,31 @@ def q_events_hll_daily(spark, sf_dir):
             .orderBy("day"))
 
 
+def q_events_stream_enrich(spark, sf_dir):
+    """STREAM-STATIC join: the event stream enriched against the
+    customer dimension (broadcast — the dim re-reads per micro-batch,
+    so small dims broadcast and big dims want a pre-bucketed layout),
+    then rolled up by nation. Stream-static joins are stateless (no
+    watermark needed — nothing buffers); drained with AvailableNow the
+    result must equal the batch join, which IS the oracle."""
+    ev_path = os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(ev_path).schema
+    stream = (spark.readStream.schema(schema)
+              .option("pathGlobFilter", "events.parquet").parquet(sf_dir))
+    cust = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+    joined = stream.join(
+        F.broadcast(cust.select("c_custkey", "c_nationkey")),
+        stream["user_id"] == F.col("c_custkey"))
+    name = "events_stream_enrich_sink"
+    q = (joined.writeStream.format("memory").queryName(name)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return (spark.table(name)
+            .groupBy(F.col("c_nationkey").cast("int").alias("nationkey"))
+            .agg(F.count("*").cast("bigint").alias("n_events"),
+                 F.round(F.sum("value"), 4).alias("total_value")))
+
+
 def q_events_pivot_daily(spark, sf_dir):
     """PIVOT: one row per day, one count column per event type. The value
     list is EXPLICIT — that is the scale-relevant choice: with it, pivot
@@ -1337,6 +1362,24 @@ def q_ann_ivf_trained_topk(spark, sf_dir):
     return ivf_topk(emb, qvec, k=10, centroids=cent)
 
 
+def q_semdedup_losers(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023) over the trained IVF codebook: cluster
+    embeddings with the deterministic k-means, rank each cluster by
+    cosine-to-centroid (keep the least-typical member first, per the
+    paper), and drop members with a lower-ranked cluster-mate at pairwise
+    cosine ≥ τ. The within-cluster self-join is the SemDeDup contract —
+    quadratic only in cluster size, never in corpus size."""
+    from engine.datawork.similarity import semdedup_losers, train_kmeans
+    emb = _t(spark, sf_dir, "embeddings")
+    cent = train_kmeans(emb)
+    return (semdedup_losers(emb, threshold=0.35, centroids=cent)
+            .select(F.col("id").cast("bigint").alias("vec_id"),
+                    F.col("cell").cast("int").alias("cell"),
+                    F.col("kept_id").cast("bigint").alias("kept_id"),
+                    F.col("cosine"))
+            .orderBy("vec_id"))
+
+
 def q_dedup_guard_report(spark, sf_dir):
     """Skew-guard telemetry (hot shingles / hot LSH buckets and the rows
     they carry) — lets a 100 TB operator see when the quadratic-join guards
@@ -1526,6 +1569,7 @@ _RAW_QUERIES: dict = {
         "corpus_curate_funnel": q_corpus_curate_funnel,
         "events_interval_join": q_events_interval_join,
         "events_stream_join": q_events_stream_join,
+        "events_stream_enrich": q_events_stream_enrich,
         "events_pivot_daily": q_events_pivot_daily,
         "events_hll_daily": q_events_hll_daily,
         "events_rolling_7d": q_events_rolling_7d,
@@ -1544,6 +1588,7 @@ _RAW_QUERIES: dict = {
         "ann_ivf_assignments": q_ann_ivf_assignments,
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_ivf_trained": q_ann_ivf_trained,
+        "semdedup_losers": q_semdedup_losers,
         "ann_ivf_trained_topk": q_ann_ivf_trained_topk,
         "ann_index_probe": q_ann_index_probe,
         "ann_index_probe_batch": q_ann_index_probe_batch,

@@ -161,11 +161,13 @@ def train_kmeans(df: DataFrame, n_cells: int = IVF_CELLS,
     return cent
 
 
-def _assign_cells(base: DataFrame, cent: DataFrame) -> DataFrame:
+def _assign_cells(base: DataFrame, cent: DataFrame,
+                  keep_score: bool = False) -> DataFrame:
     """argmax-cosine assignment of a (id, v, nrm[, fx]) base against a
     (cell, cv) centroid table — the shared kernel of ivf_assignments and
     every k-means iteration. Broadcast crossJoin: n_cells rows per input
-    row, window argmax on (round(cos, 6) desc, cell)."""
+    row, window argmax on (round(cos, 6) desc, cell). ``keep_score=True``
+    retains the winning ``ccos`` (semdedup ranks members by it)."""
     from pyspark.sql import Window
     c = cent.select("cell", "cv").withColumn("cnrm", norm(F.col("cv")))
     dotprod = F.aggregate(
@@ -176,8 +178,9 @@ def _assign_cells(base: DataFrame, cent: DataFrame) -> DataFrame:
               .withColumn("ccos", F.round(
                   dotprod / (F.col("nrm") * F.col("cnrm")), 6)))
     w = Window.partitionBy("id").orderBy(F.col("ccos").desc(), F.col("cell"))
+    drop = ["rk", "cv", "cnrm"] + ([] if keep_score else ["ccos"])
     return (scored.withColumn("rk", F.row_number().over(w))
-            .filter(F.col("rk") == 1).drop("rk", "ccos", "cv", "cnrm"))
+            .filter(F.col("rk") == 1).drop(*drop))
 
 
 def ivf_assignments(df: DataFrame, id_col: str = "vec_id",
@@ -195,6 +198,62 @@ def ivf_assignments(df: DataFrame, id_col: str = "vec_id",
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
                      norm(F.col(vec_col)).alias("nrm"))
     return _assign_cells(base, cent).select("id", "cell")
+
+
+def semdedup_losers(df: DataFrame, threshold: float = 0.95,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    centroids: DataFrame | None = None,
+                    n_cells: int = IVF_CELLS,
+                    max_cluster: int | None = None) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic near-dup removal by
+    clustering embeddings and pruning within-cluster high-cosine pairs.
+
+    Rule (matches the public reference implementation's semantics): rank
+    each cluster's members by (cosine-to-centroid ASC, id ASC) — the paper
+    KEEPS the example least similar to its centroid — then drop any member
+    that has a LOWER-ranked cluster-mate with pairwise cosine ≥ τ. Returns
+    one row per dropped doc: (id, cell, kept_id, cosine) where kept_id is
+    its lowest-ranked shadower (deterministic: ranks are unique).
+
+    Scale shape: assignment is a broadcast crossJoin against the (small)
+    codebook; the only shuffle is the equi-join on ``cell``, and the
+    within-cluster comparison is quadratic ONLY in cluster size — the
+    SemDeDup contract is that k grows with N so clusters stay ~N/k. The
+    ``max_cluster`` guard mirrors ``max_df``/``max_bucket`` elsewhere:
+    clusters above it are excluded from pairing (all members kept) rather
+    than paying a degenerate |C|² join — at 100 TB a mega-cluster means
+    the codebook is too small, and the exclusion is observable (compare
+    kept counts against ``ivf_assignments`` cluster census).
+    """
+    from pyspark.sql import Window
+    cent = centroids if centroids is not None else train_kmeans(
+        df, n_cells=n_cells, id_col=id_col, vec_col=vec_col)
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+                     norm(F.col(vec_col)).alias("nrm"))
+    asg = _assign_cells(base, cent, keep_score=True)
+    if max_cluster is not None:
+        sizes = asg.groupBy("cell").agg(F.count("*").alias("_csz"))
+        asg = (asg.join(F.broadcast(sizes.filter(F.col("_csz") > max_cluster)
+                                    .select("cell")), "cell", "left_anti"))
+    rk = Window.partitionBy("cell").orderBy(F.col("ccos").asc(), F.col("id"))
+    ranked = asg.withColumn("rk", F.row_number().over(rk))
+    a, b = ranked.alias("a"), ranked.alias("b")
+    pair_cos = F.round(
+        F.aggregate(
+            F.zip_with(F.col("a.v").cast("array<double>"),
+                       F.col("b.v").cast("array<double>"),
+                       lambda x, y: x * y),
+            F.lit(0.0), lambda acc, x: acc + x)
+        / (F.col("a.nrm") * F.col("b.nrm")), 6)
+    pairs = (a.join(b, (F.col("a.cell") == F.col("b.cell"))
+                    & (F.col("a.rk") < F.col("b.rk")))
+             .select(F.col("b.id").alias("id"), F.col("b.cell").alias("cell"),
+                     F.col("a.id").alias("kept_id"), F.col("a.rk").alias("krk"),
+                     pair_cos.alias("cosine"))
+             .filter(F.col("cosine") >= threshold))
+    first = Window.partitionBy("id").orderBy("krk")
+    return (pairs.withColumn("_p", F.row_number().over(first))
+            .filter(F.col("_p") == 1).drop("_p", "krk"))
 
 
 def ivf_topk(df: DataFrame, query: Sequence[float], k: int = 10,

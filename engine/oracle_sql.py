@@ -1242,6 +1242,13 @@ FROM events c JOIN events p
 GROUP BY c.user_id
 ORDER BY c.user_id"""
 
+    o["events_stream_enrich"] = """
+SELECT CAST(c.c_nationkey AS INTEGER) AS nationkey,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(e.value), 4) AS total_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1 ORDER BY 1"""
+
     o["events_interval_join"] = """
 WITH iv AS (
     SELECT user_id AS iv_user, CAST(ts AS DATE) AS day,
@@ -1683,6 +1690,31 @@ JOIN final_assign a ON b.id = a.id
 JOIN qprobe p ON a.cell = p.cell,
      (SELECT v AS qv, nrm AS qn FROM pn WHERE id = 0) q
 ORDER BY score DESC, vec_id LIMIT 10"""
+
+    # SemDeDup: rank each trained cluster by (cos-to-centroid ASC, id),
+    # drop members with a lower-ranked mate at pairwise cosine ≥ τ. rked is
+    # referenced twice (self-join) → MATERIALIZED so DuckDB doesn't re-run
+    # the whole unrolled k-means per reference.
+    o["semdedup_losers"] = _kmeans_common + f""",
+rked AS MATERIALIZED (
+    SELECT a.id, a.cell, p.v, p.nrm,
+           row_number() OVER (PARTITION BY a.cell
+                              ORDER BY s.ccos ASC, a.id) AS rk
+    FROM final_assign a
+    JOIN final_score s ON s.id = a.id AND s.cell = a.cell
+    JOIN pn p ON p.id = a.id
+),
+prs AS (
+    SELECT b.id AS vec_id, b.cell AS cell, a.id AS kept_id, a.rk AS krk,
+           CAST(round({_dot_d('a.v', 'b.v')} / (a.nrm * b.nrm), 6)
+               AS DOUBLE) AS cosine
+    FROM rked a JOIN rked b ON a.cell = b.cell AND a.rk < b.rk
+)
+SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(cell AS INTEGER) AS cell,
+       CAST(kept_id AS BIGINT) AS kept_id, cosine
+FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY krk) AS prk
+      FROM prs WHERE cosine >= 0.35)
+WHERE prk = 1 ORDER BY vec_id"""
 
     # multi-probe top-k: candidates = vectors whose 8-plane bucket is within
     # Hamming 1 of the query's bucket (probe_bits=1); data-independent SQL —
