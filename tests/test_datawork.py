@@ -1132,3 +1132,39 @@ def test_stratified_sample_quota_and_determinism(spark):
     assert small == 4
     # schema passthrough: extra columns survive
     assert {"doc_id", "lang", "text"} == set(out[0].asDict())
+
+
+def test_semdedup_drops_planted_twin_keeps_singletons(spark):
+    """SemDeDup on a corpus with one planted identical twin: exactly the
+    higher-ranked copy drops; orthogonal singletons all survive. Invariants:
+    every loser's cosine >= tau and its keeper sits in the same cell."""
+    from engine.datawork.similarity import semdedup_losers
+    dim = 64
+    base = [[0.0] * dim for _ in range(4)]
+    base[0][0] = 1.0                      # e0
+    base[1][0] = 1.0                      # e0 twin (identical)
+    base[2][1] = 1.0                      # e1 (orthogonal)
+    base[3][2] = 1.0                      # e2 (orthogonal)
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(base)],
+        "vec_id bigint, embedding array<double>")
+    losers = semdedup_losers(df, threshold=0.95, n_cells=2).collect()
+    assert len(losers) == 1
+    (row,) = losers
+    assert {row["id"], row["kept_id"]} == {0, 1}
+    assert row["cosine"] >= 0.95
+
+
+def test_semdedup_max_cluster_guard_and_partition_independence(spark, emb):
+    """max_cluster below every cluster size -> zero pairs (all kept);
+    and the loser set is identical across input partitionings."""
+    from engine.datawork.similarity import semdedup_losers, train_kmeans
+    cent = train_kmeans(emb)
+    assert semdedup_losers(emb, threshold=0.35, centroids=cent,
+                           max_cluster=1).count() == 0
+    key = lambda r: (r["id"], r["cell"], r["kept_id"], r["cosine"])  # noqa: E731
+    a = sorted(map(key, semdedup_losers(
+        emb.repartition(1), threshold=0.35, centroids=cent).collect()))
+    b = sorted(map(key, semdedup_losers(
+        emb.repartition(13), threshold=0.35, centroids=cent).collect()))
+    assert a == b and len(a) > 0
