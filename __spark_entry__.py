@@ -1362,6 +1362,32 @@ def q_ann_ivf_trained_topk(spark, sf_dir):
     return ivf_topk(emb, qvec, k=10, centroids=cent)
 
 
+def _dsir_split(spark, sf_dir):
+    """Deterministic target/raw split of the documents table for the DSIR
+    demo: every 11th doc plays the 'target domain' corpus."""
+    docs = _t(spark, sf_dir, "documents")
+    return (docs.filter(F.col("doc_id") % 11 != 0),
+            docs.filter(F.col("doc_id") % 11 == 0))
+
+
+def q_corpus_dsir_weights(spark, sf_dir):
+    """DSIR importance weights (Xie et al. 2023): hashed-bigram unigram
+    LMs over target vs raw, per-doc log likelihood ratio. The model is two
+    4096-row bucket-count tables (broadcast); scoring is one pass over raw
+    grams joined on an int key — no string-keyed corpus shuffle."""
+    from engine.datawork.dsir import dsir_weights
+    raw, target = _dsir_split(spark, sf_dir)
+    return dsir_weights(raw, target).orderBy("doc_id")
+
+
+def q_corpus_dsir_select(spark, sf_dir):
+    """DSIR selection: the 100 most-target-like raw docs, deterministic
+    top-k by (log_weight DESC, id) — TakeOrdered, not a global sort."""
+    from engine.datawork.dsir import dsir_select
+    raw, target = _dsir_split(spark, sf_dir)
+    return dsir_select(raw, target, budget=100)
+
+
 def q_semdedup_losers(spark, sf_dir):
     """SemDeDup (Abbas et al. 2023) over the trained IVF codebook: cluster
     embeddings with the deterministic k-means, rank each cluster by
@@ -1589,6 +1615,8 @@ _RAW_QUERIES: dict = {
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_ivf_trained": q_ann_ivf_trained,
         "semdedup_losers": q_semdedup_losers,
+        "corpus_dsir_weights": q_corpus_dsir_weights,
+        "corpus_dsir_select": q_corpus_dsir_select,
         "ann_ivf_trained_topk": q_ann_ivf_trained_topk,
         "ann_index_probe": q_ann_index_probe,
         "ann_index_probe_batch": q_ann_index_probe_batch,

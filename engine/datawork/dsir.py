@@ -1,0 +1,103 @@
+"""DSIR-style data selection (Xie et al. 2023, "Data Selection for
+Language Models via Importance Resampling", arXiv:2302.03169): pick the
+raw-corpus documents whose hashed-n-gram distribution looks most like a
+TARGET corpus, by importance weighting under two bag-of-hashed-ngrams
+unigram models.
+
+Per document x with hashed-gram occurrences g₁..gₘ (unigrams + bigrams,
+md5-hashed into B buckets):
+
+    logw(x) = Σᵢ [ ln((ct[b(gᵢ)]+1)/(Nt+B)) − ln((cr[b(gᵢ)]+1)/(Nr+B)) ]
+
+where ct/cr are target/raw bucket counts and Nt/Nr their totals (add-one
+smoothing over the B buckets). Positive = looks more target-like than
+raw-like. Selection here is the DETERMINISTIC top-k by (logw DESC, id)
+rather than the paper's Gumbel-perturbed resampling — sampled floats are
+not reproducible across engines, and at corpus scale top-k and
+importance-resampling-without-replacement converge; the deviation is
+intentional and documented.
+
+Scale shape: the model side collapses to TWO B-row count tables (B=4096
+default) — a map-side-combined aggregate each, then a broadcast of the
+joined per-bucket log-ratio table. The per-doc score is ONE pass over the
+raw corpus' grams joined broadcast on an int key and aggregated by doc:
+no corpus-sized shuffle on gram strings at any point (contrast tfidf's
+string-keyed join). Selection is TakeOrdered, not a global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+DSIR_BUCKETS = 4096
+
+
+def _gram_occurrences(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, gram) with OCCURRENCES kept (no per-doc distinct — DSIR's
+    feature vector is a count vector): word unigrams + bigrams over
+    whitespace-split lowered text. Empty/whitespace docs emit nothing."""
+    w = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    # sequence(1, 0) would descend — short texts get an explicit empty list
+    bi = F.when(
+        F.size(w) >= 2,
+        F.transform(F.sequence(F.lit(1), F.size(w) - 1),
+                    lambda i: F.concat_ws(" ", F.slice(w, i, 2)))
+    ).otherwise(F.array().cast("array<string>"))
+    return (df.filter(F.trim(F.coalesce(F.col(text_col), F.lit(""))) != "")
+            .select(F.col(id_col).alias("id"),
+                    F.explode(F.concat(w, bi)).alias("gram")))
+
+
+def _bucket(col: Column, buckets: int) -> Column:
+    """md5-based hash bucket in [0, buckets) — the engine-shared idiom
+    (first 8 hex chars of md5, parsed base-16)."""
+    return (F.conv(F.substring(F.md5(col), 1, 8), 16, 10)
+            .cast("long") % buckets)
+
+
+def dsir_weights(raw: DataFrame, target: DataFrame,
+                 id_col: str = "doc_id", text_col: str = "text",
+                 buckets: int = DSIR_BUCKETS) -> DataFrame:
+    """Per-raw-doc importance weight: (id_col, n_grams, log_weight).
+
+    Docs with no grams (empty text) get NULL n_grams/log_weight — no
+    evidence either way, the caller decides (same contract as
+    ``corpus.unigram_logprob``). ``log_weight`` is rounded to 6 decimals
+    AFTER the per-doc sum, the established engine-exactness pattern for
+    double reductions.
+    """
+    graw = _gram_occurrences(raw, id_col, text_col)
+    gtgt = _gram_occurrences(target, id_col, text_col)
+    braw = graw.select(_bucket(F.col("gram"), buckets).alias("b"))
+    btgt = gtgt.select(_bucket(F.col("gram"), buckets).alias("b"))
+    ct = btgt.groupBy("b").agg(F.count("*").alias("ct"))
+    cr = braw.groupBy("b").agg(F.count("*").alias("cr"))
+    nt = btgt.agg(F.count("*").alias("nt"))
+    nr = braw.agg(F.count("*").alias("nr"))
+    llr = (F.log((F.coalesce(F.col("ct"), F.lit(0)) + 1)
+                 / (F.col("nt") + F.lit(buckets)))
+           - F.log((F.coalesce(F.col("cr"), F.lit(0)) + 1)
+                   / (F.col("nr") + F.lit(buckets))))
+    lam = (ct.join(cr, "b", "full_outer")
+           .crossJoin(F.broadcast(nt)).crossJoin(F.broadcast(nr))
+           .select("b", llr.alias("llr")))
+    scored = (graw.select("id", _bucket(F.col("gram"), buckets).alias("b"))
+              .join(F.broadcast(lam), "b")
+              .groupBy("id")
+              .agg(F.count("*").cast("bigint").alias("n_grams"),
+                   F.round(F.sum("llr"), 6).alias("log_weight")))
+    return (raw.select(F.col(id_col))
+            .join(scored.withColumnRenamed("id", id_col), id_col, "left")
+            .select(id_col, "n_grams", "log_weight"))
+
+
+def dsir_select(raw: DataFrame, target: DataFrame, budget: int,
+                id_col: str = "doc_id", text_col: str = "text",
+                buckets: int = DSIR_BUCKETS) -> DataFrame:
+    """The ``budget`` most-target-like raw docs, deterministic:
+    orderBy(log_weight DESC, id) + limit = TakeOrdered on the executors,
+    never a global sort. NULL-weight (empty) docs are never selected."""
+    w = dsir_weights(raw, target, id_col, text_col, buckets)
+    return (w.filter(F.col("log_weight").isNotNull())
+            .orderBy(F.col("log_weight").desc(), F.col(id_col))
+            .limit(budget))

@@ -32,6 +32,10 @@ columns, passed through where the op allows]):
     ppl-buckets     per-group unigram-NLL head/middle/tail terciles
     stratified-sample  exact --top-k docs per --group-col (md5 order)
     heavy-hitters   terms with freq > N/(k+1), exact (--top-k = k)
+    dsir-weights    DSIR importance weights vs a target set (--bench)
+    dsir-select     the --budget most-target-like docs (--bench)
+    semdedup        SemDeDup losers over an embeddings parquet
+                    (--threshold = pairwise cosine)
     curate          composed funnel: quality -> dedup -> decontaminate
                     (--bench) -> temperature sample (--budget)
     curate-funnel   the per-stage survivor counts of the same funnel
@@ -138,6 +142,18 @@ def run_op(spark, op: str, input_path: str, percent: int = 10,
     if op == "tfidf":
         from .corpus import tfidf_top_terms
         return tfidf_top_terms(docs, top_k=min(top_k, 50))
+    if op in ("dsir-weights", "dsir-select"):
+        from .dsir import dsir_select, dsir_weights
+        if not bench_path:
+            raise SystemExit(f"--op {op} requires --bench <target parquet>")
+        target = spark.read.parquet(bench_path)
+        if op == "dsir-weights":
+            return dsir_weights(docs, target)
+        return dsir_select(docs, target, budget=budget)
+    if op == "semdedup":
+        # input = an embeddings parquet (vec_id, embedding)
+        from .similarity import semdedup_losers
+        return semdedup_losers(docs, threshold=threshold)
     if op == "redact-pii":
         from .curation import redact_pii
         return redact_pii(docs)
@@ -199,6 +215,7 @@ def main(argv=None) -> int:
                              "decontaminate-spans", "winnow",
                              "winnow-pairs", "ppl-buckets",
                              "stratified-sample", "heavy-hitters",
+                             "dsir-weights", "dsir-select", "semdedup",
                              "curate", "curate-funnel"])
     ap.add_argument("--input", required=True)
     ap.add_argument("--output", required=True)

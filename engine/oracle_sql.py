@@ -1691,6 +1691,66 @@ JOIN qprobe p ON a.cell = p.cell,
      (SELECT v AS qv, nrm AS qn FROM pn WHERE id = 0) q
 ORDER BY score DESC, vec_id LIMIT 10"""
 
+    # DSIR (Xie et al. 2023): hashed-bigram importance weights, target =
+    # every 11th doc. rb is referenced three times (counts, totals,
+    # scoring) → MATERIALIZED.
+    _gb = "CAST(('0x' || substr(md5(gram), 1, 8)) AS BIGINT) % 4096"
+    _dsir_common = f"""
+WITH tgt AS (
+    SELECT doc_id, text FROM documents WHERE doc_id % 11 = 0
+), raw AS (
+    SELECT doc_id, text FROM documents WHERE doc_id % 11 <> 0
+), rtok AS (
+    SELECT doc_id, {_WORDS} AS w
+    FROM raw WHERE trim(coalesce(text, '')) <> ''
+), ttok AS (
+    SELECT doc_id, {_WORDS} AS w
+    FROM tgt WHERE trim(coalesce(text, '')) <> ''
+), rgrams AS (
+    SELECT doc_id, t.gram FROM rtok, UNNEST(w) AS t(gram)
+    UNION ALL
+    SELECT bg.doc_id, t.gram
+    FROM (SELECT doc_id, list_transform(range(1, len(w)),
+                 i -> w[i] || ' ' || w[i + 1]) AS bl FROM rtok) bg,
+         UNNEST(bl) AS t(gram)
+), tgrams AS (
+    SELECT t.gram FROM ttok, UNNEST(w) AS t(gram)
+    UNION ALL
+    SELECT t.gram
+    FROM (SELECT list_transform(range(1, len(w)),
+                 i -> w[i] || ' ' || w[i + 1]) AS bl FROM ttok) bg,
+         UNNEST(bl) AS t(gram)
+), rb AS MATERIALIZED (
+    SELECT doc_id, {_gb} AS b FROM rgrams
+), tb AS MATERIALIZED (
+    SELECT {_gb} AS b FROM tgrams
+), ct AS (
+    SELECT b, CAST(count(*) AS BIGINT) AS ctv FROM tb GROUP BY b
+), cr AS (
+    SELECT b, CAST(count(*) AS BIGINT) AS crv FROM rb GROUP BY b
+), tot AS (
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM tb) AS nt,
+           (SELECT CAST(count(*) AS BIGINT) FROM rb) AS nr
+), lam AS (
+    SELECT coalesce(ct.b, cr.b) AS b,
+           ln((coalesce(ctv, 0) + 1.0) / (nt + 4096))
+         - ln((coalesce(crv, 0) + 1.0) / (nr + 4096)) AS llr
+    FROM ct FULL OUTER JOIN cr ON ct.b = cr.b, tot
+), scored AS (
+    SELECT rb.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+           round(sum(llr), 6) AS log_weight
+    FROM rb JOIN lam USING (b) GROUP BY rb.doc_id
+)"""
+
+    o["corpus_dsir_weights"] = _dsir_common + """
+SELECT raw.doc_id, scored.n_grams, scored.log_weight
+FROM raw LEFT JOIN scored ON scored.doc_id = raw.doc_id
+ORDER BY raw.doc_id"""
+
+    o["corpus_dsir_select"] = _dsir_common + """
+SELECT doc_id, n_grams, log_weight FROM scored
+ORDER BY log_weight DESC, doc_id LIMIT 100"""
+
     # SemDeDup: rank each trained cluster by (cos-to-centroid ASC, id),
     # drop members with a lower-ranked mate at pairwise cosine ≥ τ. rked is
     # referenced twice (self-join) → MATERIALIZED so DuckDB doesn't re-run

@@ -1168,3 +1168,28 @@ def test_semdedup_max_cluster_guard_and_partition_independence(spark, emb):
     b = sorted(map(key, semdedup_losers(
         emb.repartition(13), threshold=0.35, centroids=cent).collect()))
     assert a == b and len(a) > 0
+
+
+def test_dsir_prefers_target_like_docs(spark):
+    """Docs phrased like the target corpus must outrank docs phrased like
+    the raw background; weights are partitioning-independent."""
+    from engine.datawork.dsir import dsir_select, dsir_weights
+    target = spark.createDataFrame(
+        [(100 + i, "the theorem follows from the lemma") for i in range(5)],
+        "doc_id bigint, text string")
+    raw_rows = ([(i, "the theorem follows from the lemma") for i in range(3)]
+                + [(10 + i, "buy cheap pills online now") for i in range(3)]
+                + [(20, ""), (21, "   ")])
+    raw = spark.createDataFrame(raw_rows, "doc_id bigint, text string")
+    w = {r["doc_id"]: r for r in dsir_weights(raw, target).collect()}
+    assert len(w) == 8
+    assert all(w[i]["log_weight"] is None for i in (20, 21))  # no grams
+    assert min(w[i]["log_weight"] for i in (0, 1, 2)) > \
+        max(w[i]["log_weight"] for i in (10, 11, 12))
+    sel = dsir_select(raw, target, budget=3).collect()
+    assert sorted(r["doc_id"] for r in sel) == [0, 1, 2]
+    a = sorted((r["doc_id"], r["log_weight"]) for r in
+               dsir_weights(raw.repartition(1), target).collect())
+    b = sorted((r["doc_id"], r["log_weight"]) for r in
+               dsir_weights(raw.repartition(7), target).collect())
+    assert a == b
