@@ -184,7 +184,17 @@ def tfidf_top_terms(docs: DataFrame, top_k: int = 5,
     aggregate; N enters as a broadcast 1-row aggregate, never a collect;
     the ranking window partitions by doc (bounded by per-doc vocabulary,
     never data-sized). The tf↔df join shuffles on the term — vocabulary-
-    sized, and AQE handles the stopword-skewed head."""
+    sized, and AQE handles the stopword-skewed head.
+
+    md5-keying this join (the guard census' shuffle-shrink trick) was
+    considered and REJECTED: the key here is a single word — typically
+    well under the 32-byte hex digest — so hashing would grow the
+    exchange, and the output needs the term string anyway. The census
+    hashes because its keys are multi-word shingles ~10× digest size.
+    Replacing the join with a count-over-window(term) was likewise
+    rejected: a window partition cannot be skew-split by AQE, so the
+    stopword head would land on one task — the join is the shape that
+    survives skew."""
     from .dedup import _ensure_parallelism
     w = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
     tok = (_ensure_parallelism(docs)

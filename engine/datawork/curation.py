@@ -43,7 +43,7 @@ def _ppm_bucket(col):
 
 def dedup_lines(docs: DataFrame, min_count: int = 2,
                 id_col: str = "doc_id", text_col: str = "text",
-                sep: str = "\n") -> DataFrame:
+                sep: str = "\n", max_hot: int | None = None) -> DataFrame:
     """CCNet-style line-level dedup: drop every line whose exact text
     occurs ``>= min_count`` times across the corpus (boilerplate headers,
     nav bars, cookie banners), keep the rest in original order.
@@ -56,7 +56,15 @@ def dedup_lines(docs: DataFrame, min_count: int = 2,
     The frequency count and the hot-line join both key on md5(line) —
     16-byte shuffle keys instead of arbitrary-length line strings (the
     guard-census lesson, dedup.py); collisions would need 2^64 lines.
-    """
+
+    ``max_hot`` (scale guard, off by default): at a truly boilerplate-
+    heavy corpus the hot set can outgrow the broadcast limit and AQE
+    silently degrades the join to a shuffle (correct, slower). Setting
+    ``max_hot`` caps the hot set to that many HOTTEST lines (cnt DESC,
+    digest tiebreak — deterministic TakeOrdered, no global sort), which
+    pins the broadcast and makes the cut observable: size the cap from
+    ``line_dedup_report``'s census, and lines past it stay in documents
+    by construction rather than by plan-time accident."""
     from .dedup import _ensure_parallelism
     if min_count < 2:
         raise ValueError(f"min_count must be >= 2, got {min_count}")
@@ -69,8 +77,10 @@ def dedup_lines(docs: DataFrame, min_count: int = 2,
              .withColumn("lh", F.md5(F.col("line"))))
     hot = (lines.filter(F.trim(F.col("line")) != "")
            .groupBy("lh").agg(F.count("*").alias("cnt"))
-           .filter(F.col("cnt") >= min_count)
-           .select("lh", F.lit(True).alias("_hot")))
+           .filter(F.col("cnt") >= min_count))
+    if max_hot is not None:
+        hot = hot.orderBy(F.col("cnt").desc(), "lh").limit(max_hot)
+    hot = hot.select("lh", F.lit(True).alias("_hot"))
     marked = lines.join(hot, "lh", "left")
     kept_struct = F.when(F.col("_hot").isNull(),
                          F.struct(F.col("pos"), F.col("line")))

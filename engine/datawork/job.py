@@ -88,7 +88,7 @@ def run_op(spark, op: str, input_path: str, percent: int = 10,
            threshold: float = 0.5, check_ids: bool = False,
            min_count: int = 2, bench_path: str | None = None,
            budget: int = 1000, pack_budget: int = 2048,
-           ngram: int = 6):
+           ngram: int = 6, max_hot: int | None = None):
     docs = spark.read.parquet(input_path)
     if check_ids and op in DEDUP_OPS:
         check_unique_ids(docs)
@@ -130,7 +130,7 @@ def run_op(spark, op: str, input_path: str, percent: int = 10,
         return length_quantiles(docs, group_col=group_col)
     if op == "line-dedup":
         from .curation import dedup_lines
-        return dedup_lines(docs, min_count=min_count)
+        return dedup_lines(docs, min_count=min_count, max_hot=max_hot)
     if op == "decontaminate":
         from .curation import contamination_report
         if not bench_path:
@@ -226,6 +226,10 @@ def main(argv=None) -> int:
                     help="signature-estimate Jaccard verify threshold for "
                          "verified-pairs/clusters/dedup-apply*; 0 = raw "
                          "unverified candidates")
+    ap.add_argument("--max-hot", type=int, default=None,
+                    help="line-dedup: cap the hot set to the N hottest "
+                         "lines (pins the broadcast; size from the "
+                         "line_dedup_report census)")
     ap.add_argument("--min-count", type=int, default=2,
                     help="line-dedup / substring-dedup hotness threshold; "
                          "min shared fingerprints for winnow-pairs")
@@ -255,7 +259,7 @@ def main(argv=None) -> int:
                  check_ids=not args.no_check_ids,
                  min_count=args.min_count, bench_path=args.bench,
                  budget=args.budget, pack_budget=args.pack_budget,
-                 ngram=args.ngram)
+                 ngram=args.ngram, max_hot=args.max_hot)
     out.write.mode("overwrite").parquet(args.output)
     n = spark.read.parquet(args.output).count()
     print(f"op={args.op} rows={n} output={args.output}")

@@ -1193,3 +1193,19 @@ def test_dsir_prefers_target_like_docs(spark):
     b = sorted((r["doc_id"], r["log_weight"]) for r in
                dsir_weights(raw.repartition(7), target).collect())
     assert a == b
+
+
+def test_dedup_lines_max_hot_caps_to_hottest(spark):
+    """max_hot=1 drops only the single hottest line; the cooler hot line
+    survives by construction (not by broadcast-limit accident)."""
+    from engine.datawork.curation import dedup_lines
+    rows = [(i, "BANNER\nunique line %d%s" % (
+        i, "\nFOOTER" if i < 3 else "")) for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    # BANNER x5, FOOTER x3 are both hot at min_count=2
+    full = {r["doc_id"]: r for r in dedup_lines(df).collect()}
+    assert full[0]["n_dropped"] == 2
+    capped = {r["doc_id"]: r for r in
+              dedup_lines(df, max_hot=1).collect()}
+    assert capped[0]["n_dropped"] == 1
+    assert "FOOTER" in capped[0]["text"] and "BANNER" not in capped[0]["text"]
