@@ -1388,6 +1388,18 @@ def q_corpus_dsir_select(spark, sf_dir):
     return dsir_select(raw, target, budget=100)
 
 
+def q_corpus_classifier_scores(spark, sf_dir):
+    """fastText-style hashed linear text classifier with FROZEN committed
+    weights (data/qc_weights.tsv — deterministic logistic regression,
+    tools/train_qc.py): one token explode + a 1024-row broadcast join on
+    an int key + per-doc aggregate. The model ships with the job like the
+    BPE merges table; no model runtime, no UDF."""
+    from engine.datawork.quality import classifier_scores, load_qc_weights
+    docs = _t(spark, sf_dir, "documents")
+    return (classifier_scores(docs, load_qc_weights(spark))
+            .orderBy("doc_id"))
+
+
 def q_semdedup_losers(spark, sf_dir):
     """SemDeDup (Abbas et al. 2023) over the trained IVF codebook: cluster
     embeddings with the deterministic k-means, rank each cluster by
@@ -1616,6 +1628,7 @@ _RAW_QUERIES: dict = {
         "ann_ivf_trained": q_ann_ivf_trained,
         "semdedup_losers": q_semdedup_losers,
         "corpus_dsir_weights": q_corpus_dsir_weights,
+        "corpus_classifier_scores": q_corpus_classifier_scores,
         "corpus_dsir_select": q_corpus_dsir_select,
         "ann_ivf_trained_topk": q_ann_ivf_trained_topk,
         "ann_index_probe": q_ann_index_probe,

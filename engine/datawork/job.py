@@ -36,6 +36,7 @@ columns, passed through where the op allows]):
     dsir-select     the --budget most-target-like docs (--bench)
     semdedup        SemDeDup losers over an embeddings parquet
                     (--threshold = pairwise cosine)
+    classify        frozen hashed linear classifier scores
     curate          composed funnel: quality -> dedup -> decontaminate
                     (--bench) -> temperature sample (--budget)
     curate-funnel   the per-stage survivor counts of the same funnel
@@ -154,6 +155,9 @@ def run_op(spark, op: str, input_path: str, percent: int = 10,
         # input = an embeddings parquet (vec_id, embedding)
         from .similarity import semdedup_losers
         return semdedup_losers(docs, threshold=threshold)
+    if op == "classify":
+        from .quality import classifier_scores, load_qc_weights
+        return classifier_scores(docs, load_qc_weights(spark))
     if op == "redact-pii":
         from .curation import redact_pii
         return redact_pii(docs)
@@ -215,7 +219,7 @@ def main(argv=None) -> int:
                              "decontaminate-spans", "winnow",
                              "winnow-pairs", "ppl-buckets",
                              "stratified-sample", "heavy-hitters",
-                             "dsir-weights", "dsir-select", "semdedup",
+                             "dsir-weights", "dsir-select", "semdedup", "classify",
                              "curate", "curate-funnel"])
     ap.add_argument("--input", required=True)
     ap.add_argument("--output", required=True)

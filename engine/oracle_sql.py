@@ -1691,6 +1691,38 @@ JOIN qprobe p ON a.cell = p.cell,
      (SELECT v AS qv, nrm AS qn FROM pn WHERE id = 0) q
 ORDER BY score DESC, vec_id LIMIT 10"""
 
+    # frozen hashed linear classifier: committed 6-decimal weights are
+    # integerized to exact BIGINT micro-units so the per-doc sum is
+    # partition-order-independent; margin is rounded before the sigmoid.
+    from engine.datawork.quality import DEFAULT_QC_WEIGHTS
+    _qcw = (f"read_csv('{DEFAULT_QC_WEIGHTS}', header=true, delim='\\t', "
+            "columns={'bucket': 'INTEGER', 'weight': 'DOUBLE'})")
+    o["corpus_classifier_scores"] = f"""
+WITH tok AS (
+    SELECT doc_id AS id, t.term
+    FROM (SELECT doc_id, {_WORDS} AS ws FROM documents
+          WHERE trim(coalesce(text, '')) <> '') w,
+         UNNEST(ws) AS t(term)
+), wt AS (
+    SELECT bucket, CAST(round(weight * 1000000) AS BIGINT) AS w_u
+    FROM {_qcw} WHERE bucket >= 0
+), bias AS (
+    SELECT CAST(round(weight * 1000000) AS BIGINT) AS b_u
+    FROM {_qcw} WHERE bucket = -1
+), scored AS (
+    SELECT id, CAST(count(*) AS BIGINT) AS n_tokens,
+           round((b_u * count(*) + sum(w_u))
+                 / (count(*) * 1000000.0), 6) AS margin
+    FROM tok
+    JOIN wt ON wt.bucket =
+        CAST(('0x' || substr(md5(term), 1, 8)) AS BIGINT) % 1024, bias
+    GROUP BY id, b_u
+)
+SELECT doc_id, scored.n_tokens, scored.margin,
+       round(1.0 / (1.0 + exp(-scored.margin)), 6) AS score
+FROM documents LEFT JOIN scored ON scored.id = documents.doc_id
+ORDER BY doc_id"""
+
     # DSIR (Xie et al. 2023): hashed-bigram importance weights, target =
     # every 11th doc. rb is referenced three times (counts, totals,
     # scoring) → MATERIALIZED.

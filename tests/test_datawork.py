@@ -1209,3 +1209,34 @@ def test_dedup_lines_max_hot_caps_to_hottest(spark):
               dedup_lines(df, max_hot=1).collect()}
     assert capped[0]["n_dropped"] == 1
     assert "FOOTER" in capped[0]["text"] and "BANNER" not in capped[0]["text"]
+
+
+def test_classifier_scores_frozen_weights(spark):
+    """The committed weight table must score the corpus deterministically
+    and track its training signal: mean score of high-stopword-density
+    docs > mean score of low-density docs. Empty docs -> NULLs."""
+    from engine.datawork.quality import classifier_scores, load_qc_weights
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    w = load_qc_weights(spark)
+    out = {r["doc_id"]: r for r in classifier_scores(docs, w).collect()}
+    assert len(out) == docs.count()
+    scored = [r for r in out.values() if r["score"] is not None]
+    assert scored and all(0.0 <= r["score"] <= 1.0 for r in scored)
+    from engine.datawork.textstats import STOPWORDS
+    stops = set(STOPWORDS["en"])
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+
+    def dens(t):
+        toks = (t or "").strip().lower().split()
+        return sum(x in stops for x in toks) / len(toks) if toks else 0.0
+
+    hi = [out[i]["score"] for i in out
+          if out[i]["score"] is not None and dens(texts[i]) >= 0.08]
+    lo = [out[i]["score"] for i in out
+          if out[i]["score"] is not None and dens(texts[i]) <= 0.04]
+    assert hi and lo
+    assert sum(hi) / len(hi) > sum(lo) / len(lo)
+    empt = spark.createDataFrame([(1, ""), (2, None)],
+                                 "doc_id bigint, text string")
+    rows = classifier_scores(empt, w).collect()
+    assert all(r["score"] is None for r in rows)
