@@ -81,14 +81,30 @@ def dsir_weights(raw: DataFrame, target: DataFrame,
     lam = (ct.join(cr, "b", "full_outer")
            .crossJoin(F.broadcast(nt)).crossJoin(F.broadcast(nr))
            .select("b", llr.alias("llr")))
-    scored = (graw.select("id", _bucket(F.col("gram"), buckets).alias("b"))
-              .join(F.broadcast(lam), "b")
-              .groupBy("id")
-              .agg(F.count("*").cast("bigint").alias("n_grams"),
-                   F.round(F.sum("llr"), 6).alias("log_weight")))
-    return (raw.select(F.col(id_col))
-            .join(scored.withColumnRenamed("id", id_col), id_col, "left")
-            .select(id_col, "n_grams", "log_weight"))
+    # the scoring pass explodes OUTER so empty docs ride the same
+    # aggregate as a null-gram row — re-joining back to ``raw`` to
+    # restore them would cost a corpus×corpus sort-merge join
+    w = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    bi = F.when(
+        F.size(w) >= 2,
+        F.transform(F.sequence(F.lit(1), F.size(w) - 1),
+                    lambda i: F.concat_ws(" ", F.slice(w, i, 2)))
+    ).otherwise(F.array().cast("array<string>"))
+    grams = F.when(
+        F.trim(F.coalesce(F.col(text_col), F.lit(""))) != "",
+        F.concat(w, bi))
+    n = F.col("_n")
+    return (raw.select(F.col(id_col).alias("id"),
+                       F.explode_outer(grams).alias("gram"))
+            .withColumn("b", _bucket(F.col("gram"), buckets))
+            .join(F.broadcast(lam), "b", "left")
+            .groupBy("id")
+            .agg(F.count("gram").cast("bigint").alias("_n"),
+                 F.sum("llr").alias("_s"))
+            .select(F.col("id").alias(id_col),
+                    F.when(n > 0, n).alias("n_grams"),
+                    F.when(n > 0, F.round(F.col("_s"), 6))
+                     .alias("log_weight")))
 
 
 def dsir_select(raw: DataFrame, target: DataFrame, budget: int,

@@ -58,27 +58,35 @@ def classifier_scores(docs: DataFrame, weights: DataFrame,
                       id_col: str = "doc_id",
                       text_col: str = "text") -> DataFrame:
     """(id_col, n_tokens, margin, score) per doc. Empty/whitespace docs
-    get NULLs — no tokens, no evidence (the family-wide contract)."""
-    w = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
-    tok = (docs.filter(F.trim(F.coalesce(F.col(text_col), F.lit(""))) != "")
-           .select(F.col(id_col).alias("id"), F.explode(w).alias("term")))
+    get NULLs — no tokens, no evidence (the family-wide contract).
+
+    Empty docs ride the SAME aggregate as everyone else (explode_outer
+    of a null token array → one null-term row, count("term") = 0) — the
+    family's older re-join-to-docs shape costs a corpus×corpus sort-merge
+    join just to restore them, which is a whole extra shuffle at scale.
+    The plan here is: scan → broadcast weight join → one hash aggregate."""
+    toks = F.when(
+        F.trim(F.coalesce(F.col(text_col), F.lit(""))) != "",
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+"))
+    tok = docs.select(F.col(id_col).alias("id"),
+                      F.explode_outer(toks).alias("term"))
     micro = lambda c: F.round(c * 1000000).cast("long")  # noqa: E731
     wb = (weights.filter(F.col("bucket") >= 0)
           .select("bucket", micro(F.col("weight")).alias("w_u")))
     bias = (weights.filter(F.col("bucket") == -1)
             .select(micro(F.col("weight")).alias("b_u")))
-    scored = (tok.withColumn("bucket", qc_bucket(F.col("term")))
-              .join(F.broadcast(wb), "bucket")
-              .groupBy("id")
-              .agg(F.count("*").cast("bigint").alias("n_tokens"),
-                   F.sum("w_u").alias("_sw"))
-              .crossJoin(F.broadcast(bias))
-              .withColumn("margin", F.round(
-                  (F.col("b_u") * F.col("n_tokens") + F.col("_sw"))
-                  / (F.col("n_tokens") * F.lit(1000000.0)), 6))
-              .withColumn("score", F.round(
-                  F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("margin"))), 6))
-              .select("id", "n_tokens", "margin", "score"))
-    return (docs.select(F.col(id_col))
-            .join(scored.withColumnRenamed("id", id_col), id_col, "left")
-            .select(id_col, "n_tokens", "margin", "score"))
+    n = F.col("_n")
+    margin = F.round((F.col("b_u") * n + F.col("_sw"))
+                     / (n * F.lit(1000000.0)), 6)
+    return (tok.withColumn("bucket", qc_bucket(F.col("term")))
+            .join(F.broadcast(wb), "bucket", "left")
+            .groupBy("id")
+            .agg(F.count("term").cast("bigint").alias("_n"),
+                 F.sum("w_u").alias("_sw"))
+            .crossJoin(F.broadcast(bias))
+            .withColumn("n_tokens", F.when(n > 0, n))
+            .withColumn("margin", F.when(n > 0, margin))
+            .withColumn("score", F.round(
+                F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("margin"))), 6))
+            .select(F.col("id").alias(id_col), "n_tokens", "margin",
+                    "score"))

@@ -283,3 +283,47 @@ def test_winnow_pairs_reuse_cached_fingerprints(spark):
     # the selection pass must be computed once and served from cache to
     # the df-count guard and both self-join sides
     assert plan.count("InMemoryTableScan") >= 2
+
+
+def test_dsir_scoring_joins_broadcast_on_int_key(spark):
+    """DSIR's whole point vs a string-keyed tf-idf join: the per-doc
+    scoring join must be a BROADCAST join on the int bucket key. The only
+    tolerated sort-merge is the 4096-row bucket-table full-outer (full
+    outer cannot broadcast; it is model-sized, not corpus-sized)."""
+    from engine.datawork.dsir import dsir_weights
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    raw = docs.filter(F.col("doc_id") % 11 != 0)
+    tgt = docs.filter(F.col("doc_id") % 11 == 0)
+    plan = fmt(dsir_weights(raw, tgt))
+    assert "BroadcastHashJoin" in plan
+    # the only sort-merge is the FullOuter between the two bucket-count
+    # tables (full outer cannot broadcast; both sides are <= 4096 rows)
+    import re
+    smj_kinds = set(re.findall(r"SortMergeJoin (\w+)", plan))
+    assert smj_kinds <= {"FullOuter"}
+    assert "CartesianProduct" not in plan
+
+
+def test_classifier_join_is_broadcast_only(spark):
+    """Frozen-weights scoring: the 1024-row model broadcast is the ONLY
+    join strategy — nothing in the plan may shuffle the corpus on a key."""
+    from engine.datawork.quality import classifier_scores, load_qc_weights
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = fmt(classifier_scores(docs, load_qc_weights(spark)))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_semdedup_pair_join_is_equi_on_cell(spark):
+    """SemDeDup's within-cluster comparison must reach the planner as an
+    equi-join on the cell key (quadratic only inside a cluster), never a
+    cartesian; the centroid assignment is the intended broadcast
+    nested-loop (n_cells rows)."""
+    from engine.datawork.similarity import semdedup_losers, train_kmeans
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    plan = fmt(semdedup_losers(emb, threshold=0.35,
+                               centroids=train_kmeans(emb)))
+    assert "CartesianProduct" not in plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) \
+        or ("BroadcastHashJoin" in plan)
