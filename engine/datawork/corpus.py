@@ -234,20 +234,28 @@ def unigram_logprob(docs: DataFrame, id_col: str = "doc_id",
     """
     from .dedup import _ensure_parallelism
     w = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
-    tok = (_ensure_parallelism(docs)
-           .filter(F.trim(F.col(text_col)) != "")
-           .select(F.col(id_col).alias("id"), F.explode(w).alias("term")))
+    toks_arr = F.when(F.trim(F.coalesce(F.col(text_col), F.lit(""))) != "",
+                      w)
+    # explode_outer: empty docs ride the same aggregate as a null-term
+    # row (avg/count skip nulls), so restoring them needs no
+    # corpus×corpus re-join on the doc key (the dsir/quality lesson)
+    tok_all = (_ensure_parallelism(docs)
+               .select(F.col(id_col).alias("id"),
+                       F.explode_outer(toks_arr).alias("term")))
+    tok = tok_all.filter(F.col("term").isNotNull())
     cnt = tok.groupBy("term").agg(F.count("*").alias("cnt"))
     scalars = cnt.agg(F.sum("cnt").alias("total"),
                       F.count("*").alias("vocab"))
     lp = F.log((F.col("cnt") + 1) / (F.col("total") + F.col("vocab")))
-    scored = (tok.join(cnt, "term").crossJoin(F.broadcast(scalars))
-              .groupBy("id")
-              .agg(F.count("*").cast("bigint").alias("n_tokens"),
-                   F.round(-F.avg(lp), 6).alias("nll")))
-    return (docs.select(F.col(id_col))
-            .join(scored.withColumnRenamed("id", id_col), id_col, "left")
-            .select(id_col, "n_tokens", "nll"))
+    n = F.col("_n")
+    return (tok_all.join(cnt, "term", "left")
+            .crossJoin(F.broadcast(scalars))
+            .groupBy("id")
+            .agg(F.count("term").cast("bigint").alias("_n"),
+                 F.round(-F.avg(lp), 6).alias("_nll"))
+            .select(F.col("id").alias(id_col),
+                    F.when(n > 0, n).alias("n_tokens"),
+                    F.when(n > 0, F.col("_nll")).alias("nll")))
 
 
 def snapshot_diff(old: DataFrame, new: DataFrame, id_col: str = "doc_id",
