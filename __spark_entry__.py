@@ -1400,6 +1400,25 @@ def q_corpus_classifier_scores(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+def q_doc_chunks(spark, sf_dir):
+    """Sliding-window chunking (tokenizer-overflow pattern) for context
+    prep: 64-token windows at stride 48 so the tail is always covered.
+    Pure per-row codegen — split/sequence/transform/explode, no shuffle;
+    chunking must be embarrassingly parallel and the plan says so."""
+    from engine.datawork.corpus import chunk_documents
+    return (chunk_documents(_t(spark, sf_dir, "documents"),
+                            max_tokens=64, stride=48)
+            .orderBy("doc_id", "chunk_idx"))
+
+
+def q_doc_char_entropy(spark, sf_dir):
+    """Shannon character entropy per doc — the compressibility proxy for
+    gibberish/repetition that elsewhere needs a zlib UDF. The (id, char)
+    aggregate shuffles at most alphabet-per-doc rows; no joins."""
+    from engine.datawork.textstats import char_entropy
+    return char_entropy(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
 def q_semdedup_losers(spark, sf_dir):
     """SemDeDup (Abbas et al. 2023) over the trained IVF codebook: cluster
     embeddings with the deterministic k-means, rank each cluster by
@@ -1629,6 +1648,8 @@ _RAW_QUERIES: dict = {
         "semdedup_losers": q_semdedup_losers,
         "corpus_dsir_weights": q_corpus_dsir_weights,
         "corpus_classifier_scores": q_corpus_classifier_scores,
+        "doc_chunks": q_doc_chunks,
+        "doc_char_entropy": q_doc_char_entropy,
         "corpus_dsir_select": q_corpus_dsir_select,
         "ann_ivf_trained_topk": q_ann_ivf_trained_topk,
         "ann_index_probe": q_ann_index_probe,

@@ -290,3 +290,42 @@ def snapshot_diff(old: DataFrame, new: DataFrame, id_col: str = "doc_id",
             .filter(F.col("status").isNotNull())
             .select(F.col("id").alias(id_col), "status",
                     "old_md5", "new_md5"))
+
+
+def chunk_documents(docs: DataFrame, max_tokens: int = 128,
+                    stride: int = 96, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Sliding-window chunking for pretraining context prep (the
+    tokenizer-with-overflow pattern): chunk k covers whitespace tokens
+    [k·stride+1, k·stride+max_tokens]; a doc with n ≤ max_tokens tokens
+    yields one chunk, else 1 + ceil((n − max_tokens)/stride), so the
+    tail is always covered and consecutive chunks overlap by
+    max_tokens − stride tokens. Output (id, chunk_idx, text, n_tokens);
+    the chunk text is whitespace-NORMALIZED reconstruction (single
+    spaces) — chunking operates on the token stream, not raw bytes.
+    Empty/whitespace docs yield no chunks.
+
+    Pure per-row codegen: split → sequence → transform → explode. No
+    shuffle at all — chunking is embarrassingly parallel and the plan
+    must say so."""
+    if not 0 < stride <= max_tokens:
+        raise ValueError(f"need 0 < stride <= max_tokens, got "
+                         f"{stride}/{max_tokens}")
+    w = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.size(w)
+    n_extra = F.when(
+        n > max_tokens,
+        F.floor((n - max_tokens + stride - 1) / stride).cast("int")
+    ).otherwise(F.lit(0))
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_extra),
+        lambda k: F.struct(
+            k.cast("int").alias("chunk_idx"),
+            F.concat_ws(" ", F.slice(w, k * stride + 1, max_tokens))
+             .alias("text"),
+            F.least(F.lit(max_tokens), n - k * stride).cast("int")
+             .alias("n_tokens")))
+    return (docs
+            .filter(F.trim(F.coalesce(F.col(text_col), F.lit(""))) != "")
+            .select(F.col(id_col), F.explode(chunks).alias("c"))
+            .select(id_col, "c.chunk_idx", "c.text", "c.n_tokens"))

@@ -37,6 +37,8 @@ columns, passed through where the op allows]):
     semdedup        SemDeDup losers over an embeddings parquet
                     (--threshold = pairwise cosine)
     classify        frozen hashed linear classifier scores
+    chunk           sliding-window chunks (--pack-budget = window)
+    entropy         per-doc character entropy
     curate          composed funnel: quality -> dedup -> decontaminate
                     (--bench) -> temperature sample (--budget)
     curate-funnel   the per-stage survivor counts of the same funnel
@@ -158,6 +160,13 @@ def run_op(spark, op: str, input_path: str, percent: int = 10,
     if op == "classify":
         from .quality import classifier_scores, load_qc_weights
         return classifier_scores(docs, load_qc_weights(spark))
+    if op == "chunk":
+        from .corpus import chunk_documents
+        return chunk_documents(docs, max_tokens=pack_budget,
+                               stride=max(1, (pack_budget * 3) // 4))
+    if op == "entropy":
+        from .textstats import char_entropy
+        return char_entropy(docs)
     if op == "redact-pii":
         from .curation import redact_pii
         return redact_pii(docs)
@@ -220,6 +229,7 @@ def main(argv=None) -> int:
                              "winnow-pairs", "ppl-buckets",
                              "stratified-sample", "heavy-hitters",
                              "dsir-weights", "dsir-select", "semdedup", "classify",
+                             "chunk", "entropy",
                              "curate", "curate-funnel"])
     ap.add_argument("--input", required=True)
     ap.add_argument("--output", required=True)

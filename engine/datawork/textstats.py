@@ -193,3 +193,39 @@ def fingerprint(text: Column) -> Column:
 
 def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("fingerprint", fingerprint(F.col(text_col)))
+
+
+def char_entropy(docs: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """Shannon entropy of the per-doc character distribution — the
+    cheap compressibility proxy for gibberish/repetition detection
+    (low entropy = repeated char soup, high = diverse text) used where
+    a zlib-ratio heuristic would need a Python UDF.
+
+    H = ln(n) − (Σ_c cnt_c·ln cnt_c)/n over ALL characters (whitespace
+    included; split('') is codepoint-identical in Spark and DuckDB).
+    Empty/NULL docs → NULL (the family contract), restored via the
+    explode_outer trick — no doc-key re-join.
+
+    Scale shape: the (id, char) aggregate shuffles at most
+    alphabet-per-doc rows — strictly smaller than the input — and the
+    second aggregate is per-doc. No joins anywhere."""
+    cs = F.when(F.coalesce(F.col(text_col), F.lit("")) != "",
+                F.split(F.col(text_col), ""))
+    per_char = (docs.select(F.col(id_col).alias("id"),
+                            F.explode_outer(cs).alias("c"))
+                .groupBy("id", "c").agg(F.count("*").alias("cnt")))
+    live = F.when(F.col("c").isNotNull(), F.col("cnt")).otherwise(F.lit(0))
+    n = F.col("_n")
+    return (per_char
+            .groupBy("id")
+            .agg(F.sum(live).cast("bigint").alias("_n"),
+                 F.sum(live.cast("double") * F.coalesce(
+                     F.log(F.col("cnt").cast("double")), F.lit(0.0))
+                     * F.when(F.col("c").isNotNull(), 1.0).otherwise(0.0))
+                 .alias("_s"))
+            .select(F.col("id").alias(id_col),
+                    F.when(n > 0, n).alias("n_chars"),
+                    F.when(n > 0, F.round(
+                        F.log(n.cast("double")) - F.col("_s") / n, 6))
+                     .alias("entropy")))

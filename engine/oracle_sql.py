@@ -1691,6 +1691,42 @@ JOIN qprobe p ON a.cell = p.cell,
      (SELECT v AS qv, nrm AS qn FROM pn WHERE id = 0) q
 ORDER BY score DESC, vec_id LIMIT 10"""
 
+    # sliding-window chunking: 64-token windows, stride 48; integer
+    # arithmetic only, so the window layout is engine-exact
+    o["doc_chunks"] = """
+WITH base AS (
+    SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+    FROM documents WHERE trim(coalesce(text, '')) <> ''
+), dims AS (
+    SELECT doc_id, w, len(w) AS n,
+           CASE WHEN len(w) > 64
+                THEN (len(w) - 64 + 47) // 48 ELSE 0 END AS ne
+    FROM base
+)
+SELECT doc_id, CAST(t.k AS INTEGER) AS chunk_idx,
+       array_to_string(list_slice(w, t.k*48 + 1, t.k*48 + 64), ' ') AS text,
+       CAST(least(64, n - t.k*48) AS INTEGER) AS n_tokens
+FROM dims, UNNEST(range(0, ne + 1)) AS t(k)
+ORDER BY doc_id, chunk_idx"""
+
+    # per-doc character entropy: H = ln(n) - sum(cnt*ln cnt)/n
+    o["doc_char_entropy"] = """
+WITH ch AS (
+    SELECT doc_id AS id, t.c
+    FROM (SELECT doc_id, string_split(text, '') AS cs FROM documents
+          WHERE coalesce(text, '') <> '') x, UNNEST(cs) AS t(c)
+), cnts AS (
+    SELECT id, c, CAST(count(*) AS BIGINT) AS cnt FROM ch GROUP BY id, c
+), ent AS (
+    SELECT id, CAST(sum(cnt) AS BIGINT) AS n_chars,
+           round(ln(sum(cnt)) - sum(cnt * ln(cnt)) / sum(cnt), 6)
+               AS entropy
+    FROM cnts GROUP BY id
+)
+SELECT doc_id, ent.n_chars, ent.entropy
+FROM documents LEFT JOIN ent ON ent.id = documents.doc_id
+ORDER BY doc_id"""
+
     # frozen hashed linear classifier: committed 6-decimal weights are
     # integerized to exact BIGINT micro-units so the per-doc sum is
     # partition-order-independent; margin is rounded before the sigmoid.

@@ -1240,3 +1240,42 @@ def test_classifier_scores_frozen_weights(spark):
                                  "doc_id bigint, text string")
     rows = classifier_scores(empt, w).collect()
     assert all(r["score"] is None for r in rows)
+
+
+def test_chunk_documents_window_layout(spark):
+    """Exact window math: n<=max -> 1 chunk; overlap = max-stride; the
+    tail chunk is shorter but never empty; empty docs vanish."""
+    from engine.datawork.corpus import chunk_documents
+    mk = lambda n: " ".join(f"w{i}" for i in range(n))  # noqa: E731
+    df = spark.createDataFrame(
+        [(1, mk(5)), (2, mk(10)), (3, mk(23)), (4, ""), (5, None)],
+        "doc_id bigint, text string")
+    out = {}
+    for r in chunk_documents(df, max_tokens=10, stride=6).collect():
+        out.setdefault(r["doc_id"], []).append(r)
+    assert set(out) == {1, 2, 3}
+    assert len(out[1]) == 1 and out[1][0]["n_tokens"] == 5
+    assert len(out[2]) == 1 and out[2][0]["n_tokens"] == 10
+    # n=23: ceil((23-10)/6)=3 extra -> 4 chunks at offsets 0,6,12,18
+    assert [r["n_tokens"] for r in sorted(out[3],
+            key=lambda r: r["chunk_idx"])] == [10, 10, 10, 5]
+    c1 = sorted(out[3], key=lambda r: r["chunk_idx"])[1]
+    assert c1["text"].split() == [f"w{i}" for i in range(6, 16)]
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        chunk_documents(df, max_tokens=4, stride=5)
+
+
+def test_char_entropy_known_values(spark):
+    """Closed-form checks: one repeated char -> 0; 'ab' -> ln 2;
+    empty/NULL -> NULL."""
+    import math
+    from engine.datawork.textstats import char_entropy
+    df = spark.createDataFrame(
+        [(1, "aaaa"), (2, "ab"), (3, ""), (4, None), (5, "aabb")],
+        "doc_id bigint, text string")
+    out = {r["doc_id"]: r for r in char_entropy(df).collect()}
+    assert out[1]["entropy"] == 0.0 and out[1]["n_chars"] == 4
+    assert out[2]["entropy"] == round(math.log(2), 6)
+    assert out[5]["entropy"] == round(math.log(2), 6)
+    assert out[3]["entropy"] is None and out[4]["entropy"] is None
