@@ -1546,6 +1546,43 @@ def q_multimodal_ppm_decode(spark, sf_dir):
     return image_stats(assets)
 
 
+def q_multimodal_wav_decode(spark, sf_dir):
+    """REAL audio decode in the multimodal path: 16-bit PCM WAV payloads
+    are synthesized JVM-side from doc_id (8 mono frames at 8 kHz,
+    v_i = ((doc_id*31 + i*7) % 512) - 256, little-endian int16 built
+    with chr+encode ISO-8859-1), then decoded by the pure-numpy RIFF
+    parser in engine/datawork/multimodal.py. The oracle is CLOSED FORM —
+    it predicts rate/channels/frames and the amplitude stats
+    analytically, so value equality proves the parser recovered the
+    planted samples from raw bytes. Every 10th doc carries an mp3
+    payload (stub error channel), every (10k+5)th a truncated data
+    chunk (parser error channel)."""
+    import struct
+    from engine.datawork.multimodal import WAV_MIME, audio_stats
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    hdr = (b"RIFF" + struct.pack("<I", 52) + b"WAVE"
+           + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+           + b"data" + struct.pack("<I", 16)).decode("ISO-8859-1")
+    sample_chars = []
+    for i in range(8):
+        u = F.pmod((did * 31 + i * 7) % 512 - 256, F.lit(65536))
+        sample_chars.append(F.concat(F.chr(u % 256), F.chr(F.floor(u / 256))))
+    data = F.concat(*sample_chars)
+    good = F.encode(F.concat(F.lit(hdr), data), "ISO-8859-1")
+    truncated = F.encode(F.concat(F.lit(hdr), F.substring(data, 1, 15)),
+                         "ISO-8859-1")
+    payload = (F.when(did % 10 == 0, F.encode(F.lit("MP3JUNKBYTES"),
+                                              "ISO-8859-1"))
+                .when(did % 10 == 5, truncated)
+                .otherwise(good))
+    mime = F.when(did % 10 == 0, F.lit("audio/mpeg")).otherwise(F.lit(WAV_MIME))
+    assets = docs.select(
+        F.concat(F.lit("wav-"), did.cast("string")).alias("asset_id"),
+        mime.alias("mime"), payload.alias("payload"))
+    return audio_stats(assets)
+
+
 def _shipped(fn: Callable) -> Callable:
     def wrapper(spark: SparkSession, sf_dir: str) -> DataFrame:
         _ensure_code_shipped(spark)
@@ -1631,6 +1668,7 @@ _RAW_QUERIES: dict = {
         "events_hll_daily": q_events_hll_daily,
         "events_rolling_7d": q_events_rolling_7d,
         "multimodal_ppm_decode": q_multimodal_ppm_decode,
+        "multimodal_wav_decode": q_multimodal_wav_decode,
         "doc_tfidf_top_terms": q_doc_tfidf_top_terms,
         "doc_unigram_nll": q_doc_unigram_nll,
         "doc_ppl_buckets": q_doc_ppl_buckets,

@@ -208,3 +208,99 @@ def image_stats(assets: DataFrame) -> DataFrame:
     binary column stays columnar end-to-end."""
     return assets.select("asset_id", "mime", "payload").mapInPandas(
         _image_stat_batches, schema=IMAGE_STATS_SCHEMA)
+
+
+WAV_MIME = "audio/wav"
+
+AUDIO_STATS_SCHEMA = StructType([
+    StructField("asset_id", StringType(), False),
+    StructField("n_bytes", LongType(), False),
+    StructField("sample_rate", IntegerType(), True),
+    StructField("n_channels", IntegerType(), True),
+    StructField("n_frames", LongType(), True),
+    StructField("duration_ms", LongType(), True),
+    StructField("peak", IntegerType(), True),
+    StructField("mean_abs", DoubleType(), True),
+    StructField("error", StringType(), True),
+])
+
+
+def decode_wav(payload: bytes):
+    """REAL audio decode for 16-bit PCM WAV (RIFF) — like decode_ppm,
+    the one audio container a pure numpy parser can own: RIFF/WAVE
+    envelope, chunk walk (unknown chunks skipped, odd sizes padded per
+    spec), fmt validation (PCM, 16-bit), then the data chunk as
+    little-endian int16 frames. Returns (sample_rate, n_channels,
+    samples[(n_frames, n_channels) int16]). Compressed audio (mp3 etc.)
+    stays routed to decode_stub until a codec exists in the container."""
+    import numpy as np
+    if payload is None or len(payload) < 12 or payload[:4] != b"RIFF" \
+            or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        size = int.from_bytes(payload[pos + 4:pos + 8], "little")
+        body = payload[pos + 8:pos + 8 + size]
+        if cid == b"fmt ":
+            if len(body) < 16:
+                raise ValueError("truncated WAV fmt chunk")
+            fmt = body
+        elif cid == b"data":
+            if len(body) < size:
+                raise ValueError("truncated WAV data chunk")
+            data = body
+        pos += 8 + size + (size & 1)  # odd chunks carry a pad byte
+    if fmt is None or data is None:
+        raise ValueError("missing WAV fmt or data chunk")
+    audio_format = int.from_bytes(fmt[0:2], "little")
+    n_channels = int.from_bytes(fmt[2:4], "little")
+    sample_rate = int.from_bytes(fmt[4:8], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if audio_format != 1 or bits != 16:
+        raise ValueError(f"unsupported WAV encoding (format={audio_format}, "
+                         f"bits={bits}); PCM 16-bit only")
+    if n_channels < 1 or sample_rate < 1:
+        raise ValueError("unsupported WAV geometry")
+    if len(data) % (2 * n_channels):
+        raise ValueError("WAV data length not frame-aligned")
+    samples = np.frombuffer(data, dtype="<i2").reshape(-1, n_channels)
+    return sample_rate, n_channels, samples
+
+
+def _audio_stat_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import numpy as np
+    for pdf in batches:
+        rows = []
+        for asset_id, mime, payload in zip(pdf["asset_id"], pdf["mime"],
+                                           pdf["payload"]):
+            raw = bytes(payload) if payload is not None else b""
+            rec = {"asset_id": asset_id, "n_bytes": len(raw),
+                   "sample_rate": None, "n_channels": None,
+                   "n_frames": None, "duration_ms": None,
+                   "peak": None, "mean_abs": None, "error": None}
+            try:  # never throw — error channel instead
+                if mime != WAV_MIME:
+                    decode_stub(raw, mime or "unknown")
+                rate, ch, samples = decode_wav(raw)
+                nf = samples.shape[0]
+                a = np.abs(samples.astype("int32"))
+                rec.update(sample_rate=rate, n_channels=ch, n_frames=nf,
+                           duration_ms=nf * 1000 // rate,
+                           peak=int(a.max()) if nf else 0,
+                           mean_abs=round(float(a.mean()), 6) if nf
+                           else 0.0)
+            except Exception as exc:
+                rec["error"] = f"{type(exc).__name__}: {exc}"
+            rows.append(rec)
+        yield pd.DataFrame(rows,
+                           columns=[f.name for f in AUDIO_STATS_SCHEMA.fields])
+
+
+def audio_stats(assets: DataFrame) -> DataFrame:
+    """Decode audio payloads (PCM WAV real, others → error channel) and
+    emit per-asset geometry + amplitude stats — rate/channels/frames come
+    from the DECODED stream, never trusted metadata. Arrow-batched map,
+    no shuffle; the binary column stays columnar end-to-end."""
+    return assets.select("asset_id", "mime", "payload").mapInPandas(
+        _audio_stat_batches, schema=AUDIO_STATS_SCHEMA)

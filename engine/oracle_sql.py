@@ -1207,6 +1207,33 @@ SELECT 'asset-' || CAST(doc_id AS VARCHAR) AS asset_id,
             ELSE NULL END AS error
 FROM documents"""
 
+    # closed-form WAV oracle: v_i = ((doc_id*31 + i*7) % 512) - 256
+    _wav_abs = ("list_transform(range(0, 8), "
+                "i -> abs(((doc_id*31 + i*7) % 512) - 256))")
+    o["multimodal_wav_decode"] = f"""
+SELECT 'wav-' || CAST(doc_id AS VARCHAR) AS asset_id,
+       CAST(CASE WHEN doc_id % 10 = 0 THEN 12
+                 WHEN doc_id % 10 = 5 THEN 59 ELSE 60 END AS BIGINT)
+           AS n_bytes,
+       CASE WHEN doc_id % 10 IN (0, 5) THEN NULL
+            ELSE 8000 END AS sample_rate,
+       CASE WHEN doc_id % 10 IN (0, 5) THEN NULL ELSE 1 END AS n_channels,
+       CASE WHEN doc_id % 10 IN (0, 5) THEN NULL
+            ELSE CAST(8 AS BIGINT) END AS n_frames,
+       CASE WHEN doc_id % 10 IN (0, 5) THEN NULL
+            ELSE CAST(1 AS BIGINT) END AS duration_ms,
+       CASE WHEN doc_id % 10 IN (0, 5) THEN NULL
+            ELSE CAST(list_max({_wav_abs}) AS INTEGER) END AS peak,
+       CASE WHEN doc_id % 10 IN (0, 5) THEN NULL
+            ELSE round(list_sum({_wav_abs}) / 8.0, 6) END AS mean_abs,
+       CASE WHEN doc_id % 10 = 0
+            THEN 'NotImplementedError: no audio/mpeg codec in this ' ||
+                 'environment — swap in a real decoder here'
+            WHEN doc_id % 10 = 5
+            THEN 'ValueError: truncated WAV data chunk'
+            ELSE NULL END AS error
+FROM documents"""
+
     o["events_rolling_7d"] = """
 WITH daily AS (
     SELECT CAST(ts AS DATE) AS day, count(*) AS n, sum(value) AS v

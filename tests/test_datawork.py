@@ -1279,3 +1279,55 @@ def test_char_entropy_known_values(spark):
     assert out[2]["entropy"] == round(math.log(2), 6)
     assert out[5]["entropy"] == round(math.log(2), 6)
     assert out[3]["entropy"] is None and out[4]["entropy"] is None
+
+
+def test_decode_wav_parser_edges():
+    """Pure-python parser: stereo frames, unknown chunks skipped with odd
+    padding, and every malformed shape raises (never returns junk)."""
+    import struct
+
+    import numpy as np
+    import pytest as _pt
+    from engine.datawork.multimodal import decode_wav
+
+    def wav(rate=8000, ch=1, frames=(), fmt=1, bits=16, extra=b""):
+        data = b"".join(struct.pack("<h", v) for f in frames for v in f)
+        return (b"RIFF" + struct.pack("<I", 36 + len(extra) + len(data))
+                + b"WAVE" + extra
+                + b"fmt " + struct.pack("<IHHIIHH", 16, fmt, ch, rate,
+                                        rate * ch * 2, ch * 2, bits)
+                + b"data" + struct.pack("<I", len(data)) + data)
+
+    rate, ch, s = decode_wav(wav(frames=[(1,), (-2,), (32767,), (-32768,)]))
+    assert (rate, ch) == (8000, 1)
+    assert s[:, 0].tolist() == [1, -2, 32767, -32768]
+    # stereo + an unknown ODD-sized chunk before fmt (pad byte honored)
+    junk = b"LIST" + struct.pack("<I", 3) + b"abc" + b"\x00"
+    rate, ch, s = decode_wav(wav(ch=2, frames=[(1, -1), (2, -2)],
+                                 extra=junk))
+    assert ch == 2 and s.shape == (2, 2) and s[1].tolist() == [2, -2]
+    assert np.abs(s).max() == 2
+    for bad in [b"", b"RIFFxxxxWAVE", wav(fmt=3), wav(bits=8),
+                wav(frames=[(1,), (2,)])[:-1]]:
+        with _pt.raises(ValueError):
+            decode_wav(bad)
+
+
+def test_audio_stats_error_channel_never_throws(spark):
+    """Junk payloads land in the error column; the WAV row decodes."""
+    import struct
+    from engine.datawork.multimodal import WAV_MIME, audio_stats
+    data = struct.pack("<hh", 100, -200)
+    good = (b"RIFF" + struct.pack("<I", 40) + b"WAVE"
+            + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 4000, 8000, 2, 16)
+            + b"data" + struct.pack("<I", 4) + data)
+    df = spark.createDataFrame(
+        [("a", WAV_MIME, bytearray(good)),
+         ("b", WAV_MIME, bytearray(b"garbage")),
+         ("c", "audio/mpeg", bytearray(good))],
+        "asset_id string, mime string, payload binary")
+    out = {r["asset_id"]: r for r in audio_stats(df).collect()}
+    assert out["a"]["error"] is None and out["a"]["peak"] == 200
+    assert out["a"]["mean_abs"] == 150.0 and out["a"]["n_frames"] == 2
+    assert "ValueError" in out["b"]["error"]
+    assert "NotImplementedError" in out["c"]["error"]
