@@ -1546,6 +1546,17 @@ def q_multimodal_ppm_decode(spark, sf_dir):
     return image_stats(assets)
 
 
+def q_preference_pairs(spark, sf_dir):
+    """DPO preference pairs: SFT examples + deterministic in-bucket
+    negative sampling (cyclic next-in-md5-order inside a md5 bucket) —
+    random-looking negatives both engines reproduce with no RNG. One
+    extra bucket-hash shuffle over the SFT window's conv shuffle."""
+    from engine.datawork.sft import preference_pairs
+    src = spark.read.parquet(
+        os.path.join(_synth_dir(sf_dir), "transcripts.parquet"))
+    return preference_pairs(src, ctx_turns=6, buckets=16)
+
+
 def q_multimodal_wav_decode(spark, sf_dir):
     """REAL audio decode in the multimodal path: 16-bit PCM WAV payloads
     are synthesized JVM-side from doc_id (8 mono frames at 8 kHz,
@@ -1630,6 +1641,7 @@ _RAW_QUERIES: dict = {
         "doc_quality_flags": q_doc_quality_flags,
         "transcript_tokens_bpe": q_transcript_tokens_bpe,
         "sft_pairs": q_sft_pairs,
+        "preference_pairs": q_preference_pairs,
         "sft_pairs_budget": q_sft_pairs_budget,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_sigs": q_dedup_minhash_sigs,

@@ -142,3 +142,57 @@ def sft_examples_budget(turns: DataFrame, ctx_budget: int = 4000,
     return _emit(df, ctx, F.size("_lst"),
                  F.coalesce(F.col(text_col), F.lit("")),
                  conv_col, idx_col)
+
+
+def preference_pairs(turns: DataFrame, ctx_turns: int = 8,
+                     buckets: int = 64,
+                     target_role: str = "assistant",
+                     conv_col: str = "conv_id", idx_col: str = "turn_idx",
+                     role_col: str = "role",
+                     text_col: str = "text") -> DataFrame:
+    """DPO/reward-model preference pairs from SFT examples with
+    deterministic in-bucket negative sampling: every example's
+    ``rejected`` is the NEXT example's target in md5 order inside the
+    example's md5 bucket (cyclic — the bucket's last example wraps to
+    its first). md5 order is a content-independent pseudo-random draw
+    both engines reproduce, so the negatives are effectively random
+    responses to OTHER prompts — the standard cheap negative for reward-
+    model bootstrapping — without any RNG.
+
+    Degenerate pairs (rejected md5 == chosen md5; this includes a
+    singleton bucket pairing with itself) are dropped: a preference pair
+    that cannot be ordered teaches nothing.
+
+    Scale shape: the SFT window's conv-hash shuffle, then ONE shuffle by
+    bucket with in-partition sort. ``buckets`` caps per-task sort size at
+    ~n_examples/buckets — size it like the LSH layouts (≈ n/10⁶) so a
+    web-scale corpus never sorts in one task.
+
+    Output: (conv_id, turn_idx, n_ctx, ctx_chars, ctx_md5, chosen_chars,
+    chosen_md5, rej_conv_id, rej_turn_idx, rejected_chars, rejected_md5).
+    """
+    ex = (sft_examples(turns, ctx_turns=ctx_turns, target_role=target_role,
+                       conv_col=conv_col, idx_col=idx_col,
+                       role_col=role_col, text_col=text_col)
+          .withColumnRenamed("target_chars", "chosen_chars")
+          .withColumnRenamed("target_md5", "chosen_md5"))
+    key = F.concat(F.col(conv_col), F.lit(":"),
+                   F.col(idx_col).cast("string"))
+    hk = F.md5(key)
+    df = (ex.withColumn("_hk", hk)
+          .withColumn("_b", F.conv(F.substring(F.col("_hk"), 1, 8), 16, 10)
+                      .cast("long") % buckets))
+    win = Window.partitionBy("_b").orderBy("_hk", conv_col, idx_col)
+    winf = win.rowsBetween(Window.unboundedPreceding,
+                           Window.unboundedFollowing)
+    pick = lambda c: F.coalesce(F.lead(c, 1).over(win),  # noqa: E731
+                                F.first(c).over(winf))
+    return (df
+            .withColumn("rej_conv_id", pick(F.col(conv_col)))
+            .withColumn("rej_turn_idx", pick(F.col(idx_col)))
+            .withColumn("rejected_chars", pick(F.col("chosen_chars")))
+            .withColumn("rejected_md5", pick(F.col("chosen_md5")))
+            .filter(F.col("rejected_md5") != F.col("chosen_md5"))
+            .select(conv_col, idx_col, "n_ctx", "ctx_chars", "ctx_md5",
+                    "chosen_chars", "chosen_md5", "rej_conv_id",
+                    "rej_turn_idx", "rejected_chars", "rejected_md5"))

@@ -362,6 +362,49 @@ w AS (
 )
 {_sft_emit}"""
 
+    # DPO pairs: the sft_pairs chain + cyclic next-in-md5-order negative
+    # inside a 16-way md5 bucket; degenerate (chosen==rejected) dropped
+    o["preference_pairs"] = f"""
+WITH {_sft_t},
+w AS (
+    SELECT conv_id, turn_idx, role, tgt,
+           string_agg(u, chr(10) || chr(10)) OVER win AS ctx,
+           CAST(count(u) OVER win AS INT) AS n_ctx
+    FROM t
+    WINDOW win AS (PARTITION BY conv_id ORDER BY turn_idx
+                   ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING)
+),
+ex AS (
+    SELECT conv_id, turn_idx, n_ctx,
+           CAST(length(ctx) AS BIGINT) AS ctx_chars, md5(ctx) AS ctx_md5,
+           CAST(length(tgt) AS BIGINT) AS chosen_chars,
+           md5(tgt) AS chosen_md5,
+           md5(conv_id || ':' || CAST(turn_idx AS VARCHAR)) AS hk,
+           CAST(('0x' || substr(md5(conv_id || ':'
+                || CAST(turn_idx AS VARCHAR)), 1, 8)) AS BIGINT) % 16 AS b
+    FROM w WHERE role = 'assistant' AND n_ctx >= 1
+),
+p AS (
+    SELECT *,
+           coalesce(lead(conv_id) OVER win, first_value(conv_id) OVER winf)
+               AS rej_conv_id,
+           coalesce(lead(turn_idx) OVER win, first_value(turn_idx) OVER winf)
+               AS rej_turn_idx,
+           coalesce(lead(chosen_chars) OVER win,
+                    first_value(chosen_chars) OVER winf) AS rejected_chars,
+           coalesce(lead(chosen_md5) OVER win,
+                    first_value(chosen_md5) OVER winf) AS rejected_md5
+    FROM ex
+    WINDOW win AS (PARTITION BY b ORDER BY hk, conv_id, turn_idx),
+           winf AS (PARTITION BY b ORDER BY hk, conv_id, turn_idx
+                    ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND UNBOUNDED FOLLOWING)
+)
+SELECT conv_id, turn_idx, n_ctx, ctx_chars, ctx_md5, chosen_chars,
+       chosen_md5, rej_conv_id, rej_turn_idx, rejected_chars, rejected_md5
+FROM p WHERE rejected_md5 <> chosen_md5
+ORDER BY conv_id, turn_idx"""
+
     o["sql_function_surface"] = f"""
 SELECT conv_id, turn_idx, cleaned_md5
 FROM {exp('expected_turns')} WHERE payload_kind = 'md_clean'"""

@@ -118,3 +118,35 @@ def test_invalid_params_raise(spark):
         sft_examples(df, ctx_turns=0)
     with pytest.raises(ValueError):
         sft_examples_budget(df, ctx_budget=0)
+
+
+def test_preference_pairs_cyclic_negatives(spark):
+    """Every pair's rejected is some OTHER example's chosen (cyclic
+    in-bucket wiring), never its own; degenerate identical-text pairs are
+    dropped; output is partitioning-independent."""
+    from engine.datawork.sft import preference_pairs
+    rows = []
+    for c in range(6):
+        rows += [(f"c{c}", 0, "user", f"question {c}", None, None),
+                 (f"c{c}", 1, "assistant", f"answer {c}", None, None)]
+    # a 7th conversation duplicating c0's answer text exactly
+    rows += [("c6", 0, "user", "question x", None, None),
+             ("c6", 1, "assistant", "answer 0", None, None)]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts timestamp")
+    out = preference_pairs(df, ctx_turns=4, buckets=1).collect()
+    # bucket of 7 examples, cyclic: every row pairs with the next; only
+    # pairs where chosen text == rejected text ('answer 0' vs c6) may drop
+    assert 5 <= len(out) <= 7
+    chosen = {r["chosen_md5"] for r in out}
+    for r in out:
+        assert r["rejected_md5"] != r["chosen_md5"]
+        assert r["rejected_md5"] in chosen or len(out) < 7
+        assert (r["rej_conv_id"], r["rej_turn_idx"]) != \
+            (r["conv_id"], r["turn_idx"])
+    key = lambda r: tuple(r)  # noqa: E731
+    a = sorted(map(key, out))
+    b = sorted(map(key, preference_pairs(
+        df.repartition(5), ctx_turns=4, buckets=1).collect()))
+    assert a == b
