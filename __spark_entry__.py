@@ -384,6 +384,32 @@ def q_events_grouping_sets(spark, sf_dir):
     """)
 
 
+def q_events_funnel(spark, sf_dir):
+    """EXACT sequential funnel view→click→purchase: step k counts users
+    with a step-k event strictly AFTER their earliest step-(k-1)
+    completion (min-after, not min-overall — the correct ordered-funnel
+    semantics). One shuffle: per-user per-step ts lists aggregate
+    map-side, then the chain is pure array algebra. Per-user memory is
+    their own event count — the usual hot-user skew caveat, bounded by
+    task time not correctness."""
+    ev = _t(spark, sf_dir, "events")
+    lst = lambda t: F.sort_array(F.collect_list(  # noqa: E731
+        F.when(F.col("event_type") == t, F.col("ts"))))
+    per_user = (ev.groupBy("user_id")
+                .agg(lst("view").alias("v"), lst("click").alias("c"),
+                     lst("purchase").alias("p")))
+    t1 = F.element_at(F.col("v"), 1)
+    after = lambda arr, t: F.element_at(  # noqa: E731
+        F.filter(arr, lambda x: x > t), 1)
+    stepped = (per_user.withColumn("t1", t1)
+               .withColumn("t2", after(F.col("c"), F.col("t1")))
+               .withColumn("t3", after(F.col("p"), F.col("t2"))))
+    return (stepped.agg(
+        F.count("t1").cast("bigint").alias("n_view"),
+        F.count("t2").cast("bigint").alias("n_view_click"),
+        F.count("t3").cast("bigint").alias("n_view_click_purchase")))
+
+
 def q_asof_latest_click(spark, sf_dir):
     """As-of join (custom operator, pure DataFrame composition): for every
     'error' event, the user's latest 'click' at-or-before it."""
@@ -1677,6 +1703,7 @@ _RAW_QUERIES: dict = {
         "events_stream_join": q_events_stream_join,
         "events_stream_enrich": q_events_stream_enrich,
         "events_pivot_daily": q_events_pivot_daily,
+        "events_funnel": q_events_funnel,
         "events_hll_daily": q_events_hll_daily,
         "events_rolling_7d": q_events_rolling_7d,
         "multimodal_ppm_decode": q_multimodal_ppm_decode,

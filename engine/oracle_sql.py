@@ -1291,6 +1291,26 @@ WINDOW w AS (ORDER BY day
              RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW)
 ORDER BY day"""
 
+    # exact sequential funnel: list aggregation + min-after array algebra
+    o["events_funnel"] = """
+WITH per_user AS (
+    SELECT user_id,
+           list_sort(list(ts) FILTER (event_type = 'view')) AS v,
+           list_sort(list(ts) FILTER (event_type = 'click')) AS c,
+           list_sort(list(ts) FILTER (event_type = 'purchase')) AS p
+    FROM events GROUP BY user_id
+), stepped AS (
+    SELECT v[1] AS t1,
+           list_filter(c, x -> x > v[1])[1] AS t2,
+           list_filter(p, x -> x > list_filter(c, y -> y > v[1])[1])[1]
+               AS t3
+    FROM per_user
+)
+SELECT CAST(count(t1) AS BIGINT) AS n_view,
+       CAST(count(t2) AS BIGINT) AS n_view_click,
+       CAST(count(t3) AS BIGINT) AS n_view_click_purchase
+FROM stepped"""
+
     o["events_pivot_daily"] = """
 SELECT CAST(ts AS DATE) AS day,
        CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS n_click,
