@@ -66,14 +66,42 @@ def dsir_weights(raw: DataFrame, target: DataFrame,
     AFTER the per-doc sum, the established engine-exactness pattern for
     double reductions.
     """
-    graw = _gram_occurrences(raw, id_col, text_col)
-    gtgt = _gram_occurrences(target, id_col, text_col)
-    braw = graw.select(_bucket(F.col("gram"), buckets).alias("b"))
-    btgt = gtgt.select(_bucket(F.col("gram"), buckets).alias("b"))
+    from .dedup import _cache_slot, _ensure_parallelism
+    # the raw gram stream feeds BOTH the model counts and the scoring —
+    # persist the bucketed stream (two ints/row) in a bounded cache slot
+    # so the explode+md5 runs once per job; uncached (evicted) the plan
+    # recomputes, which is the same two-pass shape and still never
+    # shuffles grams. An alternative one-pass spelling (aggregate by
+    # (id, bucket) first) was measured: it trades the recompute for a
+    # ~buckets-per-doc× LARGER shuffle — strictly worse at corpus scale,
+    # since this shape's shuffles are only the map-combined 4096-row
+    # model counts and the per-doc aggregate.
+    w = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    bi = F.when(
+        F.size(w) >= 2,
+        F.transform(F.sequence(F.lit(1), F.size(w) - 1),
+                    lambda i: F.concat_ws(" ", F.slice(w, i, 2)))
+    ).otherwise(F.array().cast("array<string>"))
+    # OUTER explode: empty docs ride the scoring aggregate as a null-
+    # bucket row — re-joining back to ``raw`` to restore them would cost
+    # a corpus×corpus sort-merge join
+    grams = F.when(
+        F.trim(F.coalesce(F.col(text_col), F.lit(""))) != "",
+        F.concat(w, bi))
+    bstream = _cache_slot(
+        "dsir_raw_buckets",
+        _ensure_parallelism(raw)
+        .select(F.col(id_col).alias("id"),
+                F.explode_outer(grams).alias("gram"))
+        .select("id", F.when(F.col("gram").isNotNull(),
+                             _bucket(F.col("gram"), buckets)).alias("b")))
+    live = bstream.filter(F.col("b").isNotNull())
+    cr = live.groupBy("b").agg(F.count("*").alias("cr"))
+    nr = live.agg(F.count("*").alias("nr"))
+    btgt = (_gram_occurrences(target, id_col, text_col)
+            .select(_bucket(F.col("gram"), buckets).alias("b")))
     ct = btgt.groupBy("b").agg(F.count("*").alias("ct"))
-    cr = braw.groupBy("b").agg(F.count("*").alias("cr"))
     nt = btgt.agg(F.count("*").alias("nt"))
-    nr = braw.agg(F.count("*").alias("nr"))
     llr = (F.log((F.coalesce(F.col("ct"), F.lit(0)) + 1)
                  / (F.col("nt") + F.lit(buckets)))
            - F.log((F.coalesce(F.col("cr"), F.lit(0)) + 1)
@@ -81,25 +109,10 @@ def dsir_weights(raw: DataFrame, target: DataFrame,
     lam = (ct.join(cr, "b", "full_outer")
            .crossJoin(F.broadcast(nt)).crossJoin(F.broadcast(nr))
            .select("b", llr.alias("llr")))
-    # the scoring pass explodes OUTER so empty docs ride the same
-    # aggregate as a null-gram row — re-joining back to ``raw`` to
-    # restore them would cost a corpus×corpus sort-merge join
-    w = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
-    bi = F.when(
-        F.size(w) >= 2,
-        F.transform(F.sequence(F.lit(1), F.size(w) - 1),
-                    lambda i: F.concat_ws(" ", F.slice(w, i, 2)))
-    ).otherwise(F.array().cast("array<string>"))
-    grams = F.when(
-        F.trim(F.coalesce(F.col(text_col), F.lit(""))) != "",
-        F.concat(w, bi))
     n = F.col("_n")
-    return (raw.select(F.col(id_col).alias("id"),
-                       F.explode_outer(grams).alias("gram"))
-            .withColumn("b", _bucket(F.col("gram"), buckets))
-            .join(F.broadcast(lam), "b", "left")
+    return (bstream.join(F.broadcast(lam), "b", "left")
             .groupBy("id")
-            .agg(F.count("gram").cast("bigint").alias("_n"),
+            .agg(F.count("b").cast("bigint").alias("_n"),
                  F.sum("llr").alias("_s"))
             .select(F.col("id").alias(id_col),
                     F.when(n > 0, n).alias("n_grams"),
