@@ -1092,6 +1092,30 @@ def q_events_hll_daily(spark, sf_dir):
             .orderBy("day"))
 
 
+def q_events_quantiles_approx(spark, sf_dir):
+    """Sketch surface beside the exact percentiles: per-event-type value
+    quantiles via approx_percentile (KLL-family mergeable sketch,
+    accuracy=10000) next to the exact percentile_cont. NO DuckDB oracle
+    by design — sketch internals are engine-specific, so the driver
+    records rows-only; the pytest gate bounds the approx-vs-exact rank
+    error instead. Scale point: exact percentiles need the full value
+    multiset per group; the sketch is a fixed-size mergeable state —
+    at 100 TB the sketch is the only affordable per-group tail-latency
+    path."""
+    ev = _t(spark, sf_dir, "events")
+    exact = F.percentile(F.col("value"), F.array(
+        F.lit(0.5), F.lit(0.99)))
+    approx = F.percentile_approx(F.col("value"), F.array(
+        F.lit(0.5), F.lit(0.99)), F.lit(10000))
+    return (ev.groupBy("event_type")
+            .agg(F.count("*").cast("bigint").alias("n"),
+                 F.round(exact[0], 4).alias("p50_exact"),
+                 F.round(approx[0], 4).alias("p50_approx"),
+                 F.round(exact[1], 4).alias("p99_exact"),
+                 F.round(approx[1], 4).alias("p99_approx"))
+            .orderBy("event_type"))
+
+
 def q_events_stream_enrich(spark, sf_dir):
     """STREAM-STATIC join: the event stream enriched against the
     customer dimension (broadcast — the dim re-reads per micro-batch,
@@ -1705,6 +1729,7 @@ _RAW_QUERIES: dict = {
         "events_pivot_daily": q_events_pivot_daily,
         "events_funnel": q_events_funnel,
         "events_hll_daily": q_events_hll_daily,
+        "events_quantiles_approx": q_events_quantiles_approx,
         "events_rolling_7d": q_events_rolling_7d,
         "multimodal_ppm_decode": q_multimodal_ppm_decode,
         "multimodal_wav_decode": q_multimodal_wav_decode,

@@ -1331,3 +1331,25 @@ def test_audio_stats_error_channel_never_throws(spark):
     assert out["a"]["mean_abs"] == 150.0 and out["a"]["n_frames"] == 2
     assert "ValueError" in out["b"]["error"]
     assert "NotImplementedError" in out["c"]["error"]
+
+
+def test_quantiles_approx_within_rank_error(spark):
+    """events_quantiles_approx has no SQL oracle (sketch internals are
+    engine-specific); the gate is the rank-error bound instead: at
+    accuracy=10000 the sketch's p50/p99 must land within 1 percentile
+    rank of the exact distribution per group."""
+    import __spark_entry__ as e
+    rows = e.queries()["events_quantiles_approx"](
+        spark, "/root/testdata/sf0.01").collect()
+    assert rows
+    ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    import pyspark.sql.functions as F
+    for r in rows:
+        vals = sorted(v["value"] for v in
+                      ev.filter(F.col("event_type") == r["event_type"])
+                      .select("value").collect())
+        n = len(vals)
+        for p, approx in ((0.5, r["p50_approx"]), (0.99, r["p99_approx"])):
+            import bisect
+            rank = bisect.bisect_left(vals, approx) / n
+            assert abs(rank - p) <= 0.011, (r["event_type"], p, rank)
