@@ -119,3 +119,59 @@ class TableSink:
         if schema is not None:
             r = r.schema(schema)
         return r.parquet(*dirs)
+
+
+def compact_parquet(spark: SparkSession, path: str,
+                    target_bytes: int = 128 * 1024 * 1024,
+                    partition_col: str | None = None) -> dict:
+    """Small-file compaction for a parquet table directory — the
+    operational follow-up to wave-append commits: every resumed run
+    appends its own files, and a month of waves leaves thousands of
+    KB-sized files whose open/footer cost dominates scans long before
+    data volume does.
+
+    Rewrites the table to ``ceil(total_bytes / target_bytes)`` files
+    (at least one per partition value when ``partition_col`` is given,
+    so partition pruning keeps working), via an atomic
+    write-to-temp + swap: the live directory is replaced only after the
+    rewrite commits, and the pre-compaction data is moved aside, not
+    deleted, until the swap succeeds. Returns a stats dict
+    (files/bytes before and after).
+
+    Scale note: on a real cluster this is Iceberg's rewrite_data_files
+    action (same math, snapshot-atomic); this is the parquet-directory
+    analogue with the same decision rule, and the pipeline's resume
+    reads are unaffected because compaction preserves content and the
+    partition column.
+    """
+    import math
+    import shutil
+    import uuid
+    from pathlib import Path
+
+    root = Path(path)
+    files = [p for p in root.rglob("*.parquet") if p.is_file()]
+    if not files:
+        raise ValueError(f"no parquet files under {path}")
+    before_bytes = sum(p.stat().st_size for p in files)
+    n_out = max(1, math.ceil(before_bytes / target_bytes))
+    df = spark.read.parquet(str(root))
+    tmp = root.with_name(f"{root.name}.compact-{uuid.uuid4().hex[:8]}")
+    old = root.with_name(f"{root.name}.precompact-{uuid.uuid4().hex[:8]}")
+    if partition_col:
+        (df.repartition(n_out, F.col(partition_col))
+           .write.mode("overwrite").partitionBy(partition_col)
+           .parquet(str(tmp)))
+    else:
+        df.repartition(n_out).write.mode("overwrite").parquet(str(tmp))
+    shutil.move(str(root), str(old))
+    try:
+        shutil.move(str(tmp), str(root))
+    except Exception:
+        shutil.move(str(old), str(root))  # roll back — original intact
+        raise
+    shutil.rmtree(str(old))
+    after = [p for p in root.rglob("*.parquet") if p.is_file()]
+    return {"files_before": len(files), "files_after": len(after),
+            "bytes_before": before_bytes,
+            "bytes_after": sum(p.stat().st_size for p in after)}

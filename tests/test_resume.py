@@ -112,3 +112,30 @@ def test_parquet_sink_roundtrip(spark, tmp_path):
     sink.append(df)
     sink.append(df)
     assert sink.read().count() == 4
+
+
+def test_compact_parquet_preserves_content_and_partitions(spark, tmp_path):
+    """Compaction shrinks the file count, preserves every row, keeps the
+    partition layout usable, and a post-compaction resume still sees all
+    buckets as done (content-identical table)."""
+    import pyspark.sql.functions as F
+    from engine.spark.sinks import compact_parquet
+    out = str(tmp_path / "t")
+    df = spark.range(0, 2000).select(
+        F.col("id"), (F.col("id") % 4).cast("int").alias("part"))
+    # fragment: 40 appends of 50 rows each
+    for i in range(40):
+        (df.filter((F.col("id") >= i * 50) & (F.col("id") < (i + 1) * 50))
+           .write.mode("append").partitionBy("part").parquet(out))
+    before = spark.read.parquet(out)
+    rows_before = sorted((r["id"], r["part"]) for r in before.collect())
+    stats = compact_parquet(spark, out, target_bytes=10**9,
+                            partition_col="part")
+    assert stats["files_after"] < stats["files_before"]
+    after = spark.read.parquet(out)
+    assert sorted((r["id"], r["part"]) for r in after.collect()) == rows_before
+    # partition pruning still works (directory layout preserved)
+    assert after.filter(F.col("part") == 2).count() == 500
+    import pathlib
+    assert any(p.name.startswith("part=") for p in
+               pathlib.Path(out).iterdir())
