@@ -162,12 +162,15 @@ def train_kmeans(df: DataFrame, n_cells: int = IVF_CELLS,
 
 
 def _assign_cells(base: DataFrame, cent: DataFrame,
-                  keep_score: bool = False) -> DataFrame:
+                  keep_score: bool = False,
+                  nprobe: int = 1) -> DataFrame:
     """argmax-cosine assignment of a (id, v, nrm[, fx]) base against a
     (cell, cv) centroid table — the shared kernel of ivf_assignments and
     every k-means iteration. Broadcast crossJoin: n_cells rows per input
     row, window argmax on (round(cos, 6) desc, cell). ``keep_score=True``
-    retains the winning ``ccos`` (semdedup ranks members by it)."""
+    retains the winning ``ccos`` (semdedup ranks members by it);
+    ``nprobe>1`` keeps the top-nprobe cells per vector (one output row
+    per (vector, probed cell) — semdedup's cluster-boundary closure)."""
     from pyspark.sql import Window
     c = cent.select("cell", "cv").withColumn("cnrm", norm(F.col("cv")))
     dotprod = F.aggregate(
@@ -180,7 +183,7 @@ def _assign_cells(base: DataFrame, cent: DataFrame,
     w = Window.partitionBy("id").orderBy(F.col("ccos").desc(), F.col("cell"))
     drop = ["rk", "cv", "cnrm"] + ([] if keep_score else ["ccos"])
     return (scored.withColumn("rk", F.row_number().over(w))
-            .filter(F.col("rk") == 1).drop(*drop))
+            .filter(F.col("rk") <= nprobe).drop(*drop))
 
 
 def ivf_assignments(df: DataFrame, id_col: str = "vec_id",
@@ -204,7 +207,8 @@ def semdedup_losers(df: DataFrame, threshold: float = 0.95,
                     id_col: str = "vec_id", vec_col: str = "embedding",
                     centroids: DataFrame | None = None,
                     n_cells: int = IVF_CELLS,
-                    max_cluster: int | None = None) -> DataFrame:
+                    max_cluster: int | None = None,
+                    nprobe: int = 1) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): semantic near-dup removal by
     clustering embeddings and pruning within-cluster high-cosine pairs.
 
@@ -224,20 +228,39 @@ def semdedup_losers(df: DataFrame, threshold: float = 0.95,
     than paying a degenerate |C|² join — at 100 TB a mega-cluster means
     the codebook is too small, and the exclusion is observable (compare
     kept counts against ``ivf_assignments`` cluster census).
+
+    ``nprobe>1`` closes the cluster-boundary misses (near-dups split
+    across adjacent cells never meet at nprobe=1 — the soak measured
+    15/18,000): each vector joins its top-nprobe cells and is dropped if
+    ANY probed cell holds a mate ≥ τ that precedes it in the GLOBAL
+    keep order (primary-cell ccos ASC, id). The order must be global,
+    not per-cell rank: per-cell ranks disagree between cells, so two
+    cluster-mates could mutually drop each other through different
+    shared cells (measured: 19,763 losers where 18,000 exist — whole
+    clusters annihilating). At nprobe=1 the global order restricted to
+    one cell IS the per-cell rank, so the oracle's spelling is
+    unchanged. Cost multiplies the pair join by ~nprobe²; the driver
+    query pins nprobe=1.
     """
     from pyspark.sql import Window
     cent = centroids if centroids is not None else train_kmeans(
         df, n_cells=n_cells, id_col=id_col, vec_col=vec_col)
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
                      norm(F.col(vec_col)).alias("nrm"))
-    asg = _assign_cells(base, cent, keep_score=True)
+    asg = _assign_cells(base, cent, keep_score=True, nprobe=nprobe)
     if max_cluster is not None:
         sizes = asg.groupBy("cell").agg(F.count("*").alias("_csz"))
         asg = (asg.join(F.broadcast(sizes.filter(F.col("_csz") > max_cluster)
                                     .select("cell")), "cell", "left_anti"))
-    rk = Window.partitionBy("cell").orderBy(F.col("ccos").asc(), F.col("id"))
-    ranked = asg.withColumn("rk", F.row_number().over(rk))
+    # global keep order = (primary-cell ccos ASC, id): within one cell it
+    # reduces to the per-cell rank (the oracle's spelling); across probed
+    # cells it is the consistent order that makes mutual drops impossible
+    pv = Window.partitionBy("id")
+    ranked = asg.withColumn("pcos", F.max("ccos").over(pv))
     a, b = ranked.alias("a"), ranked.alias("b")
+    precedes = ((F.col("a.pcos") < F.col("b.pcos"))
+                | ((F.col("a.pcos") == F.col("b.pcos"))
+                   & (F.col("a.id") < F.col("b.id"))))
     pair_cos = F.round(
         F.aggregate(
             F.zip_with(F.col("a.v").cast("array<double>"),
@@ -245,15 +268,15 @@ def semdedup_losers(df: DataFrame, threshold: float = 0.95,
                        lambda x, y: x * y),
             F.lit(0.0), lambda acc, x: acc + x)
         / (F.col("a.nrm") * F.col("b.nrm")), 6)
-    pairs = (a.join(b, (F.col("a.cell") == F.col("b.cell"))
-                    & (F.col("a.rk") < F.col("b.rk")))
+    pairs = (a.join(b, (F.col("a.cell") == F.col("b.cell")) & precedes)
              .select(F.col("b.id").alias("id"), F.col("b.cell").alias("cell"),
-                     F.col("a.id").alias("kept_id"), F.col("a.rk").alias("krk"),
+                     F.col("a.id").alias("kept_id"),
+                     F.col("a.pcos").alias("kp"),
                      pair_cos.alias("cosine"))
              .filter(F.col("cosine") >= threshold))
-    first = Window.partitionBy("id").orderBy("krk")
+    first = Window.partitionBy("id").orderBy("kp", "kept_id", "cell")
     return (pairs.withColumn("_p", F.row_number().over(first))
-            .filter(F.col("_p") == 1).drop("_p", "krk"))
+            .filter(F.col("_p") == 1).drop("_p", "kp"))
 
 
 def ivf_topk(df: DataFrame, query: Sequence[float], k: int = 10,

@@ -1153,6 +1153,10 @@ def test_semdedup_drops_planted_twin_keeps_singletons(spark):
     (row,) = losers
     assert {row["id"], row["kept_id"]} == {0, 1}
     assert row["cosine"] >= 0.95
+    # multi-probe must agree on this fully-contained cluster (the global
+    # keep order makes mutual drops impossible)
+    l2 = semdedup_losers(df, threshold=0.95, n_cells=2, nprobe=2).collect()
+    assert len(l2) == 1 and {l2[0]["id"], l2[0]["kept_id"]} == {0, 1}
 
 
 def test_semdedup_max_cluster_guard_and_partition_independence(spark, emb):
