@@ -1450,6 +1450,15 @@ def q_corpus_classifier_scores(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+def q_doc_profile(spark, sf_dir):
+    """ANALYZE-style per-column profile of the documents table — the
+    ingest-gate sanity check (null-rate or cardinality jumps = upstream
+    regression). Exact spelling here for the oracle; exact=False swaps
+    count(DISTINCT)'s Expand for map-side HLL registers at scale."""
+    from engine.datawork.corpus import profile_table
+    return profile_table(_t(spark, sf_dir, "documents")).orderBy("column")
+
+
 def q_doc_chunks(spark, sf_dir):
     """Sliding-window chunking (tokenizer-overflow pattern) for context
     prep: 64-token windows at stride 48 so the tail is always covered.
@@ -1750,6 +1759,7 @@ _RAW_QUERIES: dict = {
         "semdedup_losers": q_semdedup_losers,
         "corpus_dsir_weights": q_corpus_dsir_weights,
         "corpus_classifier_scores": q_corpus_classifier_scores,
+        "doc_profile": q_doc_profile,
         "doc_chunks": q_doc_chunks,
         "doc_char_entropy": q_doc_char_entropy,
         "corpus_dsir_select": q_corpus_dsir_select,

@@ -329,3 +329,34 @@ def chunk_documents(docs: DataFrame, max_tokens: int = 128,
             .filter(F.trim(F.coalesce(F.col(text_col), F.lit(""))) != "")
             .select(F.col(id_col), F.explode(chunks).alias("c"))
             .select(id_col, "c.chunk_idx", "c.text", "c.n_tokens"))
+
+
+def profile_table(df: DataFrame, exact: bool = True) -> DataFrame:
+    """ANALYZE-style column profile: one row per column with
+    (column, n, n_null, n_distinct) — the ingest-gate sanity check a
+    pipeline runs on every new wave before heavier ops (a column whose
+    null rate or cardinality jumps is an upstream schema/extraction
+    regression caught cheapest here).
+
+    ``exact=True`` uses count(DISTINCT) — ONE aggregate over all columns,
+    which Spark executes via an Expand (rows × columns); that is the
+    oracle-checkable demo spelling. At 100 TB pass ``exact=False``:
+    approx_count_distinct's HLL registers aggregate map-side with no
+    Expand, the same cost as plain counts. The unpivot is a literal
+    stack — no shuffle beyond the aggregate itself."""
+    cols = df.columns
+    nd = (F.count_distinct if exact
+          else (lambda c: F.approx_count_distinct(c, rsd=0.01)))
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c in cols:
+        aggs.append(F.count(F.col(c)).alias(f"_nn_{c}"))
+        aggs.append(nd(F.col(c)).alias(f"_nd_{c}"))
+    row = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', _nn_{c}, _nd_{c}" for c in cols)
+    return (row.selectExpr(
+        "_n", f"stack({len(cols)}, {stack_args}) AS (column, _nn, _nd)")
+        .select(F.col("column"),
+                F.col("_n").cast("bigint").alias("n"),
+                (F.col("_n") - F.col("_nn")).cast("bigint").alias("n_null"),
+                F.col("_nd").cast("bigint").alias("n_distinct")))

@@ -1781,6 +1781,13 @@ JOIN qprobe p ON a.cell = p.cell,
      (SELECT v AS qv, nrm AS qn FROM pn WHERE id = 0) q
 ORDER BY score DESC, vec_id LIMIT 10"""
 
+    _prof = " UNION ALL ".join(
+        f"SELECT '{c}' AS \"column\", CAST(count(*) AS BIGINT) AS n, "
+        f"CAST(count(*) - count({c}) AS BIGINT) AS n_null, "
+        f"CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct FROM documents"
+        for c in ["doc_id", "text", "lang", "source", "n_chars"])
+    o["doc_profile"] = f'{_prof} ORDER BY "column"'
+
     # sliding-window chunking: 64-token windows, stride 48; integer
     # arithmetic only, so the window layout is engine-exact
     o["doc_chunks"] = """

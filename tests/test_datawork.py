@@ -1357,3 +1357,20 @@ def test_quantiles_approx_within_rank_error(spark):
             import bisect
             rank = bisect.bisect_left(vals, approx) / n
             assert abs(rank - p) <= 0.011, (r["event_type"], p, rank)
+
+
+def test_profile_table_exact_and_approx(spark):
+    """Exact profile matches hand counts incl. null accounting; the
+    approx spelling keeps the same schema and lands within HLL error."""
+    from engine.datawork.corpus import profile_table
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "a"), (None, "b")],
+        "id bigint, s string")
+    out = {r["column"]: r for r in profile_table(df).collect()}
+    assert out["id"]["n"] == 4 and out["id"]["n_null"] == 1
+    assert out["id"]["n_distinct"] == 3
+    assert out["s"]["n_null"] == 1 and out["s"]["n_distinct"] == 2
+    appr = {r["column"]: r for r in
+            profile_table(df, exact=False).collect()}
+    assert set(appr) == {"id", "s"}
+    assert abs(appr["id"]["n_distinct"] - 3) <= 1
