@@ -385,29 +385,15 @@ def q_events_grouping_sets(spark, sf_dir):
 
 
 def q_events_funnel(spark, sf_dir):
-    """EXACT sequential funnel view→click→purchase: step k counts users
-    with a step-k event strictly AFTER their earliest step-(k-1)
-    completion (min-after, not min-overall — the correct ordered-funnel
-    semantics). One shuffle: per-user per-step ts lists aggregate
-    map-side, then the chain is pure array algebra. Per-user memory is
-    their own event count — the usual hot-user skew caveat, bounded by
-    task time not correctness."""
+    """EXACT sequential funnel view→click→purchase (min-after, not
+    min-overall — the correct ordered-funnel semantics). One shuffle:
+    per-user per-step sorted ts lists aggregate map-side, then the step
+    chain is pure array algebra. The operator's ``max_events`` hot-user
+    guard + census (engine/datawork/funnel.py) stay off here so the
+    oracle covers the uncapped math."""
+    from engine.datawork.funnel import sequential_funnel
     ev = _t(spark, sf_dir, "events")
-    lst = lambda t: F.sort_array(F.collect_list(  # noqa: E731
-        F.when(F.col("event_type") == t, F.col("ts"))))
-    per_user = (ev.groupBy("user_id")
-                .agg(lst("view").alias("v"), lst("click").alias("c"),
-                     lst("purchase").alias("p")))
-    t1 = F.element_at(F.col("v"), 1)
-    after = lambda arr, t: F.element_at(  # noqa: E731
-        F.filter(arr, lambda x: x > t), 1)
-    stepped = (per_user.withColumn("t1", t1)
-               .withColumn("t2", after(F.col("c"), F.col("t1")))
-               .withColumn("t3", after(F.col("p"), F.col("t2"))))
-    return (stepped.agg(
-        F.count("t1").cast("bigint").alias("n_view"),
-        F.count("t2").cast("bigint").alias("n_view_click"),
-        F.count("t3").cast("bigint").alias("n_view_click_purchase")))
+    return sequential_funnel(ev, ["view", "click", "purchase"])
 
 
 def q_asof_latest_click(spark, sf_dir):

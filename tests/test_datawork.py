@@ -1374,3 +1374,31 @@ def test_profile_table_exact_and_approx(spark):
             profile_table(df, exact=False).collect()}
     assert set(appr) == {"id", "s"}
     assert abs(appr["id"]["n_distinct"] - 3) <= 1
+
+
+def test_sequential_funnel_order_and_guard(spark):
+    """min-after semantics: a purchase BEFORE the first view does not
+    convert; the max_events cap excludes the bot and the census sees it."""
+    from datetime import datetime as dt
+    from engine.datawork.funnel import funnel_user_census, sequential_funnel
+    t = lambda m: dt(2024, 1, 1, 0, m)  # noqa: E731
+    rows = [
+        (1, "view", t(1)), (1, "click", t(2)), (1, "purchase", t(3)),
+        (2, "purchase", t(1)), (2, "view", t(2)), (2, "click", t(3)),
+        (3, "click", t(1)), (3, "view", t(2)),
+    ] + [(9, "view", t(i % 50)) for i in range(100)]  # the bot
+    df = spark.createDataFrame(
+        rows, "user_id bigint, event_type string, ts timestamp")
+    (r,) = sequential_funnel(df, ["view", "click", "purchase"]).collect()
+    # users 1,2,3,9 viewed; 1 and 2 clicked after first view; only 1
+    # purchased after that click (user 2's purchase preceded the view)
+    assert (r["n_view"], r["n_view_click"],
+            r["n_view_click_purchase"]) == (4, 2, 1)
+    (c,) = sequential_funnel(df, ["view", "click", "purchase"],
+                             max_events=50).collect()
+    assert c["n_view"] == 3  # the bot is excluded, conversions intact
+    assert (c["n_view_click"], c["n_view_click_purchase"]) == (2, 1)
+    (cen,) = funnel_user_census(df, ["view", "click", "purchase"],
+                                max_events=50).collect()
+    assert (cen["n_entities"], cen["n_capped"],
+            cen["capped_events"]) == (4, 1, 100)
