@@ -99,3 +99,50 @@ def test_dedup_apply_full_null_text_docs_collapse_to_one(spark):
     kept = sorted(r["doc_id"] for r in
                   deduplicated_corpus_full(docs, clusters).collect())
     assert kept == [1, 3, 4]
+
+
+def test_selection_ops_tolerate_nulls(spark):
+    """The round-5 selection family (DSIR, classifier, chunking, entropy,
+    semdedup, funnel, profiling) must degrade on nulls, never throw."""
+    from pyspark.sql import functions as F
+    docs = spark.createDataFrame(
+        [(1, "some text here tokens enough", "en", 28),
+         (2, None, "en", None),
+         (3, "", None, 0),
+         (None, "null id text", None, 12)],
+        "doc_id bigint, text string, lang string, n_chars bigint")
+
+    from engine.datawork.dsir import dsir_weights
+    w = dsir_weights(docs.filter(F.coalesce(F.col("doc_id"), F.lit(9)) % 2
+                                 == 1), docs).collect()
+    assert all(r["log_weight"] is None or r["n_grams"] >= 1 for r in w)
+
+    from engine.datawork.quality import classifier_scores, load_qc_weights
+    s = {r["doc_id"]: r for r in
+         classifier_scores(docs, load_qc_weights(spark)).collect()}
+    assert s[2]["score"] is None and s[3]["score"] is None
+    assert s[1]["score"] is not None
+
+    from engine.datawork.corpus import chunk_documents, profile_table
+    ch = chunk_documents(docs, max_tokens=3, stride=2).collect()
+    assert {r["doc_id"] for r in ch} == {1, None}
+    prof = {r["column"]: r for r in profile_table(docs).collect()}
+    assert prof["text"]["n_null"] == 1 and prof["doc_id"]["n_null"] == 1
+
+    from engine.datawork.textstats import char_entropy
+    ent = {r["doc_id"]: r for r in char_entropy(docs).collect()}
+    assert ent[2]["entropy"] is None and ent[3]["entropy"] is None
+
+    from engine.datawork.similarity import semdedup_losers
+    emb = spark.createDataFrame(
+        [(1, [1.0] + [0.0] * 63), (2, [1.0] + [0.0] * 63)],
+        "vec_id bigint, embedding array<double>")
+    assert semdedup_losers(emb, threshold=0.9, n_cells=2).count() == 1
+
+    from engine.datawork.funnel import sequential_funnel
+    ev = spark.createDataFrame(
+        [(1, "view", None), (None, "click", None)],
+        "user_id bigint, event_type string, ts timestamp")
+    (r,) = sequential_funnel(ev, ["view", "click"]).collect()
+    # null ts never sorts into a list position that converts; no throw
+    assert r["n_view"] >= 0 and r["n_view_click"] == 0
