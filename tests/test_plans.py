@@ -327,3 +327,29 @@ def test_semdedup_pair_join_is_equi_on_cell(spark):
     assert "CartesianProduct" not in plan
     assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) \
         or ("BroadcastHashJoin" in plan)
+
+
+def test_funnel_single_aggregate_no_joins(spark):
+    """The uncapped funnel is ONE per-entity aggregate + a global
+    aggregate — no joins at all; with max_events the only join is the
+    broadcast anti-join against the capped-entity list."""
+    from engine.datawork.funnel import sequential_funnel
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    plan = fmt(sequential_funnel(ev, ["view", "click", "purchase"]))
+    assert "Join" not in plan
+    capped = fmt(sequential_funnel(ev, ["view", "click", "purchase"],
+                                   max_events=100))
+    assert "BroadcastHashJoin LeftAnti" in capped
+    assert "SortMergeJoin" not in capped
+
+
+def test_profile_table_is_one_aggregate(spark):
+    """Exact profiling is one Expand-backed aggregate; the approx
+    spelling must not introduce an Expand (HLL registers merge
+    map-side)."""
+    from engine.datawork.corpus import profile_table
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    exact = fmt(profile_table(docs))
+    assert "Join" not in exact
+    approx = fmt(profile_table(docs, exact=False))
+    assert "Expand" not in approx
