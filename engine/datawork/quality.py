@@ -48,10 +48,21 @@ def qc_bucket(col: Column, buckets: int = QC_BUCKETS) -> Column:
 
 def load_qc_weights(spark: SparkSession,
                     path: str | None = None) -> DataFrame:
-    """(bucket, weight) rows; bucket = -1 carries the bias."""
-    return (spark.read.option("sep", "\t").option("header", True)
-            .schema("bucket int, weight double")
-            .csv(path or DEFAULT_QC_WEIGHTS))
+    """(bucket, weight) rows; bucket = -1 carries the bias.
+
+    Read DRIVER-side with plain ``open`` and shipped to executors as a
+    literal DataFrame (the BPE-merges pattern): ``spark.read.csv`` of a
+    driver-local path works in local mode but on a cluster asks every
+    executor for a file only the submitted checkout has — a 1,025-row
+    model table has no business being a distributed read anyway."""
+    rows = []
+    with open(path or DEFAULT_QC_WEIGHTS) as f:
+        header = f.readline()
+        assert header.strip() == "bucket\tweight", "bad weights header"
+        for line in f:
+            b, w = line.rstrip("\n").split("\t")
+            rows.append((int(b), float(w)))
+    return spark.createDataFrame(rows, "bucket int, weight double")
 
 
 def classifier_scores(docs: DataFrame, weights: DataFrame,

@@ -4,8 +4,11 @@
     spark-submit --py-files dist/engine.zip engine/spark/job.py --input ... \
         --output ... --run-id ...
 
-The zip carries the pure-Python package only (engine/ + tools/synth.py);
-executors import engine.core inside the Arrow UDFs from this zip.
+The zip carries the pure-Python package (engine/ + tools/) plus the
+committed model tables (data/bpe/merges.txt, data/qc_weights.tsv) for
+reference; note the DRIVER reads those tables from the submitted
+checkout with plain open() — executors receive them as broadcast
+literals, never as file reads (engine/datawork/{tokenize,quality}.py).
 """
 
 from __future__ import annotations
@@ -24,6 +27,10 @@ def build(out: Path) -> int:
         for base in ("engine", "tools"):
             for py in sorted((REPO / base).rglob("*.py")):
                 zf.write(py, py.relative_to(REPO))
+                n += 1
+        for rel in ("data/bpe/merges.txt", "data/qc_weights.tsv"):
+            if (REPO / rel).exists():
+                zf.write(REPO / rel, rel)
                 n += 1
     return n
 
