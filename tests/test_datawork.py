@@ -1402,3 +1402,22 @@ def test_sequential_funnel_order_and_guard(spark):
                                 max_events=50).collect()
     assert (cen["n_entities"], cen["n_capped"],
             cen["capped_events"]) == (4, 1, 100)
+
+
+def test_datawork_job_cli_selection_ops(spark):
+    """Dispatch coverage for the round-5 selection CLI ops (values
+    covered by their own tests/oracles; here: the ops run end-to-end
+    through run_op with the documented flags)."""
+    from engine.datawork.job import run_op
+    d = "/root/testdata/sf0.001/documents.parquet"
+    e = "/root/testdata/sf0.001/embeddings.parquet"
+    total = spark.read.parquet(d).count()
+    assert run_op(spark, "dsir-weights", d, bench_path=d).count() == total
+    assert run_op(spark, "dsir-select", d, bench_path=d,
+                  budget=5).count() == 5
+    assert run_op(spark, "classify", d).count() == total
+    assert run_op(spark, "semdedup", e, threshold=0.35).count() > 0
+    ch = run_op(spark, "chunk", d, pack_budget=64)
+    assert ch.count() >= spark.read.parquet(d) \
+        .filter("trim(coalesce(text, '')) <> ''").count()
+    assert run_op(spark, "entropy", d).count() == total
