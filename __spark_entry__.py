@@ -1639,6 +1639,36 @@ def q_multimodal_wav_decode(spark, sf_dir):
     return audio_stats(assets)
 
 
+def q_multimodal_gif_meta(spark, sf_dir):
+    """REAL container walk in the multimodal path: GIF payloads are
+    synthesized JVM-side from doc_id (1 + doc_id%4 frames of a constant
+    4x3 descriptor + a graphics-control extension, chr+ISO-8859-1), then
+    frame-counted by the pure-python block walker — geometry and frame
+    count come from the DECODED structure. The oracle is CLOSED FORM, so
+    value equality proves the walker parsed the real byte stream. Every
+    10th doc carries a PNG payload (stub error channel), every (10k+5)th
+    loses its trailer byte (parser error channel)."""
+    from engine.datawork.multimodal import GIF_MIME, gif_meta
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    hdr = ("GIF89a" + "".join(map(chr, [4, 0, 3, 0, 0, 0, 0])))
+    ext = "".join(map(chr, [0x21, 0xF9, 4, 0, 0, 0, 0, 0]))
+    frame = "".join(map(chr, [0x2C, 0, 0, 0, 0, 1, 0, 1, 0, 0, 2, 1, 0, 0]))
+    body = F.concat(F.lit(hdr + ext),
+                    F.repeat(F.lit(frame), (did % 4 + 1).cast("int")))
+    good = F.encode(F.concat(body, F.lit(chr(0x3B))), "ISO-8859-1")
+    truncated = F.encode(body, "ISO-8859-1")
+    payload = (F.when(did % 10 == 0, F.encode(F.lit("PNGJUNKBYTES"),
+                                              "ISO-8859-1"))
+                .when(did % 10 == 5, truncated)
+                .otherwise(good))
+    mime = F.when(did % 10 == 0, F.lit("image/png")).otherwise(F.lit(GIF_MIME))
+    assets = docs.select(
+        F.concat(F.lit("gif-"), did.cast("string")).alias("asset_id"),
+        mime.alias("mime"), payload.alias("payload"))
+    return gif_meta(assets)
+
+
 def _shipped(fn: Callable) -> Callable:
     def wrapper(spark: SparkSession, sf_dir: str) -> DataFrame:
         _ensure_code_shipped(spark)
@@ -1728,6 +1758,7 @@ _RAW_QUERIES: dict = {
         "events_rolling_7d": q_events_rolling_7d,
         "multimodal_ppm_decode": q_multimodal_ppm_decode,
         "multimodal_wav_decode": q_multimodal_wav_decode,
+        "multimodal_gif_meta": q_multimodal_gif_meta,
         "doc_tfidf_top_terms": q_doc_tfidf_top_terms,
         "doc_unigram_nll": q_doc_unigram_nll,
         "doc_ppl_buckets": q_doc_ppl_buckets,

@@ -304,3 +304,101 @@ def audio_stats(assets: DataFrame) -> DataFrame:
     no shuffle; the binary column stays columnar end-to-end."""
     return assets.select("asset_id", "mime", "payload").mapInPandas(
         _audio_stat_batches, schema=AUDIO_STATS_SCHEMA)
+
+
+GIF_MIME = "image/gif"
+
+GIF_META_SCHEMA = StructType([
+    StructField("asset_id", StringType(), False),
+    StructField("n_bytes", LongType(), False),
+    StructField("width", IntegerType(), True),
+    StructField("height", IntegerType(), True),
+    StructField("n_frames", IntegerType(), True),
+    StructField("error", StringType(), True),
+])
+
+
+def decode_gif_meta(payload: bytes):
+    """REAL container walk for GIF87a/89a — the animation-family member
+    of the decoder trio (PPM raster, WAV PCM, GIF container): header +
+    logical screen descriptor, then the block stream — image descriptors
+    (local color table + LZW sub-blocks SKIPPED structurally, no codec
+    needed to count frames), extensions, trailer. Returns
+    (width, height, n_frames). Frame PIXELS stay undecoded — LZW is a
+    codec and codecs route through decode_stub; counting and geometry
+    are container facts this parser owns end to end."""
+    if payload is None or len(payload) < 13 \
+            or payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    width = int.from_bytes(payload[6:8], "little")
+    height = int.from_bytes(payload[8:10], "little")
+    flags = payload[10]
+    pos = 13
+    if flags & 0x80:  # global color table: 3 * 2^(n+1) bytes
+        pos += 3 * (2 << (flags & 0x07))
+
+    def skip_subblocks(p: int) -> int:
+        while True:
+            if p >= len(payload):
+                raise ValueError("truncated GIF sub-block stream")
+            size = payload[p]
+            p += 1
+            if size == 0:
+                return p
+            p += size
+
+    frames = 0
+    while True:
+        if pos >= len(payload):
+            raise ValueError("GIF ended without trailer")
+        block = payload[pos]
+        pos += 1
+        if block == 0x3B:          # trailer
+            break
+        if block == 0x2C:          # image descriptor
+            if pos + 9 > len(payload):
+                raise ValueError("truncated GIF image descriptor")
+            iflags = payload[pos + 8]
+            pos += 9
+            if iflags & 0x80:      # local color table
+                pos += 3 * (2 << (iflags & 0x07))
+            pos += 1               # LZW minimum code size
+            pos = skip_subblocks(pos)
+            frames += 1
+        elif block == 0x21:        # extension: label + sub-blocks
+            pos += 1
+            pos = skip_subblocks(pos)
+        else:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+    if frames == 0:
+        raise ValueError("GIF contains no image frames")
+    return width, height, frames
+
+
+def _gif_meta_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        rows = []
+        for asset_id, mime, payload in zip(pdf["asset_id"], pdf["mime"],
+                                           pdf["payload"]):
+            raw = bytes(payload) if payload is not None else b""
+            rec = {"asset_id": asset_id, "n_bytes": len(raw),
+                   "width": None, "height": None, "n_frames": None,
+                   "error": None}
+            try:  # never throw — error channel instead
+                if mime != GIF_MIME:
+                    decode_stub(raw, mime or "unknown")
+                w, h, n = decode_gif_meta(raw)
+                rec.update(width=w, height=h, n_frames=n)
+            except Exception as exc:
+                rec["error"] = f"{type(exc).__name__}: {exc}"
+            rows.append(rec)
+        yield pd.DataFrame(rows,
+                           columns=[f.name for f in GIF_META_SCHEMA.fields])
+
+
+def gif_meta(assets: DataFrame) -> DataFrame:
+    """Container-walk GIF payloads (frame count + geometry from the
+    DECODED structure, never trusted metadata); other mimes → error
+    channel. Arrow-batched map, no shuffle."""
+    return assets.select("asset_id", "mime", "payload").mapInPandas(
+        _gif_meta_batches, schema=GIF_META_SCHEMA)

@@ -1277,6 +1277,25 @@ SELECT 'wav-' || CAST(doc_id AS VARCHAR) AS asset_id,
             ELSE NULL END AS error
 FROM documents"""
 
+    # closed-form GIF oracle: k = 1 + doc_id%4 frames of 14 bytes each,
+    # header 13 + extension 8 + trailer 1
+    o["multimodal_gif_meta"] = """
+SELECT 'gif-' || CAST(doc_id AS VARCHAR) AS asset_id,
+       CAST(CASE WHEN doc_id % 10 = 0 THEN 12
+                 WHEN doc_id % 10 = 5 THEN 21 + 14 * (1 + doc_id % 4)
+                 ELSE 22 + 14 * (1 + doc_id % 4) END AS BIGINT) AS n_bytes,
+       CASE WHEN doc_id % 10 IN (0, 5) THEN NULL ELSE 4 END AS width,
+       CASE WHEN doc_id % 10 IN (0, 5) THEN NULL ELSE 3 END AS height,
+       CASE WHEN doc_id % 10 IN (0, 5) THEN NULL
+            ELSE CAST(1 + doc_id % 4 AS INTEGER) END AS n_frames,
+       CASE WHEN doc_id % 10 = 0
+            THEN 'NotImplementedError: no image/png codec in this ' ||
+                 'environment — swap in a real decoder here'
+            WHEN doc_id % 10 = 5
+            THEN 'ValueError: GIF ended without trailer'
+            ELSE NULL END AS error
+FROM documents"""
+
     o["events_rolling_7d"] = """
 WITH daily AS (
     SELECT CAST(ts AS DATE) AS day, count(*) AS n, sum(value) AS v

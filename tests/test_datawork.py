@@ -1451,3 +1451,37 @@ def test_chunk_documents_coverage_property(spark):
             assert r["n_tokens"] == len(toks)
             covered.update(range(k * stride, k * stride + len(toks)))
         assert covered == set(range(n)), n
+
+
+def test_decode_gif_meta_parser_edges():
+    """Container-walk edges the driver query doesn't plant: global AND
+    local color tables, interleaved extensions, multi-sub-block LZW
+    data; malformed shapes raise."""
+    import pytest as _pt
+    from engine.datawork.multimodal import decode_gif_meta
+
+    def gif(frames=1, gct=False, lct=False, trailer=True):
+        b = bytearray(b"GIF89a")
+        b += (7).to_bytes(2, "little") + (5).to_bytes(2, "little")
+        b += bytes([0x80 | 0x02 if gct else 0, 0, 0])
+        if gct:
+            b += bytes(3 * (2 << 2))     # 8-entry global table
+        for _ in range(frames):
+            b += bytes([0x21, 0xFE, 3]) + b"abc" + bytes([0])  # comment ext
+            b += bytes([0x2C, 0, 0, 0, 0, 2, 0, 2, 0,
+                        0x80 | 0x01 if lct else 0])
+            if lct:
+                b += bytes(3 * (2 << 1))  # 4-entry local table
+            b += bytes([2])               # LZW min code size
+            b += bytes([4]) + b"\x01\x02\x03\x04"  # sub-block 1
+            b += bytes([2]) + b"\x05\x06" + bytes([0])  # sub-block 2 + end
+        if trailer:
+            b += bytes([0x3B])
+        return bytes(b)
+
+    assert decode_gif_meta(gif(frames=3)) == (7, 5, 3)
+    assert decode_gif_meta(gif(frames=2, gct=True, lct=True)) == (7, 5, 2)
+    for bad in [b"", b"GIF89a" + bytes(5), gif(trailer=False),
+                gif(frames=0), b"NOTAGIFXXXXXXX"]:
+        with _pt.raises(ValueError):
+            decode_gif_meta(bad)
