@@ -756,6 +756,17 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     return ngram_jaccard_pairs(docs, threshold=0.5).orderBy("id_a", "id_b")
 
 
+def q_dedup_ngram_containment(spark, sf_dir):
+    """ASYMMETRIC containment (Broder) beside Jaccard: |A∩B|/|A| catches
+    the aggregator-embeds-article superset dup that symmetric Jaccard
+    misses. Same inverted-index plan and hot-shingle guard as the
+    Jaccard query — one extra division."""
+    from engine.datawork.dedup import ngram_containment_pairs
+    docs = _t(spark, sf_dir, "documents")
+    return (ngram_containment_pairs(docs, threshold=0.5)
+            .orderBy("id_contained", "id_container"))
+
+
 def q_dedup_simhash(spark, sf_dir):
     from engine.datawork.dedup import simhash
     docs = _t(spark, sf_dir, "documents")
@@ -1724,6 +1735,7 @@ _RAW_QUERIES: dict = {
         "dedup_minhash_verified": q_dedup_minhash_verified,
         "dedup_incremental": q_dedup_incremental,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_ngram_containment": q_dedup_ngram_containment,
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "dedup_clusters": q_dedup_clusters,

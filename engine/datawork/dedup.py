@@ -259,6 +259,50 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
             .select("id_a", "id_b", "jaccard"))
 
 
+def ngram_containment_pairs(df: DataFrame, id_col: str = "doc_id",
+                            text_col: str = "text", n: int = 3,
+                            threshold: float = 0.8,
+                            max_df: int = 1000) -> DataFrame:
+    """ASYMMETRIC near-dup pairs: containment(A in B) = |A∩B| / |A|.
+
+    Symmetric Jaccard misses superset duplication — an aggregator page
+    that embeds a whole article plus boilerplate has low Jaccard against
+    the article (the union is inflated by the page's extra text) but
+    containment(article ⊂ page) ≈ 1. This is the standard second lens
+    (Broder's containment) a curation pass runs beside Jaccard.
+
+    Same inverted-index shape and guards as ``ngram_jaccard_pairs`` —
+    identical shared shingle slot, same hot-shingle cut; the only extra
+    work is a second division. Both directions are evaluated and each
+    row names its roles: (id_contained, id_container, containment,
+    jaccard) with ``containment`` = |∩| / |shingles(id_contained)|."""
+    sh = _cache_slot("shingles", shingles(df, id_col, text_col, n))
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    hot = (sh.groupBy("shingle").agg(F.count("*").alias("df_count"))
+             .filter(F.col("df_count") > max_df).select("shingle"))
+    cold = sh.join(hot, "shingle", "left_anti")
+    a, b = cold.alias("a"), cold.alias("b")
+    inter = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+                    & (F.col("a.id") < F.col("b.id")))
+             .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+             .agg(F.count("*").alias("inter")))
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
+    both = inter.join(sa, "id_a").join(sb, "id_b")
+    jac = F.round(F.col("inter")
+                  / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6)
+    c_ab = F.round(F.col("inter") / F.col("sz_a"), 6)  # A contained in B
+    c_ba = F.round(F.col("inter") / F.col("sz_b"), 6)
+    ab = both.select(F.col("id_a").alias("id_contained"),
+                     F.col("id_b").alias("id_container"),
+                     c_ab.alias("containment"), jac.alias("jaccard"))
+    ba = both.select(F.col("id_b").alias("id_contained"),
+                     F.col("id_a").alias("id_container"),
+                     c_ba.alias("containment"), jac.alias("jaccard"))
+    return (ab.unionByName(ba)
+            .filter(F.col("containment") >= threshold))
+
+
 MINHASH_PRIME = 4294967311  # smallest prime > 2^32
 
 

@@ -642,6 +642,36 @@ SELECT id_a, id_b, jaccard FROM (
 ) WHERE jaccard >= 0.5
 ORDER BY id_a, id_b"""
 
+    o["dedup_ngram_containment"] = f"""
+WITH {_SHINGLES},
+sizes AS (SELECT id, count(*) AS sz FROM shingles GROUP BY id),
+cold AS (
+    SELECT id, sh FROM shingles
+    QUALIFY count(*) OVER (PARTITION BY sh) <= 1000
+),
+inter AS (
+    SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+    FROM cold a JOIN cold b ON a.sh = b.sh AND a.id < b.id
+    GROUP BY 1, 2
+),
+bt AS (  -- "both" is a DuckDB keyword (TRIM ... BOTH)
+    SELECT id_a, id_b, inter, sa.sz AS sz_a, sb.sz AS sz_b,
+           CAST(round(inter / (sa.sz + sb.sz - inter), 6) AS DOUBLE)
+               AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.id = id_a
+    JOIN sizes sb ON sb.id = id_b
+)
+SELECT id_contained, id_container, containment, jaccard FROM (
+    SELECT id_a AS id_contained, id_b AS id_container,
+           CAST(round(inter / sz_a, 6) AS DOUBLE) AS containment, jaccard
+    FROM bt
+    UNION ALL
+    SELECT id_b, id_a, CAST(round(inter / sz_b, 6) AS DOUBLE), jaccard
+    FROM bt
+) WHERE containment >= 0.5
+ORDER BY id_contained, id_container"""
+
     o["dedup_simhash"] = _simhash_core() + """
 SELECT id AS doc_id, simhash FROM sh"""
 

@@ -1485,3 +1485,20 @@ def test_decode_gif_meta_parser_edges():
                 gif(frames=0), b"NOTAGIFXXXXXXX"]:
         with _pt.raises(ValueError):
             decode_gif_meta(bad)
+
+
+def test_containment_catches_superset_jaccard_misses(spark):
+    """The motivating case: a big page embedding a small article whole.
+    Jaccard is diluted below threshold; containment(article in page) = 1."""
+    from engine.datawork.dedup import (ngram_containment_pairs,
+                                       ngram_jaccard_pairs)
+    art = " ".join(f"a{i}" for i in range(20))
+    page = art + " " + " ".join(f"b{i}" for i in range(120))
+    df = spark.createDataFrame(
+        [(1, art), (2, page)], "doc_id bigint, text string")
+    assert ngram_jaccard_pairs(df, threshold=0.5).count() == 0
+    rows = ngram_containment_pairs(df, threshold=0.9).collect()
+    assert len(rows) == 1
+    (r,) = rows
+    assert (r["id_contained"], r["id_container"]) == (1, 2)
+    assert r["containment"] == 1.0 and r["jaccard"] < 0.5
