@@ -10,6 +10,7 @@ columns, passed through where the op allows]):
     minhash-pairs   MinHash-LSH candidate near-dup pairs
     verified-pairs  candidates verified by the signature-estimate Jaccard
                     (--threshold; the boilerplate-skew-safe chain)
+    containment-pairs  asymmetric Broder containment pairs (--threshold)
     clusters        duplicate clusters (connected components over
                     VERIFIED pairs — raw candidates glue template hubs)
     dedup-apply     the deduplicated corpus (one canonical doc per cluster)
@@ -66,6 +67,7 @@ def _near_dup_pairs(docs, threshold: float):
 
 
 DEDUP_OPS = {"exact-dups", "minhash-pairs", "verified-pairs", "clusters",
+             "containment-pairs",
              "dedup-apply", "dedup-apply-full", "guard-report"}
 
 
@@ -106,6 +108,9 @@ def run_op(spark, op: str, input_path: str, percent: int = 10,
         # with its estimate, nothing filtered (est_jaccard >= 0 always)
         from .dedup import minhash_verified_pairs
         return minhash_verified_pairs(docs, threshold=threshold)
+    if op == "containment-pairs":
+        from .dedup import ngram_containment_pairs
+        return ngram_containment_pairs(docs, threshold=threshold)
     if op == "clusters":
         from .clusters import duplicate_clusters
         return duplicate_clusters(_near_dup_pairs(docs, threshold))
@@ -219,6 +224,7 @@ def main(argv=None) -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--op", required=True,
                     choices=["exact-dups", "minhash-pairs", "verified-pairs",
+                             "containment-pairs",
                              "clusters", "dedup-apply", "dedup-apply-full",
                              "guard-report", "vocab",
                              "sample", "quantiles", "line-dedup",
