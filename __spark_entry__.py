@@ -1456,6 +1456,25 @@ def q_doc_profile(spark, sf_dir):
     return profile_table(_t(spark, sf_dir, "documents")).orderBy("column")
 
 
+def q_source_quality_report(spark, sf_dir):
+    """Per-source rollup of the named quality flags — the source-level
+    junk table a 100 TB operator actually filters on (drop/keep whole
+    sources by pass rate, not per-doc). Integer 0/1 flag sums make the
+    averages engine-exact; one hash aggregate on the source key."""
+    from engine.datawork.textstats import with_quality_flags
+    q = with_quality_flags(_t(spark, sf_dir, "documents"))
+    rate = lambda c, a: F.round(  # noqa: E731
+        F.avg(F.col(c).cast("int")), 6).alias(a)
+    return (q.groupBy("source")
+            .agg(F.count("*").cast("bigint").alias("n_docs"),
+                 rate("pass_quality", "pass_rate"),
+                 rate("flag_word_count", "rate_word_count"),
+                 rate("flag_stopwords", "rate_stopwords"),
+                 rate("flag_alpha_words", "rate_alpha_words"),
+                 F.round(F.avg("n_words"), 2).alias("mean_words"))
+            .orderBy("source"))
+
+
 def q_doc_chunks(spark, sf_dir):
     """Sliding-window chunking (tokenizer-overflow pattern) for context
     prep: 64-token windows at stride 48 so the tail is always covered.
@@ -1789,6 +1808,7 @@ _RAW_QUERIES: dict = {
         "corpus_dsir_weights": q_corpus_dsir_weights,
         "corpus_classifier_scores": q_corpus_classifier_scores,
         "doc_profile": q_doc_profile,
+        "source_quality_report": q_source_quality_report,
         "doc_chunks": q_doc_chunks,
         "doc_char_entropy": q_doc_char_entropy,
         "corpus_dsir_select": q_corpus_dsir_select,

@@ -475,7 +475,7 @@ FROM g"""
 
     from engine.datawork.textstats import (BULLET_LINE_RE, ELLIPSIS_END_RE,
                                            SYMBOL_RE)
-    o["doc_quality_flags"] = f"""
+    _qflags_sql = f"""
 WITH base AS (
     SELECT doc_id,
            {_WORDS} AS ws,
@@ -519,6 +519,25 @@ SELECT doc_id, CAST(nw AS INTEGER) AS n_words,
         AND (repf <= 0.3) AND (alphar >= 0.8) AND (nstop >= 2))
            AS pass_quality
 FROM r"""
+    o["doc_quality_flags"] = _qflags_sql
+
+    # per-source rollup of the same flags: the source-level junk table a
+    # 100 TB operator filters on (integer 0/1 sums -> exact averages)
+    o["source_quality_report"] = f"""
+WITH q AS ({_qflags_sql})
+SELECT d.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(avg(CASE WHEN q.pass_quality THEN 1.0 ELSE 0.0 END), 6)
+           AS pass_rate,
+       round(avg(CASE WHEN q.flag_word_count THEN 1.0 ELSE 0.0 END), 6)
+           AS rate_word_count,
+       round(avg(CASE WHEN q.flag_stopwords THEN 1.0 ELSE 0.0 END), 6)
+           AS rate_stopwords,
+       round(avg(CASE WHEN q.flag_alpha_words THEN 1.0 ELSE 0.0 END), 6)
+           AS rate_alpha_words,
+       round(avg(q.n_words), 2) AS mean_words
+FROM q JOIN documents d USING (doc_id)
+GROUP BY d.source ORDER BY d.source"""
 
     fp = "md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))"
     o["doc_fingerprints"] = f"SELECT doc_id, {fp} AS fingerprint FROM documents"
