@@ -1711,15 +1711,89 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: _shipped(fn) for name, fn in _RAW_QUERIES.items()}
 
 
+# Registry ORDER is load-bearing: the driver's correctness gate verifies the
+# FIRST 50 entries only (observed: CORRECTNESS_r05.json == keys[:50]), so the
+# window rotates each round to cover queries the gate has never seen
+# (VERDICT r5 #1). Round-6 window = 3 §2 sentinels + the round-3/4/5
+# LLM-data-pipeline surface (packing, curation, SFT-budget, DSIR, SemDeDup,
+# classifier, ANN/index, funnel, interval/stream joins, multimodal), none of
+# which had ever been driver-verified. Positions 51+ hold (a) the r7 rotation
+# queue (still-unverified leftovers first), then (b) the r5-driver-green set.
 _RAW_QUERIES: dict = {
+        # ---- §2 sentinels (keep one per family in every window) ----
         "extract_per_turn": q_extract_per_turn,
+        "conversation_documents": q_conversation_documents,
+        "events_stream_window": q_events_stream_window,
+        # ---- never-driver-verified before r6: packing + substring dedup ----
+        "corpus_pack_shards": q_corpus_pack_shards,
+        "dedup_substring_spans": q_dedup_substring_spans,
+        "dedup_substring_apply": q_dedup_substring_apply,
+        "winnow_fingerprints": q_winnow_fingerprints,
+        "winnow_similar_pairs": q_winnow_similar_pairs,
+        # ---- curation family ----
+        "corpus_line_dedup": q_corpus_line_dedup,
+        "corpus_line_dedup_report": q_corpus_line_dedup_report,
+        "corpus_decontaminate": q_corpus_decontaminate,
+        "corpus_decontaminate_spans": q_corpus_decontaminate_spans,
+        "corpus_temperature_sample": q_corpus_temperature_sample,
+        "corpus_mixture_sample": q_corpus_mixture_sample,
+        "corpus_splits": q_corpus_splits,
+        "corpus_snapshot_diff": q_corpus_snapshot_diff,
+        "corpus_curate": q_corpus_curate,
+        "corpus_curate_funnel": q_corpus_curate_funnel,
+        # ---- joins / streaming / events ----
+        "events_interval_join": q_events_interval_join,
+        "events_stream_join": q_events_stream_join,
+        "events_stream_enrich": q_events_stream_enrich,
+        "events_pivot_daily": q_events_pivot_daily,
+        "events_funnel": q_events_funnel,
+        "events_hll_daily": q_events_hll_daily,
+        "events_quantiles_approx": q_events_quantiles_approx,
+        "events_rolling_7d": q_events_rolling_7d,
+        # ---- multimodal ----
+        "multimodal_ppm_decode": q_multimodal_ppm_decode,
+        "multimodal_wav_decode": q_multimodal_wav_decode,
+        "multimodal_gif_meta": q_multimodal_gif_meta,
+        "multimodal_features": q_multimodal_features,
+        # ---- text scoring / selection ----
+        "doc_tfidf_top_terms": q_doc_tfidf_top_terms,
+        "doc_unigram_nll": q_doc_unigram_nll,
+        "doc_ppl_buckets": q_doc_ppl_buckets,
+        "corpus_stratified_sample": q_corpus_stratified_sample,
+        "corpus_heavy_hitters": q_corpus_heavy_hitters,
+        "doc_pii_redact": q_doc_pii_redact,
+        # ---- similarity / ANN / SemDeDup / DSIR / classifier ----
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_lsh_buckets": q_ann_lsh_buckets,
+        "embedding_near_pairs": q_embedding_near_pairs,
+        "embedding_near_pairs_lsh": q_embedding_near_pairs_lsh,
+        "ann_lsh_topk_probe": q_ann_lsh_topk_probe,
+        "ann_ivf_assignments": q_ann_ivf_assignments,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_ivf_trained": q_ann_ivf_trained,
+        "ann_ivf_trained_topk": q_ann_ivf_trained_topk,
+        "semdedup_losers": q_semdedup_losers,
+        "corpus_dsir_weights": q_corpus_dsir_weights,
+        "corpus_dsir_select": q_corpus_dsir_select,
+        "corpus_classifier_scores": q_corpus_classifier_scores,
+        "ann_index_probe": q_ann_index_probe,
+        # ================= driver window boundary (50) =================
+        # r7 rotation queue: still never driver-verified
+        "ann_index_probe_batch": q_ann_index_probe_batch,
+        "pdf_payload_extract": q_pdf_payload_extract,
+        "doc_profile": q_doc_profile,
+        "source_quality_report": q_source_quality_report,
+        "doc_chunks": q_doc_chunks,
+        "doc_char_entropy": q_doc_char_entropy,
+        "corpus_sample": q_corpus_sample,
+        "doc_length_quantiles": q_doc_length_quantiles,
+        # r5-driver-green set (CORRECTNESS_r05.json)
         "extract_kind_rollup": q_extract_kind_rollup,
         "extract_passages": q_extract_passages,
         "extract_numerics": q_extract_numerics,
         "extract_tables": q_extract_tables,
         "extract_spans": q_extract_spans,
         "conversation_rollup": q_conversation_rollup,
-        "conversation_documents": q_conversation_documents,
         "conversation_documents_salted": q_conversation_documents_salted,
         "pipeline_lineage": q_pipeline_lineage,
         "pricing_summary": q_pricing_summary,
@@ -1735,7 +1809,6 @@ _RAW_QUERIES: dict = {
         "events_retention": q_events_retention,
         "events_sessionize": q_events_sessionize,
         "events_props_json": q_events_props_json,
-        "events_stream_window": q_events_stream_window,
         "events_stream_sessionize": q_events_stream_sessionize,
         "events_stream_dedup": q_events_stream_dedup,
         "sql_function_surface": q_sql_function_surface,
@@ -1762,61 +1835,6 @@ _RAW_QUERIES: dict = {
         "dedup_apply": q_dedup_apply,
         "dedup_apply_full": q_dedup_apply_full,
         "token_vocab_topk": q_token_vocab_topk,
-        "corpus_sample": q_corpus_sample,
-        "doc_length_quantiles": q_doc_length_quantiles,
-        "corpus_pack_shards": q_corpus_pack_shards,
-        "dedup_substring_spans": q_dedup_substring_spans,
-        "dedup_substring_apply": q_dedup_substring_apply,
-        "winnow_fingerprints": q_winnow_fingerprints,
-        "winnow_similar_pairs": q_winnow_similar_pairs,
-        "corpus_line_dedup": q_corpus_line_dedup,
-        "corpus_line_dedup_report": q_corpus_line_dedup_report,
-        "corpus_decontaminate": q_corpus_decontaminate,
-        "corpus_decontaminate_spans": q_corpus_decontaminate_spans,
-        "corpus_temperature_sample": q_corpus_temperature_sample,
-        "corpus_mixture_sample": q_corpus_mixture_sample,
-        "corpus_splits": q_corpus_splits,
-        "corpus_snapshot_diff": q_corpus_snapshot_diff,
-        "corpus_curate": q_corpus_curate,
-        "corpus_curate_funnel": q_corpus_curate_funnel,
-        "events_interval_join": q_events_interval_join,
-        "events_stream_join": q_events_stream_join,
-        "events_stream_enrich": q_events_stream_enrich,
-        "events_pivot_daily": q_events_pivot_daily,
-        "events_funnel": q_events_funnel,
-        "events_hll_daily": q_events_hll_daily,
-        "events_quantiles_approx": q_events_quantiles_approx,
-        "events_rolling_7d": q_events_rolling_7d,
-        "multimodal_ppm_decode": q_multimodal_ppm_decode,
-        "multimodal_wav_decode": q_multimodal_wav_decode,
-        "multimodal_gif_meta": q_multimodal_gif_meta,
-        "doc_tfidf_top_terms": q_doc_tfidf_top_terms,
-        "doc_unigram_nll": q_doc_unigram_nll,
-        "doc_ppl_buckets": q_doc_ppl_buckets,
-        "corpus_stratified_sample": q_corpus_stratified_sample,
-        "corpus_heavy_hitters": q_corpus_heavy_hitters,
-        "doc_pii_redact": q_doc_pii_redact,
-        "ann_cosine_topk": q_ann_cosine_topk,
-        "ann_lsh_buckets": q_ann_lsh_buckets,
-        "embedding_near_pairs": q_embedding_near_pairs,
-        "embedding_near_pairs_lsh": q_embedding_near_pairs_lsh,
-        "ann_lsh_topk_probe": q_ann_lsh_topk_probe,
-        "ann_ivf_assignments": q_ann_ivf_assignments,
-        "ann_ivf_topk": q_ann_ivf_topk,
-        "ann_ivf_trained": q_ann_ivf_trained,
-        "semdedup_losers": q_semdedup_losers,
-        "corpus_dsir_weights": q_corpus_dsir_weights,
-        "corpus_classifier_scores": q_corpus_classifier_scores,
-        "doc_profile": q_doc_profile,
-        "source_quality_report": q_source_quality_report,
-        "doc_chunks": q_doc_chunks,
-        "doc_char_entropy": q_doc_char_entropy,
-        "corpus_dsir_select": q_corpus_dsir_select,
-        "ann_ivf_trained_topk": q_ann_ivf_trained_topk,
-        "ann_index_probe": q_ann_index_probe,
-        "ann_index_probe_batch": q_ann_index_probe_batch,
-        "multimodal_features": q_multimodal_features,
-        "pdf_payload_extract": q_pdf_payload_extract,
     }
 
 

@@ -139,7 +139,7 @@ def main() -> None:
                        lines[-1])
         self_check = {"ok": res.returncode == 0, "summary": summary}
 
-    print(json.dumps({
+    full = {
         "metric": "turns_per_sec",
         "value": round(tput, 1),
         "unit": "sec",
@@ -150,7 +150,36 @@ def main() -> None:
         "extract_seconds": round(extract_s, 2),
         "cpus": CPUS,
         "self_check": self_check,
-    }))
+    }
+    # The driver records only a bounded TAIL of stdout: the r5 artifact's
+    # single giant line lost its head (metric + half the timings) to that
+    # capture and parsed as null (VERDICT r5 #7). The full artifact now
+    # lives in a committed file; stdout carries a line small enough to
+    # survive any tail window, with a fixed headline-query subset.
+    with open(REPO / "BENCH_SELF.json", "w") as fh:
+        json.dump(full, fh, indent=1, sort_keys=True)
+        fh.write("\n")
+    headline = [
+        "extract_per_turn", "conversation_documents", "events_stream_window",
+        "corpus_pack_shards", "corpus_curate", "corpus_curate_funnel",
+        "dedup_incremental", "dedup_apply_full", "embedding_near_pairs",
+        "embedding_near_pairs_lsh", "semdedup_losers", "corpus_dsir_select",
+        "ann_ivf_topk", "ann_index_probe", "events_stream_join",
+        "events_funnel", "pdf_payload_extract",
+    ]
+    print(json.dumps({
+        "metric": "turns_per_sec",
+        "value": round(tput, 1),
+        "unit": "sec",
+        "queries": {k: timings[k] for k in headline if k in timings},
+        "queries_full": "BENCH_SELF.json",
+        "n_queries": len(timings),
+        "sf": SF_DIR,
+        "extract_turns": out_rows,
+        "extract_seconds": round(extract_s, 2),
+        "cpus": CPUS,
+        "self_check": self_check,
+    }, separators=(",", ":")))
 
 
 if __name__ == "__main__":
