@@ -106,10 +106,18 @@ def probe_index(spark: SparkSession, path: str, query: Sequence[float],
     return cosine_topk(cand, query, k, id_col="id", vec_col="v")
 
 
+#: Query waves above this row count fall back to a shuffle join instead of
+#: a forced broadcast: vectors are wide (dim × float), so the cap is lower
+#: than the dedup family's row cap — 500k × 64-dim doubles ≈ 256 MB.
+#: With no hint, AQE still broadcasts at runtime when the wave is small.
+MAX_BROADCAST_QUERIES = 500_000
+
+
 def probe_index_batch(spark: SparkSession, path: str, queries: DataFrame,
                       k: int = 3, qid_col: str = "vec_id",
                       vec_col: str = "embedding",
-                      planes: Optional[List[List[float]]] = None
+                      planes: Optional[List[List[float]]] = None,
+                      max_broadcast_queries: int = MAX_BROADCAST_QUERIES
                       ) -> DataFrame:
     """Home-bucket probe for a WAVE of query vectors: broadcast the
     bucketed wave against the pruned corpus scan (corpus is never
@@ -118,15 +126,22 @@ def probe_index_batch(spark: SparkSession, path: str, queries: DataFrame,
     Returns (qid, id, score, rank) — self-matches (same id) excluded so
     indexing a corpus and probing it with itself yields neighbors, not
     identities.
+
+    The wave is censused before broadcasting (VERDICT r5 #3): a wave
+    past ``max_broadcast_queries`` joins without the hint — identical
+    rows (equivalence test), memory bounded by the shuffle not the
+    driver/executor broadcast build.
     """
     planes = planes or lsh_planes()
     qb = (queries.select(F.col(qid_col).alias("qid"),
                          F.col(vec_col).alias("qv"))
           .withColumn("qbucket", bucket_expr(F.col("qv"), planes))
           .withColumn("qnrm", norm(F.col("qv"))))
+    bcast_ok = queries.select(qid_col).count() <= max_broadcast_queries
+    hint = F.broadcast if bcast_ok else (lambda df: df)
     idx = (spark.read.parquet(_sub(path, VECTORS))
            .withColumn("nrm", norm(F.col("v"))))
-    j = idx.join(F.broadcast(qb),
+    j = idx.join(hint(qb),
                  (F.col("bucket") == F.col("qbucket"))
                  & (F.col("id") != F.col("qid")))
     dotprod = F.aggregate(

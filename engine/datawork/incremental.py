@@ -106,33 +106,73 @@ def append_to_index(new_docs: DataFrame, path: str, id_col: str = "doc_id",
         .write.mode("append").parquet(_sub(path, STATS)))
 
 
+#: Above this many wave-derived rows (wave docs × bands), the wave-side
+#: broadcasts fall back to shuffle joins: a broadcast must fit in every
+#: executor AND the driver, so an unbounded ingest wave (10⁸ docs × 16
+#: bands) would OOM long before the corpus side ever became the problem.
+#: 5M rows of (band,bucket)/(id) keep the build under ~200 MB. The
+#: fallback is AQE-friendly: with no forced hint, AQE still converts the
+#: join to a broadcast at runtime when the actual size is small.
+MAX_BROADCAST_ROWS = 5_000_000
+
+
+def wave_census(new_docs: DataFrame, id_col: str = "doc_id",
+                bands: int = MINHASH_BANDS) -> dict:
+    """Size the wave BEFORE probing (the house census pattern — see
+    dedup's bucket census / curation's line census): returns
+    ``{"n_docs", "bucket_rows", "broadcast_ok"}`` so the caller can see
+    which join strategy ``incremental_verified_pairs`` will pick and
+    whether the wave should be split."""
+    n_docs = new_docs.select(id_col).count()
+    rows = n_docs * bands
+    return {"n_docs": n_docs, "bucket_rows": rows,
+            "broadcast_ok": rows <= MAX_BROADCAST_ROWS}
+
+
 def incremental_verified_pairs(new_docs: DataFrame, index_path: str,
                                id_col: str = "doc_id",
                                text_col: str = "text", n: int = 3,
                                k: int = MINHASH_K,
                                bands: int = MINHASH_BANDS,
                                threshold: float = 0.5,
-                               max_bucket: int = 100) -> DataFrame:
+                               max_bucket: int = 100,
+                               max_broadcast_rows: int = MAX_BROADCAST_ROWS
+                               ) -> DataFrame:
     """Verified near-dup pairs TOUCHING the new wave: wave×corpus +
     wave×wave, identical to ``minhash_verified_pairs(old ∪ new)`` filtered
     to pairs with ≥1 wave member (the exactness contract; see the module
     docstring for why the combined-occupancy guard makes this hold).
 
     Returns (id_a, id_b, est_jaccard, origin) with id_a < id_b and origin
-    ∈ {'new_new', 'new_old'} (both-ids-in-wave vs one side indexed)."""
+    ∈ {'new_new', 'new_old'} (both-ids-in-wave vs one side indexed).
+
+    Wave-side broadcast guard (VERDICT r5 #3): every broadcast below is
+    wave-proportional (touched buckets, hot set, candidate ids), so the
+    wave is censused ONCE up front; past ``max_broadcast_rows`` the same
+    joins run without the hint — identical pair set (the equivalence
+    tests run both paths), bounded memory, and AQE may still broadcast
+    at runtime if the actual relation turns out small."""
     spark = new_docs.sparkSession
     sig_new = minhash_signatures(new_docs, id_col, text_col, n, k).persist()
     b_new = _band_explode(sig_new, k, bands).persist()
 
-    # the wave's probe set — small (≤ bands rows/doc), broadcast everywhere
+    # census: one count of the (persisted, reused) signature table — the
+    # broadcast decision must come from the wave's REAL size, not a hope
+    n_wave = sig_new.count()
+    bcast_ok = n_wave * bands <= max_broadcast_rows
+    hint = F.broadcast if bcast_ok else (lambda df: df)
+
+    # the wave's probe set — ≤ bands rows/doc, broadcast while small
     touched = b_new.select("band", "bucket").distinct()
 
-    # corpus side: scans filtered by broadcast joins only (no shuffle)
+    # corpus side: scans filtered by wave-driven semi-joins (no corpus
+    # shuffle on the broadcast path; on the fallback path the corpus side
+    # shuffles by (band,bucket) — still never by corpus text/signature)
     corpus_buckets = (spark.read.parquet(_sub(index_path, BUCKETS))
-                      .join(F.broadcast(touched), ["band", "bucket"],
+                      .join(hint(touched), ["band", "bucket"],
                             "left_semi"))
     corpus_stats = (spark.read.parquet(_sub(index_path, STATS))
-                    .join(F.broadcast(touched), ["band", "bucket"],
+                    .join(hint(touched), ["band", "bucket"],
                           "left_semi")
                     .groupBy("band", "bucket")
                     .agg(F.sum("cnt").alias("old_cnt")))
@@ -145,8 +185,8 @@ def incremental_verified_pairs(new_docs: DataFrame, index_path: str,
            .withColumn("cnt", F.coalesce("old_cnt", F.lit(0)) + F.col("new_cnt"))
            .filter(F.col("cnt") > max_bucket).select("band", "bucket"))
 
-    b_new_cold = b_new.join(F.broadcast(hot), ["band", "bucket"], "left_anti")
-    corpus_cold = corpus_buckets.join(F.broadcast(hot), ["band", "bucket"],
+    b_new_cold = b_new.join(hint(hot), ["band", "bucket"], "left_anti")
+    corpus_cold = corpus_buckets.join(hint(hot), ["band", "bucket"],
                                       "left_anti")
 
     nn = (b_new_cold.alias("a")
@@ -164,37 +204,34 @@ def incremental_verified_pairs(new_docs: DataFrame, index_path: str,
     cand = nn.unionByName(no).distinct()
 
     # verify via the signature estimate — corpus signatures are read ONLY
-    # for candidate ids (broadcast semi-join: candidate volume ∝ wave)
+    # for candidate ids (semi-join; candidate volume ∝ wave, so the same
+    # census decision governs the hint)
     cand_ids = (cand.select(F.col("id_a").alias("id"))
                 .unionByName(cand.select(F.col("id_b").alias("id")))
                 .distinct())
     sig_old = (spark.read.parquet(_sub(index_path, SIGS))
-               .join(F.broadcast(cand_ids), "id", "left_semi"))
-    sig_all = sig_new.unionByName(sig_old)
+               .join(hint(cand_ids), "id", "left_semi"))
+    # wave membership rides the union as a column — origin tagging then
+    # costs ZERO extra joins (r5 verdict nit: the old spelling broadcast
+    # the wave-id table twice just to mark each side)
+    sig_all = (sig_new.withColumn("_new", F.lit(True))
+               .unionByName(sig_old.withColumn("_new", F.lit(False))))
     sa = sig_all.select(F.col("id").alias("id_a"),
+                        F.col("_new").alias("a_new"),
                         *[F.col(f"mh{i}").alias(f"a{i}") for i in range(k)])
     sb = sig_all.select(F.col("id").alias("id_b"),
+                        F.col("_new").alias("b_new"),
                         *[F.col(f"mh{i}").alias(f"b{i}") for i in range(k)])
     matches = sum(F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
                   for i in range(k))
-    wave_ids = sig_new.select(F.col("id").alias("wid"))
-    verified = (cand.join(sa, "id_a").join(sb, "id_b")
-                .select("id_a", "id_b",
-                        F.round(matches / F.lit(float(k)), 6)
-                         .alias("est_jaccard"))
-                .filter(F.col("est_jaccard") >= threshold))
     # origin is a function of wave membership, not of which candidate
     # branch produced the pair (both-in-wave pairs can also surface via
     # the wave×corpus join when ids overlap buckets — distinct() merged them)
-    return (verified
-            .join(F.broadcast(wave_ids.withColumnRenamed("wid", "id_a")
-                              .withColumn("a_new", F.lit(True))),
-                  "id_a", "left_outer")
-            .join(F.broadcast(wave_ids.withColumnRenamed("wid", "id_b")
-                              .withColumn("b_new", F.lit(True))),
-                  "id_b", "left_outer")
-            .select("id_a", "id_b", "est_jaccard",
-                    F.when(F.coalesce("a_new", F.lit(False))
-                           & F.coalesce("b_new", F.lit(False)),
+    return (cand.join(sa, "id_a").join(sb, "id_b")
+            .select("id_a", "id_b",
+                    F.round(matches / F.lit(float(k)), 6)
+                     .alias("est_jaccard"),
+                    F.when(F.col("a_new") & F.col("b_new"),
                            F.lit("new_new")).otherwise(F.lit("new_old"))
-                     .alias("origin")))
+                     .alias("origin"))
+            .filter(F.col("est_jaccard") >= threshold))

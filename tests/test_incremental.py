@@ -144,3 +144,55 @@ def test_no_corpus_shuffle_in_plan(spark, idx_path):
                             f"corpus index scan shuffled:\n{plan}")
                     if "Join" in node or node.startswith("BroadcastExchange"):
                         break
+
+
+def test_broadcast_guard_fallback_equivalence(spark, idx_path):
+    """max_broadcast_rows=0 forces the shuffle-join fallback on every
+    wave-side hint; the pair set (incl. origin tags) must be identical to
+    the broadcast path — the guard changes the physical strategy only."""
+    from engine.datawork.incremental import (incremental_verified_pairs,
+                                             wave_census,
+                                             write_minhash_index)
+    docs = _mk_docs(spark, seed=31)
+    corpus, wave = _split(docs, 0, 8), _split(docs, 8, 10)
+    write_minhash_index(corpus, idx_path)
+
+    census = wave_census(wave)
+    assert census["n_docs"] > 0
+    assert census["bucket_rows"] == census["n_docs"] * 16
+    assert census["broadcast_ok"]  # tiny wave fits comfortably
+
+    fast = (incremental_verified_pairs(wave, idx_path)
+            .orderBy("id_a", "id_b").collect())
+    slow = (incremental_verified_pairs(wave, idx_path,
+                                       max_broadcast_rows=0)
+            .orderBy("id_a", "id_b").collect())
+    assert [tuple(r) for r in fast] == [tuple(r) for r in slow]
+    assert len(fast) > 0
+
+
+def test_ann_batch_probe_guard_fallback(spark, tmp_path):
+    """probe_index_batch with the wave-broadcast guard tripped returns the
+    same (qid, id, score, rank) rows as the broadcast path."""
+    import math
+    from engine.datawork.ann_index import probe_index_batch, write_ann_index
+
+    def vec(i):
+        return [math.sin(i * 0.7 + d) for d in range(8)]
+
+    emb = spark.createDataFrame(
+        [(i, vec(i)) for i in range(80)],
+        "vec_id: long, embedding: array<double>")
+    path = str(tmp_path / "ann_index")
+    from engine.datawork.similarity import lsh_planes
+    planes = lsh_planes(n_planes=6, dim=8)
+    write_ann_index(emb, path, planes=planes)
+    wave = emb.filter(F.col("vec_id") % 5 == 0)
+
+    fast = (probe_index_batch(spark, path, wave, k=3, planes=planes)
+            .orderBy("qid", "rank").collect())
+    slow = (probe_index_batch(spark, path, wave, k=3, planes=planes,
+                              max_broadcast_queries=0)
+            .orderBy("qid", "rank").collect())
+    assert [tuple(r) for r in fast] == [tuple(r) for r in slow]
+    assert len(fast) > 0
