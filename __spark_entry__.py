@@ -666,6 +666,20 @@ def q_sft_pairs_budget(spark, sf_dir):
     return sft_examples_budget(src, ctx_budget=4000)
 
 
+def q_sft_pairs_budget_tokens(spark, sf_dir):
+    """TOKEN-budget SFT context: the same RANGE-frame algebra with the
+    per-turn cost in real BPE tokens (frozen merges kernel; +4 overhead
+    per turn) — the budget unit training actually uses. ctx_tokens (the
+    admitted context's total cost, always ≤ 600) sits in the output so
+    the budget arithmetic itself is oracle-checked; token counts on the
+    DuckDB side come from the committed expected_bpe table produced by
+    the identical Spark-free kernel."""
+    from engine.datawork.sft import sft_examples_budget_tokens
+    src = spark.read.parquet(
+        os.path.join(_synth_dir(sf_dir), "transcripts.parquet"))
+    return sft_examples_budget_tokens(src, ctx_budget_tokens=600)
+
+
 def q_doc_quality_flags(spark, sf_dir):
     """The standard named pretraining filters (Gopher rules / C4 line
     heuristics) as individual boolean columns — each rule observable and
@@ -908,9 +922,12 @@ def q_doc_length_quantiles(spark, sf_dir):
 def q_corpus_pack_shards(spark, sf_dir):
     """Concat-stream token-budget shard packing (sequence packing): each
     doc's shard is floor(start_offset / 2048) over the id-ordered token
-    stream. Distributed prefix sum — range shuffle + per-partition Arrow
-    cumsum + driver prefix of n_partitions totals; NO global-order Window
-    (which would be a one-partition plan). engine/datawork/pack.py."""
+    stream, with counts from the REAL frozen-merges BPE tokenizer (the
+    default since r6 — token budgets must use the tokenizer's arithmetic,
+    not a regex proxy). Distributed prefix sum — range shuffle +
+    per-partition Arrow cumsum + driver prefix of n_partitions totals; NO
+    global-order Window (which would be a one-partition plan).
+    engine/datawork/pack.py; oracle counts from expected_docs_bpe."""
     from engine.datawork.pack import pack_shards
     return pack_shards(_t(spark, sf_dir, "documents"), budget=2048)
 
@@ -1758,7 +1775,7 @@ _RAW_QUERIES: dict = {
         # ---- text scoring / selection ----
         "doc_tfidf_top_terms": q_doc_tfidf_top_terms,
         "doc_unigram_nll": q_doc_unigram_nll,
-        "doc_ppl_buckets": q_doc_ppl_buckets,
+        "sft_pairs_budget_tokens": q_sft_pairs_budget_tokens,
         "corpus_stratified_sample": q_corpus_stratified_sample,
         "corpus_heavy_hitters": q_corpus_heavy_hitters,
         "doc_pii_redact": q_doc_pii_redact,
@@ -1787,6 +1804,7 @@ _RAW_QUERIES: dict = {
         "doc_char_entropy": q_doc_char_entropy,
         "corpus_sample": q_corpus_sample,
         "doc_length_quantiles": q_doc_length_quantiles,
+        "doc_ppl_buckets": q_doc_ppl_buckets,
         # r5-driver-green set (CORRECTNESS_r05.json)
         "extract_kind_rollup": q_extract_kind_rollup,
         "extract_passages": q_extract_passages,

@@ -40,19 +40,24 @@ def pack_shards(docs: DataFrame, budget: int, id_col: str = "doc_id",
     """(id, n_tokens, start_offset, shard_id) for concat-stream packing of
     ``docs`` ordered by ``id_col`` into shards of ``budget`` tokens.
 
-    ``tokens`` is the per-doc token-count expression (default: the BPE-ish
-    token-class count from textstats — swap in tokenize.with_bpe_tokens'
-    n_tokens column for real subword budgets). ``id_col`` must be non-null
-    and unique (the dedup family's contract); the stream order is ascending
-    ``id_col``. NULL token counts pack as 0.
+    ``tokens`` is the per-doc token-count expression. Default (None): the
+    REAL frozen-merges BPE count (tokenize.with_bpe_tokens) — token budgets
+    are the currency of training-data work, so the shard cut must use the
+    tokenizer's arithmetic, not a proxy (VERDICT r5 #4). Pass
+    ``textstats.token_count_bpe(F.col("text"))`` explicitly to get the
+    cheap regex token-class proxy back (useful when the text will be
+    tokenized by an unknown downstream tokenizer anyway). ``id_col`` must
+    be non-null and unique (the dedup family's contract); the stream order
+    is ascending ``id_col``. NULL token counts pack as 0.
     """
     from .dedup import _cache_slot
 
     if budget < 1:
         raise ValueError(f"budget must be >= 1, got {budget}")
     if tokens is None:
-        from .textstats import token_count_bpe
-        tokens = token_count_bpe(F.col("text"))
+        from .tokenize import with_bpe_tokens
+        docs = with_bpe_tokens(docs.select(F.col(id_col), F.col("text")))
+        tokens = F.col("n_tokens")
     spark = docs.sparkSession
     n_part = num_partitions or spark.sparkContext.defaultParallelism
 

@@ -144,6 +144,74 @@ def sft_examples_budget(turns: DataFrame, ctx_budget: int = 4000,
                  conv_col, idx_col)
 
 
+#: Per-turn token overhead in the budget-tokens variant: the rendered
+#: header ``<|role|>\n`` plus the turn's share of one ``\n\n`` joiner,
+#: charged as a flat constant so the cost stays a pure function of the
+#: turn (and stays strictly positive — the RANGE-frame derivation needs
+#: a strictly increasing cumulative cost).
+TOKEN_OVERHEAD = 4
+
+
+def sft_examples_budget_tokens(turns: DataFrame,
+                               ctx_budget_tokens: int = 600,
+                               target_role: str = "assistant",
+                               conv_col: str = "conv_id",
+                               idx_col: str = "turn_idx",
+                               role_col: str = "role",
+                               text_col: str = "text",
+                               merges_path: str | None = None) -> DataFrame:
+    """``sft_examples_budget`` with the budget measured in REAL BPE tokens
+    (frozen merges table, engine/core/bpe.py) instead of characters —
+    the unit training actually budgets in (VERDICT r5 #4).
+
+    A turn's cost is ``n_tokens(text) + TOKEN_OVERHEAD``; the context is
+    the maximal suffix of preceding turns whose total cost fits
+    ``ctx_budget_tokens``, derived with the same cumulative-cost RANGE
+    frame as the character variant (see ``sft_examples_budget`` for the
+    frame algebra). Output adds ``ctx_tokens`` — the admitted context's
+    total token cost (always ≤ ctx_budget_tokens) — so the budget math
+    itself sits under the oracle gate.
+
+    ``turns`` must not already carry ``n_tokens``/``tokens_md5`` columns
+    (with_bpe_tokens adds them).
+    """
+    if ctx_budget_tokens < 1:
+        raise ValueError(
+            f"ctx_budget_tokens must be >= 1, got {ctx_budget_tokens}")
+    from .tokenize import with_bpe_tokens
+    t = with_bpe_tokens(turns, text_col=text_col, merges_path=merges_path)
+    unit = _rendered(role_col, text_col)
+    wcum = (Window.partitionBy(conv_col).orderBy(idx_col)
+            .rowsBetween(Window.unboundedPreceding, -1))
+    cost = (F.col("n_tokens") + F.lit(TOKEN_OVERHEAD)).cast("bigint")
+    df = (t.withColumn("_u", unit)
+          .withColumn("_cost", cost)
+          .withColumn("_cstart",
+                      F.coalesce(F.sum("_cost").over(wcum), F.lit(0))))
+    wr = (Window.partitionBy(conv_col).orderBy("_cstart")
+          .rangeBetween(-int(ctx_budget_tokens), -1))
+    lst = F.collect_list(
+        F.struct(F.col(idx_col).alias("i"), F.col("_u").alias("u"))).over(wr)
+    ctx_tokens = F.coalesce(F.sum("_cost").over(wr), F.lit(0)).cast("bigint")
+    df = (df.withColumn("_lst", lst)
+          .withColumn("_ctx_tokens", ctx_tokens)
+          .withColumn("_is_target",
+                      F.coalesce(F.col(role_col), F.lit("")) == target_role))
+    ctx = _assemble(F.col("_lst"))
+    tgt = F.coalesce(F.col(text_col), F.lit(""))
+    return (df.select(
+        F.col(conv_col), F.col(idx_col),
+        F.size("_lst").cast("int").alias("n_ctx"),
+        F.col("_ctx_tokens").alias("ctx_tokens"),
+        F.length(ctx).cast("bigint").alias("ctx_chars"),
+        F.md5(ctx).alias("ctx_md5"),
+        F.length(tgt).cast("bigint").alias("target_chars"),
+        F.md5(tgt).alias("target_md5"),
+        F.col("_is_target"))
+        .filter(F.col("_is_target") & (F.col("n_ctx") >= 1))
+        .drop("_is_target"))
+
+
 def preference_pairs(turns: DataFrame, ctx_turns: int = 8,
                      buckets: int = 64,
                      target_role: str = "assistant",

@@ -362,6 +362,43 @@ w AS (
 )
 {_sft_emit}"""
 
+    # token-budget SFT context: identical RANGE-frame algebra with the
+    # per-turn cost in REAL BPE tokens (+4 overhead/turn) — counts come
+    # from the committed expected_bpe table (the Spark-free kernel's
+    # output); ctx_tokens puts the admitted budget itself under the gate
+    o["sft_pairs_budget_tokens"] = f"""
+WITH t AS (
+    SELECT s.conv_id, s.turn_idx, coalesce(s.role, '') AS role,
+           coalesce(s.text, '') AS tgt,
+           '<|' || coalesce(s.role, '') || '|>' || chr(10)
+                || coalesce(s.text, '') AS u,
+           CAST(b.n_tokens + 4 AS BIGINT) AS cost
+    FROM read_parquet('{exp_dir}/transcripts.parquet') s
+    JOIN {exp('expected_bpe')} b USING (conv_id, turn_idx)
+),
+cs AS (
+    SELECT *, coalesce(sum(cost) OVER
+                  (PARTITION BY conv_id ORDER BY turn_idx
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS cstart
+    FROM t
+),
+w AS (
+    SELECT conv_id, turn_idx, role, tgt,
+           string_agg(u, chr(10) || chr(10)) OVER win AS ctx,
+           CAST(count(u) OVER win AS INT) AS n_ctx,
+           CAST(coalesce(sum(cost) OVER win, 0) AS BIGINT) AS ctx_tokens
+    FROM cs
+    WINDOW win AS (PARTITION BY conv_id ORDER BY cstart
+                   RANGE BETWEEN 600 PRECEDING AND 1 PRECEDING)
+)
+SELECT conv_id, turn_idx, n_ctx, ctx_tokens,
+       CAST(length(ctx) AS BIGINT) AS ctx_chars,
+       md5(ctx) AS ctx_md5,
+       CAST(length(tgt) AS BIGINT) AS target_chars,
+       md5(tgt) AS target_md5
+FROM w WHERE role = 'assistant' AND n_ctx >= 1"""
+
     # DPO pairs: the sft_pairs chain + cyclic next-in-md5-order negative
     # inside a 16-way md5 bucket; degenerate (chosen==rejected) dropped
     o["preference_pairs"] = f"""
@@ -978,13 +1015,15 @@ FROM documents GROUP BY lang"""
 
     # the oracle is the naive one-stream window; the engine side is the
     # two-level distributed prefix sum — value equality IS the check that
-    # the distributed formulation computes the same stream
+    # the distributed formulation computes the same stream. Token counts
+    # are REAL BPE (frozen merges): DuckDB can't run the merges kernel,
+    # so the committed expected_docs_bpe table (produced by the same
+    # Spark-free engine/core/bpe.py the UDF wraps) supplies its counts.
     o["corpus_pack_shards"] = f"""
 WITH t AS (
-    SELECT doc_id,
-           CAST(len(regexp_extract_all(text, '{BPE_TOKEN_RE}')) AS BIGINT)
-               AS n_tokens
-    FROM documents
+    SELECT d.doc_id, CAST(b.n_tokens AS BIGINT) AS n_tokens
+    FROM documents d
+    JOIN {exp('expected_docs_bpe')} b USING (doc_id)
 ), c AS (
     SELECT doc_id, n_tokens,
            CAST(COALESCE(sum(n_tokens) OVER (

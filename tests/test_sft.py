@@ -150,3 +150,80 @@ def test_preference_pairs_cyclic_negatives(spark):
     b = sorted(map(key, preference_pairs(
         df.repartition(5), ctx_turns=4, buckets=1).collect()))
     assert a == b
+
+
+def _brute_tokens(rows, *, budget, overhead=4, target_role="assistant"):
+    """Token-budget reference model: per-turn cost = real BPE count of the
+    text + overhead, context = maximal suffix under budget."""
+    from engine.core.bpe import build_ranks, encode_text, load_merges
+    from engine.datawork.tokenize import DEFAULT_MERGES
+    ranks = build_ranks(load_merges(DEFAULT_MERGES))
+    cache: dict = {}
+
+    def ntok(text):
+        return len(encode_text(text or "", ranks, cache))
+
+    convs: dict = {}
+    for conv, idx, role, text in rows:
+        convs.setdefault(conv, []).append((idx, role, text))
+    out = {}
+    for conv, turns in convs.items():
+        turns.sort()
+        for i, (idx, role, text) in enumerate(turns):
+            if (role or "") != target_role:
+                continue
+            take, total = [], 0
+            for p in reversed(turns[:i]):
+                c = ntok(p[2]) + overhead
+                if total + c > budget:
+                    break
+                take.insert(0, p)
+                total += c
+            if not take:
+                continue
+            ctx = CTX_SEP.join(_render(r, t) for _, r, t in take)
+            tgt = text or ""
+            out[(conv, idx)] = (len(take), total, len(ctx), _md5(ctx),
+                                len(tgt), _md5(tgt))
+    return out
+
+
+@pytest.mark.parametrize("budget", [5, 12, 40, 10_000])
+def test_token_budget_window_matches_brute(spark, budget):
+    from engine.datawork.sft import sft_examples_budget_tokens
+    df = spark.createDataFrame(
+        ROWS, "conv_id string, turn_idx int, role string, text string")
+    got = {(r.conv_id, r.turn_idx): (r.n_ctx, r.ctx_tokens, r.ctx_chars,
+                                     r.ctx_md5, r.target_chars, r.target_md5)
+           for r in sft_examples_budget_tokens(
+               df, ctx_budget_tokens=budget).collect()}
+    assert got == _brute_tokens(ROWS, budget=budget)
+
+
+def test_token_budget_always_fits(spark):
+    from engine.datawork.sft import sft_examples_budget_tokens
+    df = spark.createDataFrame(
+        ROWS, "conv_id string, turn_idx int, role string, text string")
+    for r in sft_examples_budget_tokens(df, ctx_budget_tokens=30).collect():
+        assert 0 < r.ctx_tokens <= 30
+
+
+def test_pack_shards_default_is_real_bpe(spark):
+    """pack_shards with tokens=None must budget in REAL BPE counts (the
+    frozen-merges kernel), not the regex proxy."""
+    from engine.core.bpe import build_ranks, encode_text, load_merges
+    from engine.datawork.pack import pack_shards
+    from engine.datawork.tokenize import DEFAULT_MERGES
+    rows = [(1, "hello world, how are you?"), (2, "the quick brown fox"),
+            (3, None), (4, "alpha beta gamma delta " * 9)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {r.doc_id: r for r in pack_shards(df, budget=16).collect()}
+    ranks = build_ranks(load_merges(DEFAULT_MERGES))
+    cache: dict = {}
+    acc = 0
+    for did, text in rows:
+        n = len(encode_text(text or "", ranks, cache))
+        assert got[did].n_tokens == n
+        assert got[did].start_offset == acc
+        assert got[did].shard_id == acc // 16
+        acc += n

@@ -100,6 +100,7 @@ def build_tag(tag: str, out_base: Path) -> None:
     # skipped only if the committed merges file is absent (fresh partial
     # checkouts); the md5 pins the exact token sequence per turn
     bpe_rows = []
+    docs_bpe_rows = []
     merges_path = REPO / "data" / "bpe" / "merges.txt"
     if merges_path.exists():
         from engine.core.bpe import build_ranks, encode_text, load_merges
@@ -112,6 +113,21 @@ def build_tag(tag: str, out_base: Path) -> None:
                 "n_tokens": len(toks),
                 "tokens_md5": _md5(" ".join(toks)),
             })
+        # per-document BPE counts over the provided documents table — the
+        # oracle side of token-true shard packing (pack_shards now budgets
+        # in real BPE tokens; DuckDB can't run the merges kernel, so the
+        # same Spark-free engine/core/bpe.py produces its counts here)
+        docs_pq = Path("/root/testdata") / tag / "documents.parquet"
+        if docs_pq.exists():
+            dcache: dict = {}
+            for d in pq.read_table(str(docs_pq),
+                                   columns=["doc_id", "text"]).to_pylist():
+                dtoks = encode_text(d["text"] or "", ranks, dcache)
+                docs_bpe_rows.append({
+                    "doc_id": d["doc_id"],
+                    "n_tokens": len(dtoks),
+                    "tokens_md5": _md5(" ".join(dtoks)),
+                })
 
     import json as _json
 
@@ -185,6 +201,8 @@ def build_tag(tag: str, out_base: Path) -> None:
     write("expected_docs.parquet", doc_rows, int32_cols=("n_turns",),
           bool_cols=("is_valid",))
     write("expected_bpe.parquet", bpe_rows, int32_cols=("turn_idx", "n_tokens"))
+    write("expected_docs_bpe.parquet", docs_bpe_rows,
+          int32_cols=("n_tokens",), int64_cols=("doc_id",))
     print(f"{tag}: {len(rows)} turns, {len(passages)} passages, "
           f"{len(numerics)} numerics, {len(tables)} tables, {len(spans)} spans")
 
