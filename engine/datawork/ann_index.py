@@ -85,6 +85,27 @@ def append_to_ann_index(new_emb: DataFrame, path: str,
       .write.mode("append").parquet(_sub(path, STATS)))
 
 
+def compact_ann_index(spark: SparkSession, path: str,
+                      target_bytes: int = 128 * 1024 * 1024) -> dict:
+    """Maintenance after K appended waves (VERDICT r5 #5): restores the
+    single global bucket-sorted ``vectors/`` layout (per-wave appends
+    keep pruning only per-file) and folds ``stats/`` partials to one row
+    per bucket. Atomic per table; results identical before/after."""
+    from engine.spark.sinks import atomic_rewrite, compact_sorted_parquet
+
+    out = {}
+    out[VECTORS] = compact_sorted_parquet(
+        spark, _sub(path, VECTORS), ["bucket"], target_bytes)
+    folded = (spark.read.parquet(_sub(path, STATS))
+              .groupBy("bucket").agg(F.sum("cnt").cast("bigint").alias("cnt")))
+    out[STATS] = atomic_rewrite(
+        _sub(path, STATS),
+        lambda tmp: (folded.repartitionByRange(1, "bucket")
+                     .sortWithinPartitions("bucket")
+                     .write.mode("overwrite").parquet(tmp)))
+    return out
+
+
 def index_occupancy(spark: SparkSession, path: str) -> DataFrame:
     """(bucket, cnt) with partials summed — the skew census."""
     return (spark.read.parquet(_sub(path, STATS))

@@ -106,6 +106,41 @@ def append_to_index(new_docs: DataFrame, path: str, id_col: str = "doc_id",
         .write.mode("append").parquet(_sub(path, STATS)))
 
 
+def compact_index(spark: SparkSession, path: str,
+                  target_bytes: int = 128 * 1024 * 1024) -> dict:
+    """Maintenance pass after K appended waves (VERDICT r5 #5): each
+    ``append_to_index`` adds its own (internally sorted) files, so
+    ``buckets/`` row-group pruning degrades to per-appended-file and
+    ``stats/`` accumulates partial rows forever. This rewrites, atomically
+    per table (engine/spark/sinks.atomic_rewrite — the parquet analogue
+    of Iceberg's rewrite_data_files):
+
+    * ``buckets/`` → one global (band,bucket) range-sorted layout;
+    * ``sigs/``    → range-sorted by id (the candidate-id semi-join now
+      prunes row groups too);
+    * ``stats/``   → partial rows FOLDED to one row per (band,bucket).
+
+    Query results are identical before/after (compaction test pins it);
+    only file counts, layout, and stats row counts change. Returns
+    per-table {files,bytes}×{before,after}."""
+    from engine.spark.sinks import atomic_rewrite, compact_sorted_parquet
+
+    out = {}
+    out[BUCKETS] = compact_sorted_parquet(
+        spark, _sub(path, BUCKETS), ["band", "bucket"], target_bytes)
+    out[SIGS] = compact_sorted_parquet(
+        spark, _sub(path, SIGS), ["id"], target_bytes)
+    folded = (spark.read.parquet(_sub(path, STATS))
+              .groupBy("band", "bucket")
+              .agg(F.sum("cnt").cast("bigint").alias("cnt")))
+    out[STATS] = atomic_rewrite(
+        _sub(path, STATS),
+        lambda tmp: (folded.repartitionByRange(1, "band", "bucket")
+                     .sortWithinPartitions("band", "bucket")
+                     .write.mode("overwrite").parquet(tmp)))
+    return out
+
+
 #: Above this many wave-derived rows (wave docs × bands), the wave-side
 #: broadcasts fall back to shuffle joins: a broadcast must fit in every
 #: executor AND the driver, so an unbounded ingest wave (10⁸ docs × 16

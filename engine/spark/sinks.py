@@ -175,3 +175,68 @@ def compact_parquet(spark: SparkSession, path: str,
     return {"files_before": len(files), "files_after": len(after),
             "bytes_before": before_bytes,
             "bytes_after": sum(p.stat().st_size for p in after)}
+
+
+def atomic_rewrite(path: str, write_fn) -> dict:
+    """Replace a live parquet directory with a rewritten version, atomically
+    from a reader's perspective: ``write_fn(tmp_path)`` materializes the
+    replacement beside the original, then a rename swap publishes it; the
+    original is moved aside (and restored on swap failure) before removal.
+    Returns {files,bytes}×{before,after}. The generalized core of
+    ``compact_parquet`` for rewrites that also change LAYOUT or fold
+    partial rows (index compaction) rather than merely re-bucketing files."""
+    import shutil
+    import uuid
+    from pathlib import Path
+
+    root = Path(path)
+    files = [p for p in root.rglob("*.parquet") if p.is_file()]
+    if not files:
+        raise ValueError(f"no parquet files under {path}")
+    before_bytes = sum(p.stat().st_size for p in files)
+    tmp = root.with_name(f"{root.name}.rewrite-{uuid.uuid4().hex[:8]}")
+    old = root.with_name(f"{root.name}.prerewrite-{uuid.uuid4().hex[:8]}")
+    write_fn(str(tmp))
+    shutil.move(str(root), str(old))
+    try:
+        shutil.move(str(tmp), str(root))
+    except Exception:
+        shutil.move(str(old), str(root))  # roll back — original intact
+        raise
+    shutil.rmtree(str(old))
+    after = [p for p in root.rglob("*.parquet") if p.is_file()]
+    return {"files_before": len(files), "files_after": len(after),
+            "bytes_before": before_bytes,
+            "bytes_after": sum(p.stat().st_size for p in after)}
+
+
+def compact_sorted_parquet(spark: SparkSession, path: str,
+                           sort_cols: list, target_bytes: int = 128 * 1024
+                           * 1024, aggregate_fn=None) -> dict:
+    """Rewrite a parquet directory back to a few files RANGE-PARTITIONED +
+    sorted by ``sort_cols`` — the compaction an append-accumulating index
+    needs: per-wave appends each arrive sorted within their own files, so
+    min/max row-group pruning degrades from "few row groups" to "few per
+    appended file" as waves pile up; this restores the single global
+    sorted layout. ``aggregate_fn`` (optional, DataFrame -> DataFrame)
+    lets a caller fold additive partial rows (stats tables) in the same
+    atomic pass."""
+    import math
+    from pathlib import Path
+
+    root = Path(path)
+    files = [p for p in root.rglob("*.parquet") if p.is_file()]
+    if not files:
+        raise ValueError(f"no parquet files under {path}")
+    n_out = max(1, math.ceil(
+        sum(p.stat().st_size for p in files) / target_bytes))
+    df = spark.read.parquet(str(root))
+    if aggregate_fn is not None:
+        df = aggregate_fn(df)
+
+    def _write(tmp: str) -> None:
+        (df.repartitionByRange(n_out, *sort_cols)
+           .sortWithinPartitions(*sort_cols)
+           .write.mode("overwrite").parquet(tmp))
+
+    return atomic_rewrite(str(root), _write)

@@ -196,3 +196,91 @@ def test_ann_batch_probe_guard_fallback(spark, tmp_path):
             .orderBy("qid", "rank").collect())
     assert [tuple(r) for r in fast] == [tuple(r) for r in slow]
     assert len(fast) > 0
+
+
+def test_compact_index_preserves_results_and_shrinks_files(spark, idx_path):
+    """N appended waves → compact → identical probe results, fewer files,
+    stats partials folded to one row per (band,bucket)."""
+    from pathlib import Path
+
+    from engine.datawork.incremental import (append_to_index, compact_index,
+                                             incremental_verified_pairs,
+                                             write_minhash_index)
+
+    docs = _mk_docs(spark, n=200, seed=47)
+    corpus = _split(docs, 0, 5)
+    waves = [_split(docs, 5 + i, 6 + i) for i in range(4)]
+    probe = _split(docs, 9, 10)
+
+    write_minhash_index(corpus, idx_path)
+    for w in waves:
+        append_to_index(w, idx_path)
+
+    def nfiles(sub):
+        return len(list((Path(idx_path) / sub).rglob("*.parquet")))
+
+    before = {s: nfiles(s) for s in ("sigs", "buckets", "stats")}
+    pre = (incremental_verified_pairs(probe, idx_path)
+           .orderBy("id_a", "id_b").collect())
+    stats_pre = (spark.read.parquet(f"{idx_path}/stats")
+                 .groupBy("band", "bucket").agg(F.sum("cnt").alias("cnt"))
+                 .orderBy("band", "bucket").collect())
+
+    report = compact_index(spark, idx_path)
+    after = {s: nfiles(s) for s in ("sigs", "buckets", "stats")}
+    post = (incremental_verified_pairs(probe, idx_path)
+            .orderBy("id_a", "id_b").collect())
+    stats_post = (spark.read.parquet(f"{idx_path}/stats")
+                  .orderBy("band", "bucket").collect())
+
+    assert [tuple(r) for r in pre] == [tuple(r) for r in post]
+    for sub in ("sigs", "buckets", "stats"):
+        assert after[sub] < before[sub], (sub, before, after)
+        assert report[sub]["files_after"] == after[sub]
+    # partials folded: stats now has exactly one row per key, same totals
+    assert [(r.band, r.bucket, r.cnt) for r in stats_post] == \
+           [(r.band, r.bucket, r.cnt) for r in stats_pre]
+
+
+def test_compact_ann_index_preserves_probe(spark, tmp_path):
+    import math
+    from pathlib import Path
+
+    from engine.datawork.ann_index import (append_to_ann_index,
+                                           compact_ann_index,
+                                           index_occupancy, probe_index,
+                                           write_ann_index)
+    from engine.datawork.similarity import lsh_planes
+
+    def vec(i):
+        return [math.cos(i * 0.3 + d * 1.7) for d in range(8)]
+
+    planes = lsh_planes(n_planes=6, dim=8)
+    emb = spark.createDataFrame([(i, vec(i)) for i in range(120)],
+                                "vec_id: long, embedding: array<double>")
+    path = str(tmp_path / "ann_idx")
+    write_ann_index(emb.filter(F.col("vec_id") < 60), path, planes=planes)
+    for lo in (60, 80, 100):
+        append_to_ann_index(
+            emb.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < lo + 20)),
+            path, planes=planes)
+
+    def nfiles(sub):
+        return len(list((Path(path) / sub).rglob("*.parquet")))
+
+    q = vec(7)
+    pre = probe_index(spark, path, q, k=5, probe_bits=1,
+                      planes=planes).collect()
+    occ_pre = sorted((r.bucket, r.cnt)
+                     for r in index_occupancy(spark, path).collect())
+    before = {s: nfiles(s) for s in ("vectors", "stats")}
+    compact_ann_index(spark, path)
+    after = {s: nfiles(s) for s in ("vectors", "stats")}
+    post = probe_index(spark, path, q, k=5, probe_bits=1,
+                       planes=planes).collect()
+    occ_post = sorted((r.bucket, r.cnt)
+                      for r in index_occupancy(spark, path).collect())
+    assert [tuple(r) for r in pre] == [tuple(r) for r in post]
+    assert occ_pre == occ_post
+    assert after["vectors"] < before["vectors"]
+    assert after["stats"] < before["stats"]
