@@ -388,12 +388,24 @@ def q_events_funnel(spark, sf_dir):
     """EXACT sequential funnel view→click→purchase (min-after, not
     min-overall — the correct ordered-funnel semantics). One shuffle:
     per-user per-step sorted ts lists aggregate map-side, then the step
-    chain is pure array algebra. The operator's ``max_events`` hot-user
-    guard + census (engine/datawork/funnel.py) stay off here so the
-    oracle covers the uncapped math."""
+    chain is pure array algebra. ``max_events=48`` exercises the hot-user
+    guard UNDER the oracle gate (it excludes ~10% of sf0.01 users — a
+    bot with a million events would otherwise sort inside one task);
+    the oracle applies the identical exclusion."""
     from engine.datawork.funnel import sequential_funnel
     ev = _t(spark, sf_dir, "events")
-    return sequential_funnel(ev, ["view", "click", "purchase"])
+    return sequential_funnel(ev, ["view", "click", "purchase"],
+                             max_events=48)
+
+
+def q_events_funnel_census(spark, sf_dir):
+    """The cap-sizing census for q_events_funnel: how many entities the
+    max_events=48 guard cuts and how many events they carry — run BEFORE
+    choosing a cap (the dedup bucket-census observability contract)."""
+    from engine.datawork.funnel import funnel_user_census
+    ev = _t(spark, sf_dir, "events")
+    return funnel_user_census(ev, ["view", "click", "purchase"],
+                              max_events=48)
 
 
 def q_asof_latest_click(spark, sf_dir):
@@ -872,6 +884,31 @@ def q_embedding_near_pairs_lsh(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     return (cosine_pairs_above(emb, threshold=0.35, bucketed=True,
                                rows=LSH_ROWS)
+            .orderBy("id_a", "id_b"))
+
+
+def q_embedding_incremental_pairs(spark, sf_dir):
+    """Incremental embedding near-dup against a PERSISTED banded-LSH index
+    (engine/datawork/embed_incremental.py — the embedding symmetry of
+    dedup_incremental): the 80% hash-split corpus is signed/bucketed into
+    a parquet index once; the 20% wave is then near-dup-checked against
+    index + itself WITHOUT rescanning corpus vectors. Oracle = full banded
+    recompute over old ∪ new (identical 24×4 layout) filtered to pairs
+    touching the wave — the exactness contract."""
+    import tempfile
+    from engine.datawork.embed_incremental import (
+        incremental_embedding_pairs, write_embedding_index)
+    emb = _t(spark, sf_dir, "embeddings")
+    bucket = F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 8),
+                    16, 10).cast("long") % 10
+    corpus, wave = emb.filter(bucket < 8), emb.filter(bucket >= 8)
+    idx = os.path.join(tempfile.gettempdir(),
+                       f"spark_graft_embidx_{_tag(sf_dir)}")
+    t0 = time.monotonic()
+    write_embedding_index(corpus, idx)
+    q_embedding_incremental_pairs.last_build_s = round(
+        time.monotonic() - t0, 3)
+    return (incremental_embedding_pairs(wave, idx, threshold=0.35)
             .orderBy("id_a", "id_b"))
 
 
@@ -1764,6 +1801,7 @@ _RAW_QUERIES: dict = {
         "events_stream_enrich": q_events_stream_enrich,
         "events_pivot_daily": q_events_pivot_daily,
         "events_funnel": q_events_funnel,
+        "events_funnel_census": q_events_funnel_census,
         "events_hll_daily": q_events_hll_daily,
         "events_quantiles_approx": q_events_quantiles_approx,
         "events_rolling_7d": q_events_rolling_7d,
@@ -1781,13 +1819,12 @@ _RAW_QUERIES: dict = {
         "doc_pii_redact": q_doc_pii_redact,
         # ---- similarity / ANN / SemDeDup / DSIR / classifier ----
         "ann_cosine_topk": q_ann_cosine_topk,
-        "ann_lsh_buckets": q_ann_lsh_buckets,
+        "embedding_incremental_pairs": q_embedding_incremental_pairs,
         "embedding_near_pairs": q_embedding_near_pairs,
         "embedding_near_pairs_lsh": q_embedding_near_pairs_lsh,
         "ann_lsh_topk_probe": q_ann_lsh_topk_probe,
         "ann_ivf_assignments": q_ann_ivf_assignments,
         "ann_ivf_topk": q_ann_ivf_topk,
-        "ann_ivf_trained": q_ann_ivf_trained,
         "ann_ivf_trained_topk": q_ann_ivf_trained_topk,
         "semdedup_losers": q_semdedup_losers,
         "corpus_dsir_weights": q_corpus_dsir_weights,
@@ -1805,6 +1842,8 @@ _RAW_QUERIES: dict = {
         "corpus_sample": q_corpus_sample,
         "doc_length_quantiles": q_doc_length_quantiles,
         "doc_ppl_buckets": q_doc_ppl_buckets,
+        "ann_lsh_buckets": q_ann_lsh_buckets,
+        "ann_ivf_trained": q_ann_ivf_trained,
         # r5-driver-green set (CORRECTNESS_r05.json)
         "extract_kind_rollup": q_extract_kind_rollup,
         "extract_passages": q_extract_passages,

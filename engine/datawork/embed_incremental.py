@@ -1,0 +1,225 @@
+"""Incremental embedding near-dup against a persisted banded-LSH index —
+the embedding-space symmetry of engine/datawork/incremental.py (minhash):
+a corpus's vectors are signed and bucketed ONCE; each new ingest wave is
+near-dup-checked against the index + itself without rescanning corpus
+vectors (reference lineage: the output-authoritative resume scans of
+batch_pdf_processor.py:2562-2625 — persisted derived state stands in for
+recompute).
+
+Index layout under ``<path>/``:
+
+* ``vectors/`` — (id, v, nrm, sig): the only vector-derived state, written
+  range-partitioned + sorted by id so the candidate-id semi-join on the
+  verify side prunes parquet row groups.
+* ``buckets/`` — (id, band, bucket): ``bands`` rows per vector, sorted by
+  (band, bucket) for the wave's touched-bucket probe.
+* ``stats/``   — (band, bucket, cnt) ADDITIVE partials (readers SUM).
+* ``layout/``  — one row (bands, rows): the signature layout is FROZEN at
+  write time; append/probe read it back, so a caller cannot silently
+  probe a 24×4 index with a 16×8 wave.
+
+Exactness contract (same shape as the minhash module): the pair set of
+``incremental_embedding_pairs(wave, path)`` equals
+``similarity.cosine_pairs_above(old ∪ new, bucketed=True)`` — with the
+same pinned layout and the hot-bucket guard computed on COMBINED
+occupancy — restricted to pairs with ≥1 wave member. The equivalence
+tests and the DuckDB oracle pin it.
+
+Scale contract: per-wave cost ∝ wave. The corpus is touched only through
+wave-driven semi-joins (touched buckets, candidate ids); wave-side
+broadcasts are censused and fall back to shuffle joins past
+``max_broadcast_rows`` (the r6 guard pattern, see incremental.py).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .incremental import MAX_BROADCAST_ROWS
+from .similarity import (LSH_BANDS, LSH_ROWS, banded_sig_expr, norm)
+
+VECTORS = "vectors"
+BUCKETS = "buckets"
+STATS = "stats"
+LAYOUT = "layout"
+
+
+def _sub(path: str, name: str) -> str:
+    return os.path.join(path, name)
+
+
+def _base(emb: DataFrame, id_col: str, vec_col: str, bands: int,
+          rows: int) -> DataFrame:
+    """(id, v, nrm, sig) — the signature spelling MUST be
+    similarity.banded_sig_expr so the full-recompute equivalence holds
+    bit-for-bit."""
+    return emb.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+        norm(F.col(vec_col)).alias("nrm"),
+        banded_sig_expr(F.col(vec_col), bands, rows).alias("sig"))
+
+
+def _explode(base: DataFrame, bands: int, rows: int) -> DataFrame:
+    return (base.select("id", F.explode(F.array(*[
+        F.struct(F.lit(b).alias("band"),
+                 F.substring("sig", b * rows + 1, rows).alias("bucket"))
+        for b in range(bands)])).alias("bb"))
+        .select("id", "bb.band", "bb.bucket"))
+
+
+def read_layout(spark: SparkSession, path: str) -> tuple[int, int]:
+    row = spark.read.parquet(_sub(path, LAYOUT)).collect()[0]
+    return int(row["bands"]), int(row["rows"])
+
+
+def write_embedding_index(emb: DataFrame, path: str,
+                          id_col: str = "vec_id",
+                          vec_col: str = "embedding",
+                          bands: int = LSH_BANDS,
+                          rows: int = LSH_ROWS) -> None:
+    """Build from scratch (mode=overwrite). vectors/ is written first and
+    read back to derive buckets/stats — the sign computation (bands·rows
+    plane dots per vector) runs exactly once."""
+    spark = emb.sparkSession
+    base = _base(emb, id_col, vec_col, bands, rows)
+    (base.repartitionByRange("id").sortWithinPartitions("id")
+         .write.mode("overwrite").parquet(_sub(path, VECTORS)))
+    base_r = spark.read.parquet(_sub(path, VECTORS))
+    buckets = _explode(base_r, bands, rows)
+    (buckets.repartitionByRange("band", "bucket")
+            .sortWithinPartitions("band", "bucket")
+            .write.mode("overwrite").parquet(_sub(path, BUCKETS)))
+    (spark.read.parquet(_sub(path, BUCKETS))
+        .groupBy("band", "bucket").agg(F.count("*").alias("cnt"))
+        .write.mode("overwrite").parquet(_sub(path, STATS)))
+    (spark.createDataFrame([(bands, rows)], "`bands` int, `rows` int")
+        .coalesce(1).write.mode("overwrite").parquet(_sub(path, LAYOUT)))
+
+
+def append_to_embedding_index(new_emb: DataFrame, path: str,
+                              id_col: str = "vec_id",
+                              vec_col: str = "embedding") -> None:
+    """Fold an ingested wave in (cost ∝ wave); layout comes from the
+    index — a mismatched wave cannot be appended."""
+    spark = new_emb.sparkSession
+    bands, rows = read_layout(spark, path)
+    base = _base(new_emb, id_col, vec_col, bands, rows)
+    (base.repartitionByRange("id").sortWithinPartitions("id")
+         .write.mode("append").parquet(_sub(path, VECTORS)))
+    buckets = _explode(base, bands, rows)
+    (buckets.repartitionByRange("band", "bucket")
+            .sortWithinPartitions("band", "bucket")
+            .write.mode("append").parquet(_sub(path, BUCKETS)))
+    (buckets.groupBy("band", "bucket").agg(F.count("*").alias("cnt"))
+        .write.mode("append").parquet(_sub(path, STATS)))
+
+
+def compact_embedding_index(spark: SparkSession, path: str,
+                            target_bytes: int = 128 * 1024 * 1024) -> dict:
+    """Same maintenance contract as incremental.compact_index."""
+    from engine.spark.sinks import atomic_rewrite, compact_sorted_parquet
+
+    out = {}
+    out[VECTORS] = compact_sorted_parquet(
+        spark, _sub(path, VECTORS), ["id"], target_bytes)
+    out[BUCKETS] = compact_sorted_parquet(
+        spark, _sub(path, BUCKETS), ["band", "bucket"], target_bytes)
+    folded = (spark.read.parquet(_sub(path, STATS))
+              .groupBy("band", "bucket")
+              .agg(F.sum("cnt").cast("bigint").alias("cnt")))
+    out[STATS] = atomic_rewrite(
+        _sub(path, STATS),
+        lambda tmp: (folded.repartitionByRange(1, "band", "bucket")
+                     .sortWithinPartitions("band", "bucket")
+                     .write.mode("overwrite").parquet(tmp)))
+    return out
+
+
+def incremental_embedding_pairs(new_emb: DataFrame, index_path: str,
+                                threshold: float = 0.95,
+                                id_col: str = "vec_id",
+                                vec_col: str = "embedding",
+                                max_bucket: int | None = None,
+                                max_broadcast_rows: int = MAX_BROADCAST_ROWS
+                                ) -> DataFrame:
+    """Exact-cosine near-dup pairs ≥ threshold TOUCHING the wave:
+    wave×corpus + wave×wave, equal to ``cosine_pairs_above(old ∪ new,
+    bucketed=True, rows=<index layout>, max_bucket=max_bucket)`` filtered
+    to pairs with ≥1 wave member. Returns (id_a, id_b, cosine, origin)
+    with id_a < id_b, origin ∈ {'new_new', 'new_old'}.
+
+    ``max_bucket`` is the combined-occupancy guard: a band-bucket whose
+    persisted + wave population exceeds it is dropped from candidate
+    generation on BOTH sides — exactly what the full recompute's guard
+    would do, so exactness survives the cap."""
+    spark = new_emb.sparkSession
+    bands, rows = read_layout(spark, index_path)
+    wave = _base(new_emb, id_col, vec_col, bands, rows).persist()
+    b_new = _explode(wave, bands, rows).persist()
+
+    n_wave = wave.count()
+    bcast_ok = n_wave * bands <= max_broadcast_rows
+    hint = F.broadcast if bcast_ok else (lambda df: df)
+
+    touched = b_new.select("band", "bucket").distinct()
+    corpus_buckets = (spark.read.parquet(_sub(index_path, BUCKETS))
+                      .join(hint(touched), ["band", "bucket"], "left_semi"))
+
+    if max_bucket is not None:
+        corpus_stats = (spark.read.parquet(_sub(index_path, STATS))
+                        .join(hint(touched), ["band", "bucket"], "left_semi")
+                        .groupBy("band", "bucket")
+                        .agg(F.sum("cnt").alias("old_cnt")))
+        new_cnt = (b_new.groupBy("band", "bucket")
+                   .agg(F.count("*").alias("new_cnt")))
+        hot = (new_cnt.join(corpus_stats, ["band", "bucket"], "left_outer")
+               .withColumn("cnt", F.coalesce("old_cnt", F.lit(0))
+                           + F.col("new_cnt"))
+               .filter(F.col("cnt") > max_bucket).select("band", "bucket"))
+        b_new = b_new.join(hint(hot), ["band", "bucket"], "left_anti")
+        corpus_buckets = corpus_buckets.join(hint(hot), ["band", "bucket"],
+                                             "left_anti")
+
+    nn = (b_new.alias("a")
+          .join(b_new.alias("b"),
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bucket") == F.col("b.bucket"))
+                & (F.col("a.id") < F.col("b.id")))
+          .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")))
+    no = (b_new.alias("w")
+          .join(corpus_buckets.alias("c"),
+                (F.col("w.band") == F.col("c.band"))
+                & (F.col("w.bucket") == F.col("c.bucket")))
+          .select(F.least(F.col("w.id"), F.col("c.id")).alias("id_a"),
+                  F.greatest(F.col("w.id"), F.col("c.id")).alias("id_b")))
+    cand = nn.unionByName(no).distinct()
+
+    # exact-cosine verify: corpus vectors read ONLY for candidate ids
+    # (id-sorted layout → row-group pruning); wave membership rides the
+    # union as a column, so origin tagging costs zero extra joins
+    cand_ids = (cand.select(F.col("id_a").alias("id"))
+                .unionByName(cand.select(F.col("id_b").alias("id")))
+                .distinct())
+    corpus_vecs = (spark.read.parquet(_sub(index_path, VECTORS))
+                   .join(hint(cand_ids), "id", "left_semi"))
+    vecs = (wave.select("id", "v", "nrm").withColumn("_new", F.lit(True))
+            .unionByName(corpus_vecs.select("id", "v", "nrm")
+                         .withColumn("_new", F.lit(False))))
+    va = vecs.select(F.col("id").alias("id_a"), F.col("v").alias("va"),
+                     F.col("nrm").alias("na"), F.col("_new").alias("a_new"))
+    vb = vecs.select(F.col("id").alias("id_b"), F.col("v").alias("vb"),
+                     F.col("nrm").alias("nb"), F.col("_new").alias("b_new"))
+    dotprod = F.aggregate(
+        F.zip_with(F.col("va").cast("array<double>"),
+                   F.col("vb").cast("array<double>"), lambda x, y: x * y),
+        F.lit(0.0), lambda acc, x: acc + x)
+    return (cand.join(va, "id_a").join(vb, "id_b")
+            .select("id_a", "id_b",
+                    F.round(dotprod / (F.col("na") * F.col("nb")), 6)
+                     .alias("cosine"),
+                    F.when(F.col("a_new") & F.col("b_new"),
+                           F.lit("new_new")).otherwise(F.lit("new_old"))
+                     .alias("origin"))
+            .filter(F.col("cosine") >= threshold))

@@ -1398,14 +1398,21 @@ WINDOW w AS (ORDER BY day
              RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW)
 ORDER BY day"""
 
-    # exact sequential funnel: list aggregation + min-after array algebra
+    # exact sequential funnel: list aggregation + min-after array algebra;
+    # the max_events=48 hot-entity guard excludes users with more than 48
+    # funnel-step events BEFORE aggregation (identical to the operator's
+    # broadcast anti-join), so the cap itself sits under the gate
     o["events_funnel"] = """
-WITH per_user AS (
+WITH capped AS (
+    SELECT user_id, event_type, ts
+    FROM events WHERE event_type IN ('view', 'click', 'purchase')
+    QUALIFY count(*) OVER (PARTITION BY user_id) <= 48
+), per_user AS (
     SELECT user_id,
            list_sort(list(ts) FILTER (event_type = 'view')) AS v,
            list_sort(list(ts) FILTER (event_type = 'click')) AS c,
            list_sort(list(ts) FILTER (event_type = 'purchase')) AS p
-    FROM events GROUP BY user_id
+    FROM capped GROUP BY user_id
 ), stepped AS (
     SELECT v[1] AS t1,
            list_filter(c, x -> x > v[1])[1] AS t2,
@@ -1417,6 +1424,18 @@ SELECT CAST(count(t1) AS BIGINT) AS n_view,
        CAST(count(t2) AS BIGINT) AS n_view_click,
        CAST(count(t3) AS BIGINT) AS n_view_click_purchase
 FROM stepped"""
+
+    o["events_funnel_census"] = """
+WITH per AS (
+    SELECT user_id, count(*) AS ne
+    FROM events WHERE event_type IN ('view', 'click', 'purchase')
+    GROUP BY user_id
+)
+SELECT CAST(count(*) AS BIGINT) AS n_entities,
+       CAST(count(CASE WHEN ne > 48 THEN 1 END) AS BIGINT) AS n_capped,
+       CAST(coalesce(sum(CASE WHEN ne > 48 THEN ne END), 0) AS BIGINT)
+           AS capped_events
+FROM per"""
 
     o["events_pivot_daily"] = """
 SELECT CAST(ts AS DATE) AS day,
@@ -1745,6 +1764,41 @@ SELECT id_a, id_b, cosine FROM (
            CAST(round({_dot_sql('x.v', 'y.v')} / (x.nrm * y.nrm), 6) AS DOUBLE) AS cosine
     FROM cand c JOIN base x ON x.id = c.id_a JOIN base y ON y.id = c.id_b
 ) WHERE cosine >= 0.35
+ORDER BY id_a, id_b"""
+
+    # incremental embedding near-dup: the SAME banded plan over old ∪ new
+    # (the index layout is frozen at 24×4), restricted to wave-touching
+    # pairs — the full-recompute side of the exactness contract
+    # (engine/datawork/embed_incremental.py)
+    def _in_ewave(c: str) -> str:
+        return (f"(CAST(('0x' || substr(md5(CAST({c} AS VARCHAR)), 1, 8)) "
+                f"AS BIGINT) % 10 >= 8)")
+    o["embedding_incremental_pairs"] = f"""
+WITH base AS MATERIALIZED (
+    SELECT vec_id AS id, embedding AS v, {_norm_sql('embedding')} AS nrm,
+           {_plane_bucket_sql('embedding', LSH_BANDS * LSH_ROWS)} AS sig
+    FROM embeddings
+),
+banded AS (
+    SELECT id, b AS band, substr(sig, CAST(b * {LSH_ROWS} + 1 AS INTEGER), {LSH_ROWS}) AS bucket
+    FROM base, UNNEST(range(0, {LSH_BANDS})) AS t(b)
+),
+cand AS (
+    SELECT DISTINCT ca.id AS id_a, cb.id AS id_b
+    FROM banded ca JOIN banded cb
+      ON ca.band = cb.band AND ca.bucket = cb.bucket AND ca.id < cb.id
+),
+ver AS (
+    SELECT c.id_a, c.id_b,
+           CAST(round({_dot_sql('x.v', 'y.v')} / (x.nrm * y.nrm), 6) AS DOUBLE) AS cosine
+    FROM cand c JOIN base x ON x.id = c.id_a JOIN base y ON y.id = c.id_b
+)
+SELECT id_a, id_b, cosine,
+       CASE WHEN {_in_ewave('id_a')} AND {_in_ewave('id_b')}
+            THEN 'new_new' ELSE 'new_old' END AS origin
+FROM ver
+WHERE cosine >= 0.35
+  AND ({_in_ewave('id_a')} OR {_in_ewave('id_b')})
 ORDER BY id_a, id_b"""
 
     from engine.datawork.similarity import IVF_CELLS, IVF_NPROBE

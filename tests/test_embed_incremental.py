@@ -1,0 +1,177 @@
+"""Incremental embedding near-dup vs full banded recompute — equivalence,
+append path, combined-occupancy guard, broadcast fallback, compaction."""
+
+from __future__ import annotations
+
+import math
+import random
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+DIM = 64
+THRESH = 0.8
+
+
+def _unit(rnd):
+    v = [rnd.gauss(0, 1) for _ in range(DIM)]
+    n = math.sqrt(sum(x * x for x in v))
+    return [x / n for x in v]
+
+
+def _mk_emb(spark, n=120, planted_every=6, seed=7):
+    """Random unit vectors; every ``planted_every``-th gets a near-dup
+    (tiny perturbation → cosine ≈ 0.999) under id+10_000."""
+    rnd = random.Random(seed)
+    rows = []
+    for i in range(n):
+        v = _unit(rnd)
+        rows.append((i, v))
+        if i % planted_every == 0:
+            w = [x + rnd.gauss(0, 0.01) for x in v]
+            nw = math.sqrt(sum(x * x for x in w))
+            rows.append((10_000 + i, [x / nw for x in w]))
+    return spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+
+
+def _split(emb, lo, hi):
+    b = (F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 8),
+                16, 10).cast("long") % 10)
+    return emb.filter((b >= lo) & (b < hi))
+
+
+def _full_pairs_touching(emb, wave_ids, threshold=THRESH, max_bucket=None):
+    from engine.datawork.dedup import clear_cache_slots
+    from engine.datawork.similarity import LSH_ROWS, cosine_pairs_above
+    clear_cache_slots()
+    full = cosine_pairs_above(emb, threshold=threshold, bucketed=True,
+                              rows=LSH_ROWS, max_bucket=max_bucket)
+    rows = sorted((r.id_a, r.id_b, r.cosine) for r in full.collect()
+                  if r.id_a in wave_ids or r.id_b in wave_ids)
+    return [(a, b, c, "new_new" if a in wave_ids and b in wave_ids
+             else "new_old") for a, b, c in rows]
+
+
+@pytest.fixture()
+def idx_path(tmp_path):
+    p = str(tmp_path / "embed_index")
+    yield p
+    shutil.rmtree(p, ignore_errors=True)
+
+
+def _collect(df):
+    return [(r.id_a, r.id_b, r.cosine, r.origin)
+            for r in df.orderBy("id_a", "id_b").collect()]
+
+
+def test_incremental_equals_full_recompute(spark, idx_path):
+    from engine.datawork.embed_incremental import (
+        incremental_embedding_pairs, write_embedding_index)
+    emb = _mk_emb(spark)
+    corpus, wave = _split(emb, 0, 8), _split(emb, 8, 10)
+    wave_ids = {r.vec_id for r in wave.select("vec_id").collect()}
+    assert wave_ids
+
+    write_embedding_index(corpus, idx_path)
+    got = _collect(incremental_embedding_pairs(wave, idx_path,
+                                               threshold=THRESH))
+    exp = _full_pairs_touching(emb, wave_ids)
+    assert got == exp
+    assert any(o == "new_old" for *_, o in got)  # cross-boundary dups exist
+
+
+def test_append_then_second_wave(spark, idx_path):
+    from engine.datawork.embed_incremental import (
+        append_to_embedding_index, incremental_embedding_pairs,
+        write_embedding_index)
+    emb = _mk_emb(spark, seed=19)
+    corpus = _split(emb, 0, 6)
+    wave1, wave2 = _split(emb, 6, 8), _split(emb, 8, 10)
+    wave2_ids = {r.vec_id for r in wave2.select("vec_id").collect()}
+
+    write_embedding_index(corpus, idx_path)
+    append_to_embedding_index(wave1, idx_path)
+    got = _collect(incremental_embedding_pairs(wave2, idx_path,
+                                               threshold=THRESH))
+    assert got == _full_pairs_touching(emb, wave2_ids)
+
+
+def test_combined_occupancy_guard(spark, idx_path):
+    """A band-bucket under max_bucket in the corpus alone but over it
+    combined is dropped on both sides — identical to the full recompute's
+    guard over old ∪ new."""
+    from engine.datawork.embed_incremental import (
+        incremental_embedding_pairs, write_embedding_index)
+    rnd = random.Random(3)
+    v = _unit(rnd)
+    # 12 identical vectors: every band-bucket they share has occupancy 12
+    emb = spark.createDataFrame([(i, v) for i in range(12)],
+                                "vec_id: long, embedding: array<double>")
+    corpus = emb.filter(F.col("vec_id") < 8)
+    wave = emb.filter(F.col("vec_id") >= 8)
+    write_embedding_index(corpus, idx_path)
+
+    hot = incremental_embedding_pairs(wave, idx_path, threshold=THRESH,
+                                      max_bucket=10)
+    assert hot.count() == 0  # combined occupancy 12 > 10 → all dropped
+
+    ok = incremental_embedding_pairs(wave, idx_path, threshold=THRESH,
+                                     max_bucket=100)
+    assert ok.count() == 38  # 4×8 cross + C(4,2) inner
+    assert ok.filter(F.col("cosine") < 0.999999).count() == 0
+
+
+def test_broadcast_guard_fallback_equivalence(spark, idx_path):
+    from engine.datawork.embed_incremental import (
+        incremental_embedding_pairs, write_embedding_index)
+    emb = _mk_emb(spark, seed=29)
+    corpus, wave = _split(emb, 0, 8), _split(emb, 8, 10)
+    write_embedding_index(corpus, idx_path)
+    fast = _collect(incremental_embedding_pairs(wave, idx_path,
+                                                threshold=THRESH))
+    slow = _collect(incremental_embedding_pairs(wave, idx_path,
+                                                threshold=THRESH,
+                                                max_broadcast_rows=0))
+    assert fast == slow and len(fast) > 0
+
+
+def test_compact_preserves_results(spark, idx_path):
+    from pathlib import Path
+
+    from engine.datawork.embed_incremental import (
+        append_to_embedding_index, compact_embedding_index,
+        incremental_embedding_pairs, write_embedding_index)
+    emb = _mk_emb(spark, n=160, seed=41)
+    corpus = _split(emb, 0, 5)
+    waves = [_split(emb, 5 + i, 6 + i) for i in range(4)]
+    probe = _split(emb, 9, 10)
+
+    write_embedding_index(corpus, idx_path)
+    for w in waves:
+        append_to_embedding_index(w, idx_path)
+
+    def nfiles(sub):
+        return len(list((Path(idx_path) / sub).rglob("*.parquet")))
+
+    before = {s: nfiles(s) for s in ("vectors", "buckets", "stats")}
+    pre = _collect(incremental_embedding_pairs(probe, idx_path,
+                                               threshold=THRESH))
+    compact_embedding_index(spark, idx_path)
+    after = {s: nfiles(s) for s in ("vectors", "buckets", "stats")}
+    post = _collect(incremental_embedding_pairs(probe, idx_path,
+                                                threshold=THRESH))
+    assert pre == post
+    for sub in before:
+        assert after[sub] < before[sub], (sub, before, after)
+
+
+def test_layout_frozen_in_index(spark, idx_path):
+    from engine.datawork.embed_incremental import (read_layout,
+                                                   write_embedding_index)
+    emb = _mk_emb(spark, n=20)
+    write_embedding_index(emb, idx_path, bands=8, rows=3)
+    assert read_layout(spark, idx_path) == (8, 3)
+    sig_len = (spark.read.parquet(f"{idx_path}/vectors")
+               .select(F.length("sig").alias("L")).distinct().collect())
+    assert [r.L for r in sig_len] == [24]
