@@ -93,7 +93,8 @@ def run_op(spark, op: str, input_path: str, percent: int = 10,
            threshold: float = 0.5, check_ids: bool = False,
            min_count: int = 2, bench_path: str | None = None,
            budget: int = 1000, pack_budget: int = 2048,
-           ngram: int = 6, max_hot: int | None = None):
+           ngram: int = 6, max_hot: int | None = None,
+           index_path: str | None = None):
     docs = spark.read.parquet(input_path)
     if check_ids and op in DEDUP_OPS:
         check_unique_ids(docs)
@@ -217,6 +218,57 @@ def run_op(spark, op: str, input_path: str, percent: int = 10,
         fn = curate_corpus if op == "curate" else curate_funnel
         return fn(docs, spark.read.parquet(bench_path), budget=budget,
                   group_col=group_col)
+
+    # persisted-index lifecycle (MinHash text index / banded embedding
+    # index): --input is the corpus (build/append) or the wave (probe);
+    # --index is the index directory. build/append/compact return a
+    # one-row report so the main() write contract holds for every op.
+    if op in ("index-build", "index-append", "index-probe",
+              "index-compact", "embed-index-build", "embed-index-append",
+              "embed-index-probe", "embed-index-compact"):
+        if not index_path:
+            raise SystemExit(f"--op {op} requires --index <dir>")
+        if op == "index-build":
+            from .incremental import write_minhash_index
+            write_minhash_index(docs, index_path)
+            return spark.createDataFrame(
+                [(index_path, docs.count())], "`index` string, `docs` bigint")
+        if op == "index-append":
+            from .incremental import append_to_index
+            append_to_index(docs, index_path)
+            return spark.createDataFrame(
+                [(index_path, docs.count())], "`index` string, `docs` bigint")
+        if op == "index-probe":
+            from .incremental import incremental_verified_pairs
+            return incremental_verified_pairs(docs, index_path,
+                                              threshold=threshold)
+        if op == "index-compact":
+            from .incremental import compact_index
+            rep = compact_index(spark, index_path)
+            return spark.createDataFrame(
+                [(t, r["files_before"], r["files_after"])
+                 for t, r in rep.items()],
+                "`table` string, `files_before` int, `files_after` int")
+        if op == "embed-index-build":
+            from .embed_incremental import write_embedding_index
+            write_embedding_index(docs, index_path)
+            return spark.createDataFrame(
+                [(index_path, docs.count())], "`index` string, `docs` bigint")
+        if op == "embed-index-append":
+            from .embed_incremental import append_to_embedding_index
+            append_to_embedding_index(docs, index_path)
+            return spark.createDataFrame(
+                [(index_path, docs.count())], "`index` string, `docs` bigint")
+        if op == "embed-index-probe":
+            from .embed_incremental import incremental_embedding_pairs
+            return incremental_embedding_pairs(docs, index_path,
+                                               threshold=threshold)
+        from .embed_incremental import compact_embedding_index
+        rep = compact_embedding_index(spark, index_path)
+        return spark.createDataFrame(
+            [(t, r["files_before"], r["files_after"])
+             for t, r in rep.items()],
+            "`table` string, `files_before` int, `files_after` int")
     raise SystemExit(f"unknown --op {op!r}")
 
 
@@ -236,9 +288,16 @@ def main(argv=None) -> int:
                              "stratified-sample", "heavy-hitters",
                              "dsir-weights", "dsir-select", "semdedup", "classify",
                              "chunk", "entropy",
-                             "curate", "curate-funnel"])
+                             "curate", "curate-funnel",
+                             "index-build", "index-append", "index-probe",
+                             "index-compact", "embed-index-build",
+                             "embed-index-append", "embed-index-probe",
+                             "embed-index-compact"])
     ap.add_argument("--input", required=True)
     ap.add_argument("--output", required=True)
+    ap.add_argument("--index", default=None,
+                    help="index directory for the index-*/embed-index-* "
+                         "ops (built by index-build / embed-index-build)")
     ap.add_argument("--percent", type=int, default=10)
     ap.add_argument("--group-col", default="lang")
     ap.add_argument("--top-k", type=int, default=200)
@@ -279,7 +338,8 @@ def main(argv=None) -> int:
                  check_ids=not args.no_check_ids,
                  min_count=args.min_count, bench_path=args.bench,
                  budget=args.budget, pack_budget=args.pack_budget,
-                 ngram=args.ngram, max_hot=args.max_hot)
+                 ngram=args.ngram, max_hot=args.max_hot,
+                 index_path=args.index)
     out.write.mode("overwrite").parquet(args.output)
     n = spark.read.parquet(args.output).count()
     print(f"op={args.op} rows={n} output={args.output}")

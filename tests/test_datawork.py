@@ -1502,3 +1502,39 @@ def test_containment_catches_superset_jaccard_misses(spark):
     (r,) = rows
     assert (r["id_contained"], r["id_container"]) == (1, 2)
     assert r["containment"] == 1.0 and r["jaccard"] < 0.5
+
+
+def test_datawork_job_cli_index_ops(spark, tmp_path):
+    """Dispatch coverage for the r6 persisted-index lifecycle ops: build →
+    append → probe → compact for both the MinHash text index and the
+    banded embedding index (values covered by test_incremental /
+    test_embed_incremental; here the CLI wiring runs end-to-end)."""
+    from engine.datawork.job import run_op
+    d = "/root/testdata/sf0.001/documents.parquet"
+    e = "/root/testdata/sf0.001/embeddings.parquet"
+    docs = spark.read.parquet(d)
+    half = docs.filter("doc_id % 2 = 0")
+    half.write.mode("overwrite").parquet(str(tmp_path / "corpus"))
+    wave = docs.filter("doc_id % 2 = 1")
+    wave.write.mode("overwrite").parquet(str(tmp_path / "wave"))
+    idx = str(tmp_path / "midx")
+    assert run_op(spark, "index-build", str(tmp_path / "corpus"),
+                  index_path=idx).count() == 1
+    assert run_op(spark, "index-append", str(tmp_path / "wave"),
+                  index_path=idx).count() == 1
+    probe = run_op(spark, "index-probe", str(tmp_path / "wave"),
+                   index_path=idx, threshold=0.5)
+    assert set(probe.columns) == {"id_a", "id_b", "est_jaccard", "origin"}
+    rep = run_op(spark, "index-compact", str(tmp_path / "corpus"),
+                 index_path=idx)
+    assert {r["table"] for r in rep.collect()} == {"sigs", "buckets",
+                                                   "stats"}
+    eidx = str(tmp_path / "eidx")
+    assert run_op(spark, "embed-index-build", e,
+                  index_path=eidx).count() == 1
+    ep = run_op(spark, "embed-index-probe", e, index_path=eidx,
+                threshold=0.35)
+    assert set(ep.columns) == {"id_a", "id_b", "cosine", "origin"}
+    erep = run_op(spark, "embed-index-compact", e, index_path=eidx)
+    assert {r["table"] for r in erep.collect()} == {"vectors", "buckets",
+                                                    "stats"}

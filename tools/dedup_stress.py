@@ -258,6 +258,25 @@ def main() -> int:
         timed("wave10pct_vs_corpus88", lambda: {
             "pairs": incremental_verified_pairs(
                 wave_b, idx_big, threshold=thr).count()})
+
+        # broadcast-guard fallback (r6): the same 10% wave with every
+        # wave-side broadcast hint disabled (max_broadcast_rows=0 — what a
+        # wave past the census cap gets). The pair-set fingerprint must
+        # equal the broadcast path's; the wall-clock delta is the price of
+        # the shuffle fallback at this scale.
+        def _fp(df):
+            row = df.agg(
+                F.count("*").alias("pairs"),
+                F.sum(F.col("id_a") + F.col("id_b")).alias("id_sum"),
+                F.round(F.sum("est_jaccard"), 3).alias("jac_sum")).first()
+            return {"pairs": row["pairs"], "id_sum": row["id_sum"],
+                    "jac_sum": float(row["jac_sum"])}
+        fp_b = timed("wave10pct_bcast_fingerprint", lambda: _fp(
+            incremental_verified_pairs(wave_b, idx_big, threshold=thr)))
+        fp_f = timed("wave10pct_fallback_fingerprint", lambda: _fp(
+            incremental_verified_pairs(wave_b, idx_big, threshold=thr,
+                                       max_broadcast_rows=0)))
+        out["fallback_matches_broadcast"] = (fp_b == fp_f)
         timed("full_recompute_corpus88_plus_wave1pct", lambda: {
             "pairs": minhash_verified_pairs(
                 docs.filter(did < w1), threshold=thr).count()})
