@@ -912,6 +912,34 @@ def q_embedding_incremental_pairs(spark, sf_dir):
             .orderBy("id_a", "id_b"))
 
 
+def q_semdedup_wave_losers(spark, sf_dir):
+    """SemDeDup decision for an ingest WAVE against a frozen-codebook
+    semantic index (engine/datawork/embed_incremental.py): the 80% split
+    is assigned + persisted once; the 20% wave is then SemDeDup-pruned
+    against index + itself under the GLOBAL keep order — exactly
+    semdedup_losers(old ∪ new, centroids=frozen) restricted to wave ids
+    (the oracle is that full recompute + wave filter). The codebook is
+    trained on the full table (the offline-refresh story) so the oracle
+    can re-derive it with the committed k-means SQL."""
+    import tempfile
+    from engine.datawork.embed_incremental import (semdedup_wave_losers,
+                                                   write_semantic_index)
+    from engine.datawork.similarity import train_kmeans
+    emb = _t(spark, sf_dir, "embeddings")
+    bucket = F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 8),
+                    16, 10).cast("long") % 10
+    corpus, wave = emb.filter(bucket < 8), emb.filter(bucket >= 8)
+    idx = os.path.join(tempfile.gettempdir(),
+                       f"spark_graft_semidx_{_tag(sf_dir)}")
+    write_semantic_index(corpus, idx, centroids=train_kmeans(emb))
+    return (semdedup_wave_losers(wave, idx, threshold=0.35)
+            .select(F.col("id").cast("bigint").alias("vec_id"),
+                    F.col("cell").cast("int").alias("cell"),
+                    F.col("kept_id").cast("bigint").alias("kept_id"),
+                    F.col("cosine"))
+            .orderBy("vec_id"))
+
+
 def q_dedup_apply(spark, sf_dir):
     """End-to-end dedup ACTION: cluster the MinHash-LSH near-dups, keep one
     canonical doc per cluster, pass untouched docs through."""
@@ -1824,9 +1852,9 @@ _RAW_QUERIES: dict = {
         "embedding_near_pairs_lsh": q_embedding_near_pairs_lsh,
         "ann_lsh_topk_probe": q_ann_lsh_topk_probe,
         "ann_ivf_assignments": q_ann_ivf_assignments,
-        "ann_ivf_topk": q_ann_ivf_topk,
         "ann_ivf_trained_topk": q_ann_ivf_trained_topk,
         "semdedup_losers": q_semdedup_losers,
+        "semdedup_wave_losers": q_semdedup_wave_losers,
         "corpus_dsir_weights": q_corpus_dsir_weights,
         "corpus_dsir_select": q_corpus_dsir_select,
         "corpus_classifier_scores": q_corpus_classifier_scores,
@@ -1844,6 +1872,7 @@ _RAW_QUERIES: dict = {
         "doc_ppl_buckets": q_doc_ppl_buckets,
         "ann_lsh_buckets": q_ann_lsh_buckets,
         "ann_ivf_trained": q_ann_ivf_trained,
+        "ann_ivf_topk": q_ann_ivf_topk,
         # r5-driver-green set (CORRECTNESS_r05.json)
         "extract_kind_rollup": q_extract_kind_rollup,
         "extract_passages": q_extract_passages,

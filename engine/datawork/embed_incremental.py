@@ -137,6 +137,151 @@ def compact_embedding_index(spark: SparkSession, path: str,
     return out
 
 
+# ---------------------------------------------------------------------------
+# Semantic (SemDeDup) index: k-means cells instead of LSH bands. A frozen
+# codebook + per-member centroid-cosine rank persisted once; a wave is
+# assigned against the codebook and SemDeDup-pruned against index + itself.
+# Codebook provenance is orthogonal to the probe (production trains it
+# offline on a sample and refreshes it out of band) — the exactness
+# contract is relative to WHATEVER codebook the index froze.
+# ---------------------------------------------------------------------------
+
+CELLS = "cells"      # (cell, cv) — the frozen codebook
+MEMBERS = "members"  # (id, cell, pcos) — sorted by cell (touched-cell probe)
+CSTATS = "cstats"    # (cell, cnt) additive partials (combined max_cluster)
+
+
+def _semantic_assign(emb: DataFrame, cent: DataFrame, id_col: str,
+                     vec_col: str) -> DataFrame:
+    """(id, v, nrm, cell, ccos) — THE assignment kernel
+    (similarity._assign_cells at nprobe=1), so index rows and full
+    recomputes rank identically."""
+    from .similarity import _assign_cells
+    base = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+                      norm(F.col(vec_col)).alias("nrm"))
+    return _assign_cells(base, cent, keep_score=True)
+
+
+def write_semantic_index(emb: DataFrame, path: str, centroids: DataFrame,
+                         id_col: str = "vec_id",
+                         vec_col: str = "embedding") -> None:
+    """Build from scratch: freeze ``centroids`` (cell, cv) into the index,
+    assign every corpus vector, persist members (cell-sorted), vectors
+    (id-sorted) and per-cell stats partials."""
+    spark = emb.sparkSession
+    (centroids.select("cell", "cv").coalesce(1)
+              .write.mode("overwrite").parquet(_sub(path, CELLS)))
+    cent = spark.read.parquet(_sub(path, CELLS))
+    asg = _semantic_assign(emb, cent, id_col, vec_col)
+    (asg.select("id", "cell", F.col("ccos").alias("pcos"))
+        .repartitionByRange("cell").sortWithinPartitions("cell")
+        .write.mode("overwrite").parquet(_sub(path, MEMBERS)))
+    (asg.select("id", "v", "nrm")
+        .repartitionByRange("id").sortWithinPartitions("id")
+        .write.mode("overwrite").parquet(_sub(path, VECTORS)))
+    (spark.read.parquet(_sub(path, MEMBERS))
+        .groupBy("cell").agg(F.count("*").alias("cnt"))
+        .write.mode("overwrite").parquet(_sub(path, CSTATS)))
+
+
+def append_to_semantic_index(new_emb: DataFrame, path: str,
+                             id_col: str = "vec_id",
+                             vec_col: str = "embedding") -> None:
+    """Fold a processed wave in (cost ∝ wave); assignment uses the FROZEN
+    codebook — appending never re-trains."""
+    spark = new_emb.sparkSession
+    cent = spark.read.parquet(_sub(path, CELLS))
+    asg = _semantic_assign(new_emb, cent, id_col, vec_col)
+    (asg.select("id", "cell", F.col("ccos").alias("pcos"))
+        .repartitionByRange("cell").sortWithinPartitions("cell")
+        .write.mode("append").parquet(_sub(path, MEMBERS)))
+    (asg.select("id", "v", "nrm")
+        .repartitionByRange("id").sortWithinPartitions("id")
+        .write.mode("append").parquet(_sub(path, VECTORS)))
+    (asg.groupBy("cell").agg(F.count("*").alias("cnt"))
+        .write.mode("append").parquet(_sub(path, CSTATS)))
+
+
+def semdedup_wave_losers(new_emb: DataFrame, index_path: str,
+                         threshold: float = 0.95,
+                         id_col: str = "vec_id",
+                         vec_col: str = "embedding",
+                         max_cluster: int | None = None,
+                         max_broadcast_rows: int = MAX_BROADCAST_ROWS
+                         ) -> DataFrame:
+    """SemDeDup pruning decision for THE WAVE against a frozen-codebook
+    index: a wave doc is dropped iff some same-cell mate (indexed corpus
+    OR wave) precedes it in the GLOBAL keep order (centroid-cosine ASC,
+    id ASC — the r5 lesson: per-cell ranks over-delete) with pairwise
+    cosine ≥ threshold. Returns (id, cell, kept_id, cosine), kept_id =
+    the loser's first shadower in keep order — EXACTLY
+    ``semdedup_losers(old ∪ new, centroids=<frozen>, nprobe=1)``
+    restricted to wave ids (equivalence test + oracle pin it). Corpus
+    docs are never re-dropped here: canon already shipped; the wave is
+    what's being filtered.
+
+    ``max_cluster`` uses COMBINED occupancy (persisted cstats + wave
+    counts), mirroring the LSH hot-bucket guard. Wave-side broadcasts are
+    censused with the same fallback as incremental_embedding_pairs."""
+    from pyspark.sql import Window
+    spark = new_emb.sparkSession
+    cent = spark.read.parquet(_sub(index_path, CELLS))
+    wave = _semantic_assign(new_emb, cent, id_col, vec_col).persist()
+
+    n_wave = wave.count()
+    hint = F.broadcast if n_wave <= max_broadcast_rows else (lambda df: df)
+
+    touched = wave.select("cell").distinct()
+    cmem = (spark.read.parquet(_sub(index_path, MEMBERS))
+            .join(hint(touched), "cell", "left_semi"))
+
+    if max_cluster is not None:
+        old_cnt = (spark.read.parquet(_sub(index_path, CSTATS))
+                   .join(hint(touched), "cell", "left_semi")
+                   .groupBy("cell").agg(F.sum("cnt").alias("old_cnt")))
+        new_cnt = wave.groupBy("cell").agg(F.count("*").alias("new_cnt"))
+        big = (new_cnt.join(old_cnt, "cell", "left_outer")
+               .withColumn("cnt", F.coalesce("old_cnt", F.lit(0))
+                           + F.col("new_cnt"))
+               .filter(F.col("cnt") > max_cluster).select("cell"))
+        wave_k = wave.join(hint(big), "cell", "left_anti")
+        cmem = cmem.join(hint(big), "cell", "left_anti")
+    else:
+        wave_k = wave
+
+    # corpus shadow set: members of touched cells, vectors fetched by id
+    # (id-sorted layout → row-group pruning; volume ∝ touched-cell pop)
+    cvec = (spark.read.parquet(_sub(index_path, VECTORS))
+            .join(hint(cmem.select("id")), "id", "left_semi"))
+    corpus_side = (cmem.join(cvec, "id")
+                   .select("id", "cell", "pcos", "v", "nrm"))
+    wave_side = wave_k.select("id", "cell", F.col("ccos").alias("pcos"),
+                              "v", "nrm")
+    shadowers = (wave_side.unionByName(corpus_side)).alias("a")
+    losers = wave_side.alias("b")
+    precedes = ((F.col("a.pcos") < F.col("b.pcos"))
+                | ((F.col("a.pcos") == F.col("b.pcos"))
+                   & (F.col("a.id") < F.col("b.id"))))
+    pair_cos = F.round(
+        F.aggregate(
+            F.zip_with(F.col("a.v").cast("array<double>"),
+                       F.col("b.v").cast("array<double>"),
+                       lambda x, y: x * y),
+            F.lit(0.0), lambda acc, x: acc + x)
+        / (F.col("a.nrm") * F.col("b.nrm")), 6)
+    pairs = (shadowers.join(losers,
+                            (F.col("a.cell") == F.col("b.cell")) & precedes)
+             .select(F.col("b.id").alias("id"),
+                     F.col("b.cell").alias("cell"),
+                     F.col("a.id").alias("kept_id"),
+                     F.col("a.pcos").alias("kp"),
+                     pair_cos.alias("cosine"))
+             .filter(F.col("cosine") >= threshold))
+    first = Window.partitionBy("id").orderBy("kp", "kept_id", "cell")
+    return (pairs.withColumn("_p", F.row_number().over(first))
+            .filter(F.col("_p") == 1).drop("_p", "kp"))
+
+
 def incremental_embedding_pairs(new_emb: DataFrame, index_path: str,
                                 threshold: float = 0.95,
                                 id_col: str = "vec_id",

@@ -2102,6 +2102,15 @@ FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY krk) AS prk
       FROM prs WHERE cosine >= 0.35)
 WHERE prk = 1 ORDER BY vec_id"""
 
+    # the wave probe is the SAME full-recompute chain (identical frozen
+    # codebook) restricted to wave ids — a targeted rewrite of the final
+    # filter keeps the two oracles in lockstep by construction
+    o["semdedup_wave_losers"] = o["semdedup_losers"].replace(
+        "WHERE prk = 1 ORDER BY vec_id",
+        "WHERE prk = 1\n"
+        "  AND (CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8)) "
+        "AS BIGINT) % 10 >= 8)\nORDER BY vec_id")
+
     # multi-probe top-k: candidates = vectors whose 8-plane bucket is within
     # Hamming 1 of the query's bucket (probe_bits=1); data-independent SQL —
     # the query bucket is computed in the same statement.

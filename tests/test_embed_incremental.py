@@ -175,3 +175,75 @@ def test_layout_frozen_in_index(spark, idx_path):
     sig_len = (spark.read.parquet(f"{idx_path}/vectors")
                .select(F.length("sig").alias("L")).distinct().collect())
     assert [r.L for r in sig_len] == [24]
+
+
+def _semantic_full_losers(emb, cent, wave_ids, threshold=THRESH):
+    from engine.datawork.dedup import clear_cache_slots
+    from engine.datawork.similarity import semdedup_losers
+    clear_cache_slots()
+    full = semdedup_losers(emb, threshold=threshold, centroids=cent)
+    return sorted((r.id, r.cell, r.kept_id, r.cosine)
+                  for r in full.collect() if r.id in wave_ids)
+
+
+def _semantic_wave(df):
+    return sorted((r.id, r.cell, r.kept_id, r.cosine) for r in df.collect())
+
+
+def test_semdedup_wave_equals_full_recompute(spark, idx_path):
+    from engine.datawork.embed_incremental import (semdedup_wave_losers,
+                                                   write_semantic_index)
+    from engine.datawork.similarity import train_kmeans
+    emb = _mk_emb(spark, n=140, planted_every=4, seed=53)
+    cent = train_kmeans(emb, n_cells=8)
+    corpus, wave = _split(emb, 0, 8), _split(emb, 8, 10)
+    wave_ids = {r.vec_id for r in wave.select("vec_id").collect()}
+
+    write_semantic_index(corpus, idx_path, centroids=cent)
+    got = _semantic_wave(semdedup_wave_losers(wave, idx_path,
+                                              threshold=THRESH))
+    exp = _semantic_full_losers(emb, cent, wave_ids)
+    assert got == exp
+    assert len(got) > 0  # planted near-dups must produce wave losers
+
+
+def test_semdedup_wave_after_append(spark, idx_path):
+    from engine.datawork.embed_incremental import (
+        append_to_semantic_index, semdedup_wave_losers,
+        write_semantic_index)
+    from engine.datawork.similarity import train_kmeans
+    emb = _mk_emb(spark, n=140, planted_every=4, seed=61)
+    cent = train_kmeans(emb, n_cells=8)
+    corpus = _split(emb, 0, 6)
+    wave1, wave2 = _split(emb, 6, 8), _split(emb, 8, 10)
+    wave2_ids = {r.vec_id for r in wave2.select("vec_id").collect()}
+
+    write_semantic_index(corpus, idx_path, centroids=cent)
+    append_to_semantic_index(wave1, idx_path)
+    got = _semantic_wave(semdedup_wave_losers(wave2, idx_path,
+                                              threshold=THRESH))
+    assert got == _semantic_full_losers(emb, cent, wave2_ids)
+
+
+def test_semdedup_wave_combined_max_cluster(spark, idx_path):
+    """A cell under max_cluster in the corpus alone but over it combined
+    is excluded on both sides — like the full recompute's guard."""
+    from engine.datawork.embed_incremental import (semdedup_wave_losers,
+                                                   write_semantic_index)
+    from engine.datawork.similarity import train_kmeans
+    rnd = random.Random(5)
+    v = _unit(rnd)
+    emb = spark.createDataFrame([(i, v) for i in range(12)],
+                                "vec_id: long, embedding: array<double>")
+    cent = train_kmeans(emb, n_cells=1)
+    corpus = emb.filter(F.col("vec_id") < 8)
+    wave = emb.filter(F.col("vec_id") >= 8)
+    write_semantic_index(corpus, idx_path, centroids=cent)
+
+    capped = semdedup_wave_losers(wave, idx_path, threshold=THRESH,
+                                  max_cluster=10)
+    assert capped.count() == 0  # combined 12 > 10 → cell excluded
+    open_ = semdedup_wave_losers(wave, idx_path, threshold=THRESH,
+                                 max_cluster=100)
+    # identical vectors: every wave doc loses to the keep-order head
+    assert open_.count() == 4
