@@ -38,7 +38,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .incremental import MAX_BROADCAST_ROWS
-from .similarity import (LSH_BANDS, LSH_ROWS, banded_sig_expr, norm)
+from .similarity import LSH_BANDS, LSH_ROWS, norm
 
 VECTORS = "vectors"
 BUCKETS = "buckets"
@@ -52,13 +52,14 @@ def _sub(path: str, name: str) -> str:
 
 def _base(emb: DataFrame, id_col: str, vec_col: str, bands: int,
           rows: int) -> DataFrame:
-    """(id, v, nrm, sig) — the signature spelling MUST be
-    similarity.banded_sig_expr so the full-recompute equivalence holds
-    bit-for-bit."""
+    """(id, v, nrm, sig) — the signature kernel MUST be similarity's
+    (banded_sig_udf, the bitwise-equal Arrow twin of banded_sig_expr) so
+    the full-recompute equivalence holds bit-for-bit."""
+    from .similarity import banded_sig_udf
     return emb.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
         norm(F.col(vec_col)).alias("nrm"),
-        banded_sig_expr(F.col(vec_col), bands, rows).alias("sig"))
+        banded_sig_udf(bands, rows)(F.col(vec_col)).alias("sig"))
 
 
 def _explode(base: DataFrame, bands: int, rows: int) -> DataFrame:
@@ -67,6 +68,27 @@ def _explode(base: DataFrame, bands: int, rows: int) -> DataFrame:
                  F.substring("sig", b * rows + 1, rows).alias("bucket"))
         for b in range(bands)])).alias("bb"))
         .select("id", "bb.band", "bb.bucket"))
+
+
+def _write_sorted_once(df: DataFrame, writes: list) -> None:
+    """Materialize an expensive projection ONCE (persist + count), then
+    run each (project, sort_cols, path, mode) range-write off the cache.
+
+    Why: ``repartitionByRange`` runs a boundary-sampling job over its
+    child and then the real exchange — an unpersisted child pays the
+    projection 2-3×. For the 256-plane signature this was measured at
+    88k vectors: plain write 136 s, naive range write 375 s; cached
+    range write pays the projection once. The cache is released before
+    returning."""
+    df = df.persist()
+    df.count()  # materializes every column into the cache exactly once
+    try:
+        for project, sort_cols, path, mode in writes:
+            (project(df).repartitionByRange(*sort_cols)
+             .sortWithinPartitions(*sort_cols)
+             .write.mode(mode).parquet(path))
+    finally:
+        df.unpersist()
 
 
 def read_layout(spark: SparkSession, path: str) -> tuple[int, int]:
@@ -84,8 +106,8 @@ def write_embedding_index(emb: DataFrame, path: str,
     plane dots per vector) runs exactly once."""
     spark = emb.sparkSession
     base = _base(emb, id_col, vec_col, bands, rows)
-    (base.repartitionByRange("id").sortWithinPartitions("id")
-         .write.mode("overwrite").parquet(_sub(path, VECTORS)))
+    _write_sorted_once(base, [
+        (lambda d: d, ["id"], _sub(path, VECTORS), "overwrite")])
     base_r = spark.read.parquet(_sub(path, VECTORS))
     buckets = _explode(base_r, bands, rows)
     (buckets.repartitionByRange("band", "bucket")
@@ -105,15 +127,19 @@ def append_to_embedding_index(new_emb: DataFrame, path: str,
     index — a mismatched wave cannot be appended."""
     spark = new_emb.sparkSession
     bands, rows = read_layout(spark, path)
-    base = _base(new_emb, id_col, vec_col, bands, rows)
-    (base.repartitionByRange("id").sortWithinPartitions("id")
-         .write.mode("append").parquet(_sub(path, VECTORS)))
-    buckets = _explode(base, bands, rows)
-    (buckets.repartitionByRange("band", "bucket")
-            .sortWithinPartitions("band", "bucket")
-            .write.mode("append").parquet(_sub(path, BUCKETS)))
-    (buckets.groupBy("band", "bucket").agg(F.count("*").alias("cnt"))
-        .write.mode("append").parquet(_sub(path, STATS)))
+    base = _base(new_emb, id_col, vec_col, bands, rows).persist()
+    try:
+        base.count()  # one signature pass for all three appends
+        (base.repartitionByRange("id").sortWithinPartitions("id")
+             .write.mode("append").parquet(_sub(path, VECTORS)))
+        buckets = _explode(base, bands, rows)
+        (buckets.repartitionByRange("band", "bucket")
+                .sortWithinPartitions("band", "bucket")
+                .write.mode("append").parquet(_sub(path, BUCKETS)))
+        (buckets.groupBy("band", "bucket").agg(F.count("*").alias("cnt"))
+            .write.mode("append").parquet(_sub(path, STATS)))
+    finally:
+        base.unpersist()
 
 
 def compact_embedding_index(spark: SparkSession, path: str,
@@ -173,12 +199,11 @@ def write_semantic_index(emb: DataFrame, path: str, centroids: DataFrame,
               .write.mode("overwrite").parquet(_sub(path, CELLS)))
     cent = spark.read.parquet(_sub(path, CELLS))
     asg = _semantic_assign(emb, cent, id_col, vec_col)
-    (asg.select("id", "cell", F.col("ccos").alias("pcos"))
-        .repartitionByRange("cell").sortWithinPartitions("cell")
-        .write.mode("overwrite").parquet(_sub(path, MEMBERS)))
-    (asg.select("id", "v", "nrm")
-        .repartitionByRange("id").sortWithinPartitions("id")
-        .write.mode("overwrite").parquet(_sub(path, VECTORS)))
+    _write_sorted_once(asg, [
+        (lambda d: d.select("id", "cell", F.col("ccos").alias("pcos")),
+         ["cell"], _sub(path, MEMBERS), "overwrite"),
+        (lambda d: d.select("id", "v", "nrm"),
+         ["id"], _sub(path, VECTORS), "overwrite")])
     (spark.read.parquet(_sub(path, MEMBERS))
         .groupBy("cell").agg(F.count("*").alias("cnt"))
         .write.mode("overwrite").parquet(_sub(path, CSTATS)))
@@ -191,15 +216,19 @@ def append_to_semantic_index(new_emb: DataFrame, path: str,
     codebook — appending never re-trains."""
     spark = new_emb.sparkSession
     cent = spark.read.parquet(_sub(path, CELLS))
-    asg = _semantic_assign(new_emb, cent, id_col, vec_col)
-    (asg.select("id", "cell", F.col("ccos").alias("pcos"))
-        .repartitionByRange("cell").sortWithinPartitions("cell")
-        .write.mode("append").parquet(_sub(path, MEMBERS)))
-    (asg.select("id", "v", "nrm")
-        .repartitionByRange("id").sortWithinPartitions("id")
-        .write.mode("append").parquet(_sub(path, VECTORS)))
-    (asg.groupBy("cell").agg(F.count("*").alias("cnt"))
-        .write.mode("append").parquet(_sub(path, CSTATS)))
+    asg = _semantic_assign(new_emb, cent, id_col, vec_col).persist()
+    try:
+        asg.count()  # one assignment pass for all three appends
+        (asg.select("id", "cell", F.col("ccos").alias("pcos"))
+            .repartitionByRange("cell").sortWithinPartitions("cell")
+            .write.mode("append").parquet(_sub(path, MEMBERS)))
+        (asg.select("id", "v", "nrm")
+            .repartitionByRange("id").sortWithinPartitions("id")
+            .write.mode("append").parquet(_sub(path, VECTORS)))
+        (asg.groupBy("cell").agg(F.count("*").alias("cnt"))
+            .write.mode("append").parquet(_sub(path, CSTATS)))
+    finally:
+        asg.unpersist()
 
 
 def semdedup_wave_losers(new_emb: DataFrame, index_path: str,

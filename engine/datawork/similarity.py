@@ -356,6 +356,56 @@ def banded_sig_expr(vec: Column, bands: int = LSH_BANDS,
     return bucket_expr(vec, lsh_planes(bands * rows))
 
 
+def banded_sig_udf(bands: int = LSH_BANDS, rows: int = LSH_ROWS,
+                   dim: int = EMBED_DIM):
+    """Arrow-batched twin of ``banded_sig_expr`` — BITWISE identical
+    output, ~100× the throughput.
+
+    The Catalyst spelling is n_planes interpreted higher-order
+    ``aggregate(zip_with(...))`` expressions per row (no codegen for
+    lambda functions): measured 1.5 ms/row at 256 planes — the dominant
+    cost of every embedding-index build. This kernel vectorizes ACROSS
+    rows while looping the dims IN ORDER, so each accumulator update is
+    the same IEEE-754 double add/mul sequence the expression (and the
+    DuckDB oracle's list_sum fold) performs: ``acc = acc + v[d]·p[d]``
+    for d = 0..dim-1 — bit-for-bit equal dots, hence identical sign
+    strings (differential fuzz test pins it, including exact-zero dots
+    and the malformed-row semantics below).
+
+    Malformed rows reproduce the expression's null algebra: a NULL
+    vector or one whose length ≠ dim zips with nulls, poisoning the
+    fold to NULL, and ``CASE WHEN NULL > 0`` takes the else branch —
+    i.e. every plane emits '0'."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import StringType
+
+    planes = np.array(lsh_planes(bands * rows, dim), dtype=np.float64)
+    n_planes = planes.shape[0]
+    pt = planes.T.copy()  # (dim, n_planes), row d = every plane's dim-d coef
+
+    @pandas_udf(StringType())
+    def sig(vs):
+        import pandas as pd
+        n = len(vs)
+        ok = np.zeros(n, dtype=bool)
+        mat = np.zeros((n, dim), dtype=np.float64)
+        for i, v in enumerate(vs):
+            if v is not None and len(v) == dim:
+                ok[i] = True
+                mat[i, :] = v
+        acc = np.zeros((n, n_planes), dtype=np.float64)
+        for d in range(dim):  # dim order = the expression's fold order
+            acc = acc + mat[:, d:d + 1] * pt[d]
+        bits = acc > 0.0
+        zeros = "0" * n_planes
+        out = [("".join("1" if b else "0" for b in bits[i]) if ok[i]
+                else zeros) for i in range(n)]
+        return pd.Series(out)
+
+    return sig
+
+
 def _explode_bands(sig_df: DataFrame, bands: int, rows: int) -> DataFrame:
     """(id, sig) → (id, band, bucket) via ONE explode (a bands-way union
     would recompute the sig lineage per branch)."""
@@ -373,7 +423,7 @@ def banded_buckets(df: DataFrame, id_col: str = "vec_id",
     cosine_pairs_above joins on (single source of truth; guard telemetry
     counts exactly the buckets the join would use)."""
     sig = df.select(F.col(id_col).alias("id"),
-                    banded_sig_expr(F.col(vec_col), bands, rows).alias("sig"))
+                    banded_sig_udf(bands, rows)(F.col(vec_col)).alias("sig"))
     return _explode_bands(sig, bands, rows)
 
 
@@ -411,10 +461,15 @@ def _lsh_base_plan(df: DataFrame, id_col: str, vec_col: str,
     vectors; the one id-shuffle happens at cache build, where the sig
     column rides along anyway. The repartition also subsumes the
     under-split rebalance _ensure_parallelism used to provide."""
-    base = df.select(
+    # the sig UDF sits BELOW the id-repartition: a Python eval node above
+    # the exchange would hide the cache's hash(id) outputPartitioning from
+    # the verify joins and re-shuffle the vectors twice (plan test pins
+    # the exchange count)
+    return (df.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
-        norm(F.col(vec_col)).alias("nrm")).repartition(F.col("id"))
-    return base.withColumn("sig", banded_sig_expr(F.col("v"), bands, rows))
+        norm(F.col(vec_col)).alias("nrm"))
+        .withColumn("sig", banded_sig_udf(bands, rows)(F.col("v")))
+        .repartition(F.col("id")))
 
 
 def banded_buckets_shared(df: DataFrame, id_col: str = "vec_id",

@@ -247,3 +247,40 @@ def test_semdedup_wave_combined_max_cluster(spark, idx_path):
                                  max_cluster=100)
     # identical vectors: every wave doc loses to the keep-order head
     assert open_.count() == 4
+
+
+def test_banded_sig_udf_bitwise_equals_expression(spark):
+    """The Arrow signature kernel must reproduce the Catalyst expression
+    EXACTLY — same IEEE fold order, same null algebra — across random
+    float32/float64 vectors, zero vectors (exact-0.0 dots), NULLs, and
+    wrong-length rows."""
+    import numpy as np
+
+    from engine.datawork.similarity import banded_sig_expr, banded_sig_udf
+
+    rs = np.random.RandomState(123)
+    rows = []
+    for i in range(400):
+        v = rs.standard_normal(DIM)
+        if i % 7 == 0:
+            v = v.astype(np.float32).astype(np.float64)  # float32 storage
+        if i % 13 == 0:
+            v = v * 1e-12  # tiny magnitudes near the sign boundary
+        rows.append((i, [float(x) for x in v]))
+    rows += [
+        (1000, [0.0] * DIM),          # every dot exactly 0.0 → all '0'
+        (1001, None),                 # NULL vector
+        (1002, [1.0] * 10),           # wrong length
+        (1003, []),                   # empty
+    ]
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+    both = df.select(
+        "vec_id",
+        banded_sig_expr(F.col("embedding")).alias("expr_sig"),
+        banded_sig_udf()(F.col("embedding")).alias("udf_sig"))
+    bad = both.filter(
+        ~(F.col("expr_sig").eqNullSafe(F.col("udf_sig")))).collect()
+    assert bad == [], bad[:5]
+    z = {r.vec_id: r.udf_sig for r in both.collect()}
+    assert z[1000] == "0" * 96 and z[1001] == "0" * 96
+    assert z[1002] == "0" * 96 and z[1003] == "0" * 96

@@ -137,6 +137,9 @@ def main() -> int:
                     help="append a Zipf(1)-distributed boilerplate banner "
                          "over K templates (adversarial shared-boilerplate "
                          "skew; guards must engage with candidates bounded)")
+    ap.add_argument("--embed-incremental", action="store_true",
+                    help="soak the persisted embedding-index incremental "
+                         "near-dup path (wave-proportional cost evidence)")
     ap.add_argument("--incremental", action="store_true",
                     help="soak the persisted-index incremental dedup path: "
                          "build 44%%/88%% corpus indexes, run a 1%% wave "
@@ -171,6 +174,56 @@ def main() -> int:
         out[name] = {"wall_s": round(time.monotonic() - t0, 1), **res}
         print(f"  {name}: {out[name]}", flush=True)
         return res
+
+    if args.embed_incremental:
+        # wave-proportional cost for the PERSISTED embedding index
+        # (engine/datawork/embed_incremental.py): same shape as the
+        # MinHash --incremental soak — one wave, two corpus sizes, then
+        # a bigger wave; rows sized by auto_rows for the corpus scale.
+        from engine.datawork.embed_incremental import (
+            incremental_embedding_pairs, write_embedding_index)
+        from engine.datawork.similarity import auto_rows
+        emb = build_embedding_corpus(
+            spark, args.sf, args.copies,
+            f"/tmp/spark_graft_stress_emb_{args.copies}x")
+        n_vec = emb.count()
+        out["n_vectors"] = n_vec
+        rows_arg = args.rows if args.rows > 0 else auto_rows(n_vec)
+        out["bands"], out["rows"] = args.bands, rows_arg
+        vid = F.col("vec_id")
+        b_small, b_big = int(n_vec * 0.44), int(n_vec * 0.88)
+        w1, w2 = int(n_vec * 0.89), int(n_vec * 0.99)
+        idx_s = f"/tmp/spark_graft_eincr_small_{args.copies}x"
+        idx_b = f"/tmp/spark_graft_eincr_big_{args.copies}x"
+        for p in (idx_s, idx_b):
+            import shutil
+            shutil.rmtree(p, ignore_errors=True)
+        thr = args.verify_threshold or 0.95
+        timed("eindex_build_small", lambda: (
+            write_embedding_index(emb.filter(vid < b_small), idx_s,
+                                  bands=args.bands, rows=rows_arg),
+            {"vectors": b_small})[1])
+        timed("eindex_build_big", lambda: (
+            write_embedding_index(emb.filter(vid < b_big), idx_b,
+                                  bands=args.bands, rows=rows_arg),
+            {"vectors": b_big})[1])
+        wave_s = emb.filter((vid >= b_big) & (vid < w1))
+        wave_b = emb.filter((vid >= w1) & (vid < w2))
+        timed("ewave1pct_vs_corpus44", lambda: {
+            "pairs": incremental_embedding_pairs(
+                wave_s, idx_s, threshold=thr,
+                max_bucket=args.max_bucket).count()})
+        timed("ewave1pct_vs_corpus88", lambda: {
+            "pairs": incremental_embedding_pairs(
+                wave_s, idx_b, threshold=thr,
+                max_bucket=args.max_bucket).count()})
+        timed("ewave10pct_vs_corpus88", lambda: {
+            "pairs": incremental_embedding_pairs(
+                wave_b, idx_b, threshold=thr,
+                max_bucket=args.max_bucket).count()})
+        if args.json:
+            print(json.dumps(out))
+        return 0
 
     if args.embeddings:
         from engine.datawork.similarity import cosine_pairs_above
