@@ -262,6 +262,7 @@ def main() -> int:
         timed("embed_clusters", run_clusters)
         from engine.datawork import dedup as dedup_mod
         out["rebalance_triggers"] = dedup_mod.REBALANCE_TRIGGERS
+        out["evicted_slots"] = dedup_mod.report_cache_health(spark)
         if args.json:
             print(json.dumps(out))
         return 0
@@ -335,6 +336,7 @@ def main() -> int:
                 docs.filter(did < w1), threshold=thr).count()})
         from engine.datawork import dedup as dedup_mod
         out["rebalance_triggers"] = dedup_mod.REBALANCE_TRIGGERS
+        out["evicted_slots"] = dedup_mod.report_cache_health(spark)
         if args.json:
             print(json.dumps(out))
         return 0
@@ -400,6 +402,7 @@ def main() -> int:
     # on idle cores (the silent 16× round-4 failure mode)
     from engine.datawork import dedup as dedup_mod
     out["rebalance_triggers"] = dedup_mod.REBALANCE_TRIGGERS
+    out["evicted_slots"] = dedup_mod.report_cache_health(spark)
     assert dedup_mod.REBALANCE_TRIGGERS == 0, (
         f"reactive rebalance fired {dedup_mod.REBALANCE_TRIGGERS}× despite "
         f"proactive split sizing")
