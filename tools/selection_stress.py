@@ -99,15 +99,25 @@ def main() -> int:
     n_vec = vecs.count()
     out["n_vectors"] = n_vec
 
-    def run_semdedup():
-        cent = train_kmeans(vecs, n_cells=args.cells)
-        losers = semdedup_losers(vecs, threshold=0.995, centroids=cent)
+    cent_box: dict = {}
+
+    def run_semdedup(nprobe: int = 1):
+        cent = cent_box.setdefault(
+            "cent", train_kmeans(vecs, n_cells=args.cells).persist())
+        losers = semdedup_losers(vecs, threshold=0.995, centroids=cent,
+                                 nprobe=nprobe)
         n = losers.count()
         expect = n_vec - n_vec // args.vec_copies
         return {"losers": n, "expected_if_no_cluster_splits": expect,
-                "collapse_ratio": round(n / max(1, expect), 4)}
+                "collapse_ratio": round(n / max(1, expect), 4),
+                "nprobe": nprobe}
 
     timed(f"semdedup_{n_vec // 1000}k", run_semdedup)
+    # the r5 lead: do the cluster-boundary misses close at nprobe=2, and
+    # at what cost? (global keep order makes >1 probe safe — see the
+    # multi-probe over-deletion pitfall in ROUND5_NOTES)
+    timed(f"semdedup_{n_vec // 1000}k_nprobe2",
+          lambda: run_semdedup(nprobe=2))
 
     docs = build_corpus(spark, args.sf, args.copies,
                         f"/tmp/spark_graft_cura_{args.copies}x")
