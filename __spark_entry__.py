@@ -940,6 +940,32 @@ def q_semdedup_wave_losers(spark, sf_dir):
             .orderBy("vec_id"))
 
 
+def q_semdedup_retroactive_losers(spark, sf_dir):
+    """The revocation direction: corpus docs a wave NEWLY outranks under
+    the global SemDeDup keep order — docs that had no shadower inside the
+    old corpus (the index's persisted losers/ set excludes those) but
+    gained a better-ranked wave mate at cosine ≥ τ. Oracle = full-chain
+    losers(old ∪ new) minus losers(old), restricted to the corpus side."""
+    import tempfile
+    from engine.datawork.embed_incremental import (retroactive_wave_losers,
+                                                   write_semantic_index)
+    from engine.datawork.similarity import train_kmeans
+    emb = _t(spark, sf_dir, "embeddings")
+    bucket = F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 8),
+                    16, 10).cast("long") % 10
+    corpus, wave = emb.filter(bucket < 8), emb.filter(bucket >= 8)
+    idx = os.path.join(tempfile.gettempdir(),
+                       f"spark_graft_semretro_{_tag(sf_dir)}")
+    write_semantic_index(corpus, idx, centroids=train_kmeans(emb),
+                         losers_threshold=0.35)
+    return (retroactive_wave_losers(wave, idx, threshold=0.35)
+            .select(F.col("id").cast("bigint").alias("vec_id"),
+                    F.col("cell").cast("int").alias("cell"),
+                    F.col("kept_id").cast("bigint").alias("kept_id"),
+                    F.col("cosine"))
+            .orderBy("vec_id"))
+
+
 def q_dedup_apply(spark, sf_dir):
     """End-to-end dedup ACTION: cluster the MinHash-LSH near-dups, keep one
     canonical doc per cluster, pass untouched docs through."""
@@ -1832,7 +1858,6 @@ _RAW_QUERIES: dict = {
         "events_funnel_census": q_events_funnel_census,
         "events_hll_daily": q_events_hll_daily,
         "events_quantiles_approx": q_events_quantiles_approx,
-        "events_rolling_7d": q_events_rolling_7d,
         # ---- multimodal ----
         "multimodal_ppm_decode": q_multimodal_ppm_decode,
         "multimodal_wav_decode": q_multimodal_wav_decode,
@@ -1855,6 +1880,7 @@ _RAW_QUERIES: dict = {
         "ann_ivf_trained_topk": q_ann_ivf_trained_topk,
         "semdedup_losers": q_semdedup_losers,
         "semdedup_wave_losers": q_semdedup_wave_losers,
+        "semdedup_retroactive_losers": q_semdedup_retroactive_losers,
         "corpus_dsir_weights": q_corpus_dsir_weights,
         "corpus_dsir_select": q_corpus_dsir_select,
         "corpus_classifier_scores": q_corpus_classifier_scores,
@@ -1873,6 +1899,7 @@ _RAW_QUERIES: dict = {
         "ann_lsh_buckets": q_ann_lsh_buckets,
         "ann_ivf_trained": q_ann_ivf_trained,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "events_rolling_7d": q_events_rolling_7d,
         # r5-driver-green set (CORRECTNESS_r05.json)
         "extract_kind_rollup": q_extract_kind_rollup,
         "extract_passages": q_extract_passages,

@@ -175,6 +175,8 @@ def compact_embedding_index(spark: SparkSession, path: str,
 CELLS = "cells"      # (cell, cv) — the frozen codebook
 MEMBERS = "members"  # (id, cell, pcos) — sorted by cell (touched-cell probe)
 CSTATS = "cstats"    # (cell, cnt) additive partials (combined max_cluster)
+LOSERS = "losers"    # (id) — corpus docs already SemDeDup-dropped (see
+                     # write_semantic_index; retroactive probes exclude them)
 
 
 def _semantic_assign(emb: DataFrame, cent: DataFrame, id_col: str,
@@ -190,10 +192,17 @@ def _semantic_assign(emb: DataFrame, cent: DataFrame, id_col: str,
 
 def write_semantic_index(emb: DataFrame, path: str, centroids: DataFrame,
                          id_col: str = "vec_id",
-                         vec_col: str = "embedding") -> None:
+                         vec_col: str = "embedding",
+                         losers_threshold: float | None = None) -> None:
     """Build from scratch: freeze ``centroids`` (cell, cv) into the index,
     assign every corpus vector, persist members (cell-sorted), vectors
-    (id-sorted) and per-cell stats partials."""
+    (id-sorted) and per-cell stats partials.
+
+    ``losers_threshold`` additionally runs SemDeDup over the corpus itself
+    at build time and persists the dropped ids as ``losers/`` — the
+    exclusion set ``retroactive_wave_losers`` needs (a corpus doc that
+    already lost cannot "newly" lose to a wave). One-time build cost, the
+    natural byproduct of deduping a corpus before shipping it."""
     spark = emb.sparkSession
     (centroids.select("cell", "cv").coalesce(1)
               .write.mode("overwrite").parquet(_sub(path, CELLS)))
@@ -207,6 +216,11 @@ def write_semantic_index(emb: DataFrame, path: str, centroids: DataFrame,
     (spark.read.parquet(_sub(path, MEMBERS))
         .groupBy("cell").agg(F.count("*").alias("cnt"))
         .write.mode("overwrite").parquet(_sub(path, CSTATS)))
+    if losers_threshold is not None:
+        from .similarity import semdedup_losers
+        (semdedup_losers(emb, threshold=losers_threshold, centroids=cent,
+                         id_col=id_col, vec_col=vec_col)
+         .select("id").write.mode("overwrite").parquet(_sub(path, LOSERS)))
 
 
 def append_to_semantic_index(new_emb: DataFrame, path: str,
@@ -288,6 +302,69 @@ def semdedup_wave_losers(new_emb: DataFrame, index_path: str,
                               "v", "nrm")
     shadowers = (wave_side.unionByName(corpus_side)).alias("a")
     losers = wave_side.alias("b")
+    precedes = ((F.col("a.pcos") < F.col("b.pcos"))
+                | ((F.col("a.pcos") == F.col("b.pcos"))
+                   & (F.col("a.id") < F.col("b.id"))))
+    pair_cos = F.round(
+        F.aggregate(
+            F.zip_with(F.col("a.v").cast("array<double>"),
+                       F.col("b.v").cast("array<double>"),
+                       lambda x, y: x * y),
+            F.lit(0.0), lambda acc, x: acc + x)
+        / (F.col("a.nrm") * F.col("b.nrm")), 6)
+    pairs = (shadowers.join(losers,
+                            (F.col("a.cell") == F.col("b.cell")) & precedes)
+             .select(F.col("b.id").alias("id"),
+                     F.col("b.cell").alias("cell"),
+                     F.col("a.id").alias("kept_id"),
+                     F.col("a.pcos").alias("kp"),
+                     pair_cos.alias("cosine"))
+             .filter(F.col("cosine") >= threshold))
+    first = Window.partitionBy("id").orderBy("kp", "kept_id", "cell")
+    return (pairs.withColumn("_p", F.row_number().over(first))
+            .filter(F.col("_p") == 1).drop("_p", "kp"))
+
+
+def retroactive_wave_losers(new_emb: DataFrame, index_path: str,
+                            threshold: float = 0.95,
+                            id_col: str = "vec_id",
+                            vec_col: str = "embedding",
+                            max_broadcast_rows: int = MAX_BROADCAST_ROWS
+                            ) -> DataFrame:
+    """The other direction of ``semdedup_wave_losers``: CORPUS docs a wave
+    NEWLY outranks — for consumers that can revoke shipped data (a corpus
+    doc that keeps its slot under the no-revocation policy still stops
+    being canon once a better-ranked wave doc lands).
+
+    A corpus doc newly loses iff it had NO shadower inside the old corpus
+    (else it is in the persisted ``losers/`` exclusion set) and ≥1 wave
+    doc in its cell precedes it in the global keep order with pairwise
+    cosine ≥ threshold — in which case ALL its shadowers are wave docs,
+    so its kept_id under the full recompute is exactly the first wave
+    shadower this probe sees. Contract:
+    ``retroactive == (losers(old ∪ new) − losers(old)) ∩ corpus`` with
+    identical (kept_id, cosine) — equivalence test + oracle pin it.
+    Requires the index to have been built with ``losers_threshold`` equal
+    to this ``threshold``."""
+    from pyspark.sql import Window
+    spark = new_emb.sparkSession
+    cent = spark.read.parquet(_sub(index_path, CELLS))
+    wave = _semantic_assign(new_emb, cent, id_col, vec_col).persist()
+    n_wave = wave.count()
+    hint = F.broadcast if n_wave <= max_broadcast_rows else (lambda df: df)
+
+    touched = wave.select("cell").distinct()
+    cmem = (spark.read.parquet(_sub(index_path, MEMBERS))
+            .join(hint(touched), "cell", "left_semi")
+            .join(spark.read.parquet(_sub(index_path, LOSERS)),
+                  "id", "left_anti"))
+    cvec = (spark.read.parquet(_sub(index_path, VECTORS))
+            .join(hint(cmem.select("id")), "id", "left_semi"))
+    corpus_side = (cmem.join(cvec, "id")
+                   .select("id", "cell", "pcos", "v", "nrm"))
+    shadowers = wave.select("id", "cell", F.col("ccos").alias("pcos"),
+                            "v", "nrm").alias("a")
+    losers = corpus_side.alias("b")
     precedes = ((F.col("a.pcos") < F.col("b.pcos"))
                 | ((F.col("a.pcos") == F.col("b.pcos"))
                    & (F.col("a.id") < F.col("b.id"))))

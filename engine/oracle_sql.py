@@ -2105,11 +2105,26 @@ WHERE prk = 1 ORDER BY vec_id"""
     # the wave probe is the SAME full-recompute chain (identical frozen
     # codebook) restricted to wave ids — a targeted rewrite of the final
     # filter keeps the two oracles in lockstep by construction
+    def _in_vwave(c: str) -> str:
+        return (f"(CAST(('0x' || substr(md5(CAST({c} AS VARCHAR)), 1, 8)) "
+                f"AS BIGINT) % 10 >= 8)")
     o["semdedup_wave_losers"] = o["semdedup_losers"].replace(
         "WHERE prk = 1 ORDER BY vec_id",
-        "WHERE prk = 1\n"
-        "  AND (CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8)) "
-        "AS BIGINT) % 10 >= 8)\nORDER BY vec_id")
+        f"WHERE prk = 1\n  AND {_in_vwave('vec_id')}\nORDER BY vec_id")
+
+    # retroactive losers = (losers(old ∪ new) − losers(old)) ∩ corpus:
+    # same chain, final filter = corpus side minus docs that already had
+    # an old (corpus×corpus) shadower — the probe's losers/ exclusion set
+    _old_shadowed = f"""
+      SELECT b.id FROM rked a JOIN rked b
+        ON a.cell = b.cell AND a.rk < b.rk
+      WHERE NOT {_in_vwave('a.id')} AND NOT {_in_vwave('b.id')}
+        AND CAST(round({_dot_d('a.v', 'b.v')} / (a.nrm * b.nrm), 6)
+                 AS DOUBLE) >= 0.35"""
+    o["semdedup_retroactive_losers"] = o["semdedup_losers"].replace(
+        "WHERE prk = 1 ORDER BY vec_id",
+        f"WHERE prk = 1\n  AND NOT {_in_vwave('vec_id')}\n"
+        f"  AND vec_id NOT IN ({_old_shadowed})\nORDER BY vec_id")
 
     # multi-probe top-k: candidates = vectors whose 8-plane bucket is within
     # Hamming 1 of the query's bucket (probe_bits=1); data-independent SQL —

@@ -284,3 +284,35 @@ def test_banded_sig_udf_bitwise_equals_expression(spark):
     z = {r.vec_id: r.udf_sig for r in both.collect()}
     assert z[1000] == "0" * 96 and z[1001] == "0" * 96
     assert z[1002] == "0" * 96 and z[1003] == "0" * 96
+
+
+def test_retroactive_losers_equal_full_minus_old(spark, idx_path):
+    """retroactive == (losers(old ∪ new) − losers(old)) ∩ corpus, with
+    identical (kept_id, cosine); every kept_id must be a wave doc (a
+    newly-lost corpus doc's shadowers are all wave docs by definition)."""
+    from engine.datawork.dedup import clear_cache_slots
+    from engine.datawork.embed_incremental import (retroactive_wave_losers,
+                                                   write_semantic_index)
+    from engine.datawork.similarity import semdedup_losers, train_kmeans
+    emb = _mk_emb(spark, n=140, planted_every=3, seed=71)
+    cent = train_kmeans(emb, n_cells=8)
+    corpus, wave = _split(emb, 0, 8), _split(emb, 8, 10)
+    wave_ids = {r.vec_id for r in wave.select("vec_id").collect()}
+
+    write_semantic_index(corpus, idx_path, centroids=cent,
+                         losers_threshold=THRESH)
+    got = _semantic_wave(retroactive_wave_losers(wave, idx_path,
+                                                 threshold=THRESH))
+
+    clear_cache_slots()
+    full = {r.id: (r.cell, r.kept_id, r.cosine)
+            for r in semdedup_losers(emb, threshold=THRESH,
+                                     centroids=cent).collect()}
+    clear_cache_slots()
+    old = {r.id for r in semdedup_losers(corpus, threshold=THRESH,
+                                         centroids=cent).collect()}
+    exp = sorted((i, c, k, cs) for i, (c, k, cs) in full.items()
+                 if i not in wave_ids and i not in old)
+    assert got == exp
+    assert len(got) > 0  # the planted structure must produce revocations
+    assert all(k in wave_ids for _, _, k, _ in got)
