@@ -776,6 +776,50 @@ def q_dedup_incremental(spark, sf_dir):
             .orderBy("id_a", "id_b"))
 
 
+def q_dedup_stream_ingest(spark, sf_dir):
+    """CONTINUOUS ingestion dedup (engine/datawork/incremental.py
+    stream_dedup_ingest): the documents table arrives as 3 streamed waves
+    (readStream, maxFilesPerTrigger=1) against an initially EMPTY index;
+    each micro-batch probes the index + itself, appends its pair set, and
+    folds itself in. The union over batches partitions the full pair set
+    (a pair lands exactly once, at its later member's wave), so the
+    oracle is the plain full-corpus recompute with origin derived from
+    the wave rule (doc_id % 3). Cap pinned above the corpus ceiling —
+    see the operator docstring for the guard-crossing caveat."""
+    import shutil
+    import tempfile
+    from engine.datawork.incremental import (stream_dedup_ingest,
+                                             write_minhash_index)
+    from engine.spark.streaming import stage_ordered_batches
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    waves = [docs.filter(F.pmod(F.col("doc_id"), F.lit(3)) == w)
+             for w in range(3)]
+    root = tempfile.mkdtemp(prefix="spark_graft_stream_ingest_")
+    idx, pairs_path = os.path.join(root, "idx"), os.path.join(root, "pairs")
+    try:
+        write_minhash_index(
+            spark.createDataFrame([], "doc_id: long, text: string"), idx)
+        stage_ordered_batches(waves, os.path.join(root, "stage"))
+        stream = (spark.readStream.schema(docs.schema)
+                  .option("pathGlobFilter", "*.parquet")
+                  .option("maxFilesPerTrigger", "1")
+                  .parquet(os.path.join(root, "stage")))
+        q = stream_dedup_ingest(stream, idx, pairs_path,
+                                os.path.join(root, "ckpt"),
+                                threshold=0.5, max_bucket=100_000)
+        q.awaitTermination()
+        # localCheckpoint materializes the result BEFORE the staging/pairs
+        # dirs are removed in finally (the returned DataFrame must not
+        # re-scan deleted files when the driver collects it)
+        out = (spark.read.parquet(pairs_path)
+               .select("id_a", "id_b", "est_jaccard", "origin")
+               .orderBy("id_a", "id_b").localCheckpoint())
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
 def q_dedup_ngram_jaccard(spark, sf_dir):
     from engine.datawork.dedup import ngram_jaccard_pairs
     docs = _t(spark, sf_dir, "documents")
@@ -1837,7 +1881,7 @@ _RAW_QUERIES: dict = {
         "dedup_substring_spans": q_dedup_substring_spans,
         "dedup_substring_apply": q_dedup_substring_apply,
         "winnow_fingerprints": q_winnow_fingerprints,
-        "winnow_similar_pairs": q_winnow_similar_pairs,
+        "dedup_stream_ingest": q_dedup_stream_ingest,
         # ---- curation family ----
         "corpus_line_dedup": q_corpus_line_dedup,
         "corpus_line_dedup_report": q_corpus_line_dedup_report,
@@ -1900,6 +1944,7 @@ _RAW_QUERIES: dict = {
         "ann_ivf_trained": q_ann_ivf_trained,
         "ann_ivf_topk": q_ann_ivf_topk,
         "events_rolling_7d": q_events_rolling_7d,
+        "winnow_similar_pairs": q_winnow_similar_pairs,
         # r5-driver-green set (CORRECTNESS_r05.json)
         "extract_kind_rollup": q_extract_kind_rollup,
         "extract_passages": q_extract_passages,

@@ -106,6 +106,54 @@ def append_to_index(new_docs: DataFrame, path: str, id_col: str = "doc_id",
         .write.mode("append").parquet(_sub(path, STATS)))
 
 
+def stream_dedup_ingest(stream_docs: DataFrame, index_path: str,
+                        pairs_path: str, checkpoint_dir: str,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        threshold: float = 0.5, max_bucket: int = 100,
+                        available_now: bool = True):
+    """CONTINUOUS ingestion dedup — the streaming composition of the
+    incremental family: each micro-batch is a wave that is (1) near-dup-
+    checked against the persisted index + itself
+    (``incremental_verified_pairs``), (2) its pair set written under
+    ``pairs_path/batch=<id>/``, and (3) folded into the index
+    (``append_to_index``) before the next batch fires. Start from an
+    empty index (``write_minhash_index`` over an empty DataFrame) and the
+    union over batches partitions the FULL corpus pair set: a pair lands
+    exactly once, in the batch where its later member arrives.
+
+    Exactness note: the per-wave hot-bucket guard uses combined occupancy
+    AT THAT WAVE, so union-over-waves equals a full recompute iff no
+    bucket crosses ``max_bucket`` between waves (a bucket that becomes
+    hot later would have had its early pairs emitted). Pin the cap above
+    the corpus ceiling — or treat early-emitted pairs of late-hot buckets
+    as the documented at-most-once-per-pair semantics.
+
+    Delivery: the pair write is per-batch-overwrite (idempotent under
+    foreachBatch retries); ``append_to_index`` is an APPEND and therefore
+    at-least-once under a retry between the two steps — on a transactional
+    table format (Iceberg) both steps join one snapshot commit; on plain
+    parquet, re-running a failed batch can double a wave's signature rows
+    (the same honesty note as the module precondition).
+
+    Returns the started ``StreamingQuery``."""
+    def _batch(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        pairs = incremental_verified_pairs(
+            batch_df, index_path, id_col=id_col, text_col=text_col,
+            threshold=threshold, max_bucket=max_bucket)
+        (pairs.write.mode("overwrite")
+              .parquet(os.path.join(pairs_path, f"batch={batch_id}")))
+        append_to_index(batch_df, index_path, id_col=id_col,
+                        text_col=text_col)
+
+    q = (stream_docs.writeStream.foreachBatch(_batch)
+         .option("checkpointLocation", checkpoint_dir))
+    if available_now:
+        q = q.trigger(availableNow=True)
+    return q.start()
+
+
 def compact_index(spark: SparkSession, path: str,
                   target_bytes: int = 128 * 1024 * 1024) -> dict:
     """Maintenance pass after K appended waves (VERDICT r5 #5): each

@@ -677,6 +677,42 @@ WHERE est_jaccard >= 0.5
   AND ({_in_wave('id_a')} OR {_in_wave('id_b')})
 ORDER BY id_a, id_b"""
 
+    # streamed-ingest dedup: the union of per-wave pair sets partitions
+    # the FULL pair set (a pair lands at its later member's wave), so the
+    # oracle is the plain full-corpus recompute; origin = same-wave test
+    # under the query's wave rule (doc_id % 3). Cap pinned at 100000 on
+    # both sides (no bucket may cross it between waves — the operator's
+    # exactness caveat).
+    def _wave3(c: str) -> str:
+        return f"(CAST({c} AS BIGINT) % 3)"
+    o["dedup_stream_ingest"] = _minhash_sig_sql() + f""",
+buckets_raw AS (
+    {band_rows}
+),
+buckets AS (
+    SELECT id, band, bucket FROM buckets_raw
+    QUALIFY count(*) OVER (PARTITION BY band, bucket) <= 100000
+),
+pairs AS (
+    SELECT DISTINCT a.id AS id_a, b.id AS id_b
+    FROM buckets a JOIN buckets b
+      ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+),
+est AS (
+    SELECT p.id_a, p.id_b,
+           CAST(round(({_est_matches}) / {MINHASH_K}.0, 6) AS DOUBLE)
+               AS est_jaccard
+    FROM pairs p
+    JOIN sig a ON a.id = p.id_a
+    JOIN sig b ON b.id = p.id_b
+)
+SELECT id_a, id_b, est_jaccard,
+       CASE WHEN {_wave3('id_a')} = {_wave3('id_b')}
+            THEN 'new_new' ELSE 'new_old' END AS origin
+FROM est
+WHERE est_jaccard >= 0.5
+ORDER BY id_a, id_b"""
+
     o["dedup_ngram_jaccard"] = f"""
 WITH {_SHINGLES},
 sizes AS (SELECT id, count(*) AS sz FROM shingles GROUP BY id),

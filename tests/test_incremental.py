@@ -284,3 +284,52 @@ def test_compact_ann_index_preserves_probe(spark, tmp_path):
     assert occ_pre == occ_post
     assert after["vectors"] < before["vectors"]
     assert after["stats"] < before["stats"]
+
+
+def test_stream_dedup_ingest_partitions_full_pair_set(spark, idx_path,
+                                                      tmp_path):
+    """3 streamed waves from an EMPTY index: the union of per-batch pair
+    sets must equal the full-corpus recompute (cap pinned above the
+    corpus ceiling so no bucket crosses it between waves), and the final
+    index must hold every doc's signature."""
+    from engine.datawork.incremental import (incremental_verified_pairs,
+                                             stream_dedup_ingest,
+                                             write_minhash_index)
+    from engine.datawork.dedup import (clear_cache_slots,
+                                       minhash_verified_pairs)
+    from engine.spark.streaming import stage_ordered_batches
+
+    docs = _mk_docs(spark, n=120, seed=83)
+    waves = [docs.filter(F.col("doc_id") % 3 == w) for w in range(3)]
+
+    # bootstrap: an empty index with the full schema
+    write_minhash_index(
+        spark.createDataFrame([], "doc_id: long, text: string"), idx_path)
+
+    stage = str(tmp_path / "stage")
+    stage_ordered_batches(waves, stage)
+    stream = (spark.readStream.schema(docs.schema)
+              .option("pathGlobFilter", "*.parquet")
+              .option("maxFilesPerTrigger", "1").parquet(stage))
+    pairs_path = str(tmp_path / "pairs")
+    q = stream_dedup_ingest(stream, idx_path, pairs_path,
+                            str(tmp_path / "ckpt"), threshold=0.5,
+                            max_bucket=100_000)
+    q.awaitTermination()
+
+    got = sorted((r.id_a, r.id_b, r.est_jaccard)
+                 for r in spark.read.parquet(pairs_path).collect())
+    clear_cache_slots()
+    exp = sorted((r.id_a, r.id_b, r.est_jaccard)
+                 for r in minhash_verified_pairs(
+                     docs, threshold=0.5, max_bucket=100_000).collect())
+    assert got == exp and len(got) > 0
+    # a pair lands exactly once (the union is a partition, not a multiset)
+    assert len(got) == len(set(got))
+    # the index now holds the whole corpus
+    n_sigs = spark.read.parquet(f"{idx_path}/sigs").count()
+    assert n_sigs == docs.count()
+    # and a fresh wave probes against ALL of it
+    probe = spark.createDataFrame([(99_999, "nothing like the corpus x")],
+                                  "doc_id: long, text: string")
+    incremental_verified_pairs(probe, idx_path).count()  # must not raise
