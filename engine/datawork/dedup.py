@@ -137,6 +137,24 @@ def _cache_slot(name: str, df: DataFrame) -> DataFrame:
     return _CACHE_SLOTS[key]
 
 
+def _adopt_slot(name: str, df: DataFrame) -> DataFrame:
+    """Register an ALREADY-persisted DataFrame under slot ``name``,
+    evicting (unpersisting) the slot's previous occupant — for callers
+    that materialize the table themselves as part of their own census
+    (e.g. the incremental probe counts its bucket table anyway). Same
+    bounded-memory contract as ``_cache_slot``, without the eager count."""
+    key = (df.sparkSession.sparkContext.applicationId, name)
+    _prune_dead_slots(key[0])
+    prev = _CACHE_SLOTS.get(key)
+    if prev is not None and prev is not df:
+        try:
+            prev.unpersist()
+        except Exception:
+            pass
+    _CACHE_SLOTS[key] = df
+    return df
+
+
 def _slot_matches(name: str, df: DataFrame) -> bool:
     """True when slot ``name`` already holds a semantically identical plan
     (i.e. a consumer of this plan would reuse the cache, paying nothing)."""

@@ -45,7 +45,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from .dedup import (MINHASH_BANDS, MINHASH_K, _band_explode,
+from .dedup import (MINHASH_BANDS, MINHASH_K, _adopt_slot, _band_explode,
                     minhash_signatures)
 
 SIGS = "sigs"
@@ -87,14 +87,23 @@ def write_minhash_index(docs: DataFrame, path: str, id_col: str = "doc_id",
 def append_to_index(new_docs: DataFrame, path: str, id_col: str = "doc_id",
                     text_col: str = "text", n: int = 3,
                     k: int = MINHASH_K,
-                    bands: int = MINHASH_BANDS) -> None:
+                    bands: int = MINHASH_BANDS,
+                    sigs_df: DataFrame | None = None) -> None:
     """Fold an ingested wave into the index (cost ∝ wave size).
 
     Stats rows are appended as PARTIALS for the wave's buckets — merging
     counters in place would rewrite a corpus-sized table per wave; readers
-    SUM over the few partial rows a touched bucket has instead."""
+    SUM over the few partial rows a touched bucket has instead.
+
+    ``sigs_df`` lets a caller that already signed the wave (the streamed
+    probe-then-fold loop: ``incremental_verified_pairs`` materializes the
+    same signatures) hand them in, skipping a second shingle+k-min pass
+    over the wave text (VERDICT r6 #7). Must be exactly
+    ``minhash_signatures(new_docs, ...)`` rows — the signature is a
+    deterministic function of the text, so a persisted copy qualifies."""
     spark = new_docs.sparkSession
-    sigs = minhash_signatures(new_docs, id_col, text_col, n, k)
+    sigs = sigs_df if sigs_df is not None \
+        else minhash_signatures(new_docs, id_col, text_col, n, k)
     sigs.write.mode("append").parquet(_sub(path, SIGS))
     # re-read ONLY this wave's ids to derive its buckets: cheaper to recompute
     # from the wave's in-memory lineage (1 row/doc) than to rescan the table
@@ -139,13 +148,19 @@ def stream_dedup_ingest(stream_docs: DataFrame, index_path: str,
     def _batch(batch_df, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        # sign the wave ONCE: the probe's verify side and the index fold
+        # read the same persisted signature table (r6 #7 — the old shape
+        # paid the shingle+k-min pass twice per micro-batch)
+        sig = _adopt_slot(
+            "incr_sig_new",
+            minhash_signatures(batch_df, id_col, text_col).persist())
         pairs = incremental_verified_pairs(
             batch_df, index_path, id_col=id_col, text_col=text_col,
-            threshold=threshold, max_bucket=max_bucket)
+            threshold=threshold, max_bucket=max_bucket, presigned=sig)
         (pairs.write.mode("overwrite")
               .parquet(os.path.join(pairs_path, f"batch={batch_id}")))
         append_to_index(batch_df, index_path, id_col=id_col,
-                        text_col=text_col)
+                        text_col=text_col, sigs_df=sig)
 
     q = (stream_docs.writeStream.foreachBatch(_batch)
          .option("checkpointLocation", checkpoint_dir))
@@ -219,7 +234,8 @@ def incremental_verified_pairs(new_docs: DataFrame, index_path: str,
                                bands: int = MINHASH_BANDS,
                                threshold: float = 0.5,
                                max_bucket: int = 100,
-                               max_broadcast_rows: int = MAX_BROADCAST_ROWS
+                               max_broadcast_rows: int = MAX_BROADCAST_ROWS,
+                               presigned: DataFrame | None = None
                                ) -> DataFrame:
     """Verified near-dup pairs TOUCHING the new wave: wave×corpus +
     wave×wave, identical to ``minhash_verified_pairs(old ∪ new)`` filtered
@@ -236,13 +252,27 @@ def incremental_verified_pairs(new_docs: DataFrame, index_path: str,
     tests run both paths), bounded memory, and AQE may still broadcast
     at runtime if the actual relation turns out small."""
     spark = new_docs.sparkSession
-    sig_new = minhash_signatures(new_docs, id_col, text_col, n, k).persist()
-    b_new = _band_explode(sig_new, k, bands).persist()
+    # ``presigned`` = the wave's ALREADY-persisted signature table (must be
+    # minhash_signatures(new_docs, ...) rows) — the probe-then-fold loop
+    # signs the wave once and shares it with append_to_index (r6 #7)
+    sig_new = presigned if presigned is not None else _adopt_slot(
+        "incr_sig_new",
+        minhash_signatures(new_docs, id_col, text_col, n, k).persist())
+    # repartitioned by (band, bucket) BEFORE the persist (the
+    # _minhash_bucket_slot trick): touched/distinct, the wave occupancy
+    # aggregate, and both candidate joins all key on (band, bucket), so
+    # they read the cache's outputPartitioning instead of each adding an
+    # Exchange of the wave buckets
+    b_new = _adopt_slot("incr_b_new",
+                        _band_explode(sig_new, k, bands)
+                        .repartition("band", "bucket").persist())
 
-    # census: one count of the (persisted, reused) signature table — the
-    # broadcast decision must come from the wave's REAL size, not a hope
-    n_wave = sig_new.count()
-    bcast_ok = n_wave * bands <= max_broadcast_rows
+    # census: ONE count of the persisted bucket table — _band_explode emits
+    # exactly ``bands`` rows/doc, so b_new.count() IS the broadcast-size
+    # variable (n_wave·bands), and the count materializes b_new AND its
+    # cached parent sig_new in the same pass (the broadcast decision must
+    # come from the wave's REAL size, not a hope)
+    bcast_ok = b_new.count() <= max_broadcast_rows
     hint = F.broadcast if bcast_ok else (lambda df: df)
 
     # the wave's probe set — ≤ bands rows/doc, broadcast while small
@@ -285,6 +315,15 @@ def incremental_verified_pairs(new_docs: DataFrame, index_path: str,
           .select(F.least(F.col("w.id"), F.col("c.id")).alias("id_a"),
                   F.greatest(F.col("w.id"), F.col("c.id")).alias("id_b")))
     cand = nn.unionByName(no).distinct()
+    # the candidate set feeds FIVE subtrees of the verify plan (both verify
+    # joins, plus both arms of the candidate-id semi-join) — left lazy,
+    # Catalyst replans and AQE re-materializes the whole nn/no/distinct
+    # lineage once per consumer (measured at sf0.1: a 228-job probe, ~60
+    # redundant shuffle stages and seconds of driver planning; persisted:
+    # ~20 jobs). cand is wave-proportional by construction, so the persist
+    # is bounded by the same contract as the broadcasts above.
+    cand = _adopt_slot("incr_cand", cand.persist())
+    cand.count()
 
     # verify via the signature estimate — corpus signatures are read ONLY
     # for candidate ids (semi-join; candidate volume ∝ wave, so the same
