@@ -154,11 +154,17 @@ def probe_index_batch(spark: SparkSession, path: str, queries: DataFrame,
     driver/executor broadcast build.
     """
     planes = planes or lsh_planes()
-    qb = (queries.select(F.col(qid_col).alias("qid"),
-                         F.col(vec_col).alias("qv"))
-          .withColumn("qbucket", bucket_expr(F.col("qv"), planes))
-          .withColumn("qnrm", norm(F.col("qv"))))
-    bcast_ok = queries.select(qid_col).count() <= max_broadcast_queries
+    from .dedup import _adopt_slot
+    qb = _adopt_slot(
+        "ann_probe_qb",
+        (queries.select(F.col(qid_col).alias("qid"),
+                        F.col(vec_col).alias("qv"))
+         .withColumn("qbucket", bucket_expr(F.col("qv"), planes))
+         .withColumn("qnrm", norm(F.col("qv"))))
+        .persist())
+    # census the PERSISTED probe side (ADVICE r6: counting the raw query
+    # lineage evaluated it twice — once for the census, once in the join)
+    bcast_ok = qb.count() <= max_broadcast_queries
     hint = F.broadcast if bcast_ok else (lambda df: df)
     idx = (spark.read.parquet(_sub(path, VECTORS))
            .withColumn("nrm", norm(F.col("v"))))

@@ -255,28 +255,53 @@ def curate_survivors(docs: DataFrame, bench: DataFrame,
       3. decontamination — drop docs sharing >= contamination_max of
                           their 3-grams with the eval set
 
-    Single lazy plan end to end: each stage is a filter/anti-join over
-    the previous one, so Catalyst sees the whole funnel at once (scan
-    pruning and pushdown cross stage boundaries). Callers that branch the
-    funnel (e.g. the per-stage count report) should persist intermediate
-    stages — curate_funnel documents that tradeoff.
+    The quality and dedup stage boundaries are PERSISTED (bounded cache
+    slots, materialized by the count that doubles as the stage census):
+    left lazy, ``quality`` is re-evaluated by every consumer (the
+    candidate chain, the exact-fingerprint window, the anti-join base —
+    a full quality-regex pass each) and ``deduped`` by both the
+    decontamination scan and the final anti-join. This is the
+    persist-the-stage-boundaries tradeoff the funnel report needs anyway
+    — each stage is re-run exactly once per wave, never per consumer.
     """
+    _, _, clean = _funnel_stages(docs, bench, contamination_max,
+                                 id_col, text_col)
+    return clean
+
+
+def _funnel_stages(docs: DataFrame, bench: DataFrame,
+                   contamination_max: float, id_col: str, text_col: str):
+    """(quality, deduped, clean) with the first two PERSISTED and counted
+    — the shared construction behind curate_survivors / curate_funnel."""
     from .clusters import duplicate_clusters
     from .corpus import deduplicated_corpus_full
-    from .dedup import minhash_lsh_candidates
+    from .dedup import _keyed_slot, _stage_slot, minhash_lsh_candidates
     from .textstats import with_quality_flags
     cols = docs.columns
-    quality = (with_quality_flags(docs, text_col=text_col)
-               .filter(F.col("pass_quality")).select(*cols))
-    clusters = duplicate_clusters(
-        minhash_lsh_candidates(quality, id_col=id_col, text_col=text_col))
-    deduped = deduplicated_corpus_full(quality, clusters, id_col=id_col,
-                                       text_col=text_col)
+    # every boundary is a lineage-TRUNCATING _stage_slot: the funnel is
+    # deep, and each un-truncated downstream action re-analyzes the whole
+    # upstream tree on the driver (measured 4 s to count a cached 4k-row
+    # stage). Truncated, every later stage/count plans over a tiny scan.
+    quality = _stage_slot(
+        "curate_quality",
+        (with_quality_flags(docs, text_col=text_col)
+         .filter(F.col("pass_quality")).select(*cols)))
+    # the cluster labels come out of pointer doubling already truncated
+    # (checkpoint scan) and could never sameSemantics-match across calls —
+    # keyed on the INPUT (candidate) plan instead, a funnel report reuses
+    # the labels a curate call just converged
+    cand = minhash_lsh_candidates(quality, id_col=id_col, text_col=text_col)
+    clusters = _keyed_slot("curate_clusters", cand,
+                           lambda: duplicate_clusters(cand))
+    deduped = _stage_slot(
+        "curate_deduped",
+        deduplicated_corpus_full(quality, clusters, id_col=id_col,
+                                 text_col=text_col))
     flagged = (contamination_report(deduped, bench, id_col=id_col,
                                     text_col=text_col)
                .filter(F.col("hit_ratio") >= contamination_max)
                .select(id_col))
-    return deduped.join(flagged, id_col, "left_anti")
+    return quality, deduped, deduped.join(flagged, id_col, "left_anti")
 
 
 def curate_corpus(docs: DataFrame, bench: DataFrame, budget: int,
@@ -285,9 +310,15 @@ def curate_corpus(docs: DataFrame, bench: DataFrame, budget: int,
                   text_col: str = "text") -> DataFrame:
     """quality → dedup → decontaminate → temperature-sample: the final
     sampled mixture (see curate_survivors for the funnel stages)."""
+    from .dedup import _stage_slot
     survivors = curate_survivors(docs, bench, contamination_max,
                                  id_col, text_col)
-    return temperature_sample(survivors, budget=budget,
+    # temperature_sample consumes its input twice (group census + keep
+    # join) and needs only (id, group) — truncate that narrow projection
+    # so the decontamination anti-join runs once, not per consumer
+    keyed = _stage_slot("curate_keyed",
+                        survivors.select(id_col, group_col))
+    return temperature_sample(keyed, budget=budget,
                               group_col=group_col, id_col=id_col)
 
 
@@ -299,39 +330,29 @@ def curate_funnel(docs: DataFrame, bench: DataFrame, budget: int,
     publishes per wave: (stage_idx, stage, n_docs) for input / quality /
     dedup / decontaminated / sampled.
 
-    Counting five stages evaluates overlapping lineage; at corpus scale
-    persist the quality and dedup stages first (here the whole funnel is
-    counted lazily — the demo favors a single self-contained plan)."""
-    from .clusters import duplicate_clusters
-    from .corpus import deduplicated_corpus_full
-    from .dedup import minhash_lsh_candidates
-    from .textstats import with_quality_flags
-    cols = docs.columns
-    quality = (with_quality_flags(docs, text_col=text_col)
-               .filter(F.col("pass_quality")).select(*cols))
-    clusters = duplicate_clusters(
-        minhash_lsh_candidates(quality, id_col=id_col, text_col=text_col))
-    deduped = deduplicated_corpus_full(quality, clusters, id_col=id_col,
-                                       text_col=text_col)
-    flagged = (contamination_report(deduped, bench, id_col=id_col,
-                                    text_col=text_col)
-               .filter(F.col("hit_ratio") >= contamination_max)
-               .select(id_col))
-    clean = deduped.join(flagged, id_col, "left_anti")
-    sampled = temperature_sample(clean, budget=budget, group_col=group_col,
+    Stages are materialized in order through ``curate_survivors``'s
+    persisted boundaries, so each count reads a cached stage instead of
+    re-running the overlapping funnel lineage per stage (the lazy
+    union-of-aggregates spelling re-evaluated 1+1+2+3+4 stage plans; this
+    evaluates each exactly once). The counts are collected as the stages
+    materialize and returned as a local relation — same rows, same
+    schema."""
+    from .dedup import _stage_slot
+    spark = docs.sparkSession
+    n_input = docs.count()
+    quality, deduped, clean = _funnel_stages(docs, bench, contamination_max,
+                                             id_col, text_col)
+    keyed = _stage_slot("curate_keyed", clean.select(id_col, group_col))
+    n_clean = keyed.count()
+    sampled = temperature_sample(keyed, budget=budget, group_col=group_col,
                                  id_col=id_col)
-
-    def stage(idx, name, df):
-        return df.agg(F.count("*").cast("bigint").alias("n_docs")).select(
-            F.lit(idx).cast("int").alias("stage_idx"),
-            F.lit(name).alias("stage"), "n_docs")
-
-    out = stage(0, "input", docs)
-    for i, (name, df) in enumerate(
-            [("quality", quality), ("dedup", deduped),
-             ("decontaminated", clean), ("sampled", sampled)], start=1):
-        out = out.unionByName(stage(i, name, df))
-    return out
+    rows = [(0, "input", n_input),
+            (1, "quality", quality.count()),
+            (2, "dedup", deduped.count()),
+            (3, "decontaminated", n_clean),
+            (4, "sampled", sampled.count())]
+    return spark.createDataFrame(
+        rows, "stage_idx int, stage string, n_docs bigint")
 
 
 def mixture_sample(docs: DataFrame, budget: int, weights: dict,

@@ -55,6 +55,9 @@ def _prune_dead_slots(current_app: str) -> None:
         except Exception:
             pass
         _CACHE_SLOTS.pop(key, None)
+    for key in list(_KEYED_SLOTS):
+        if key[0] != current_app:
+            _KEYED_SLOTS.pop(key, None)
 
 
 def report_cache_health(spark) -> list:
@@ -96,6 +99,9 @@ def clear_cache_slots(spark=None) -> None:
         except Exception:
             pass
         _CACHE_SLOTS.pop(key, None)
+    for key in list(_KEYED_SLOTS):
+        if app is None or key[0] == app:
+            _KEYED_SLOTS.pop(key, None)
 
 
 def _cache_slot(name: str, df: DataFrame) -> DataFrame:
@@ -148,11 +154,65 @@ def _adopt_slot(name: str, df: DataFrame) -> DataFrame:
     prev = _CACHE_SLOTS.get(key)
     if prev is not None and prev is not df:
         try:
+            if prev.sameSemantics(df):
+                # identical plan already cached (e.g. the funnel report
+                # re-deriving the stage a curate call just materialized):
+                # keep the warm occupant, drop the new persist
+                df.unpersist()
+                return prev
+        except Exception:
+            pass
+        try:
             prev.unpersist()
         except Exception:
             pass
     _CACHE_SLOTS[key] = df
     return df
+
+
+#: (applicationId, name) → (key_plan, result) — for results whose OWN plan
+#: cannot sameSemantics-match across calls (checkpoint/localCheckpoint
+#: truncates lineage to an opaque RDD scan), keyed on the INPUT plan that
+#: deterministically produced them instead. Same bounded one-per-slot,
+#: session-scoped contract as _CACHE_SLOTS.
+_KEYED_SLOTS: dict = {}
+
+
+def _keyed_slot(name: str, key_df: DataFrame, builder) -> DataFrame:
+    """Return the slot's stored result when its stored KEY plan is
+    semantically identical to ``key_df``; else run ``builder()`` and store
+    (key plan, result). For deterministic derivations that materialize via
+    checkpoints (e.g. duplicate_clusters' pointer doubling), where the
+    result's plan is an opaque checkpoint scan that can never match."""
+    key = (key_df.sparkSession.sparkContext.applicationId, name)
+    _prune_dead_slots(key[0])
+    prev = _KEYED_SLOTS.get(key)
+    if prev is not None:
+        prev_key, prev_df = prev
+        try:
+            if prev_key.sameSemantics(key_df):
+                return prev_df
+        except Exception:
+            pass
+    out = builder()
+    _KEYED_SLOTS[key] = (key_df, out)
+    return out
+
+
+def _stage_slot(name: str, df: DataFrame) -> DataFrame:
+    """LINEAGE-TRUNCATING stage boundary: materialize ``df`` once (eager
+    localCheckpoint) and return a frame whose plan is a tiny RDD scan.
+
+    Deep pipelines (the curation funnel) otherwise pay seconds of DRIVER
+    analysis per action — every count/join over a late stage re-analyzes
+    the full upstream tree even when the data itself is cached (measured:
+    4 s to count a cached 2-column, 4k-row stage at sf0.1). Truncation
+    makes every downstream action's tree small. Cross-call reuse is keyed
+    on the DEFINING plan (_keyed_slot) because the truncated result can
+    never sameSemantics-match. NOTE: truncation drops outputPartitioning
+    — use _cache_slot where consumers rely on the cache's partitioning
+    (minhash buckets, the LSH base)."""
+    return _keyed_slot(name, df, lambda: df.localCheckpoint(eager=True))
 
 
 def _slot_matches(name: str, df: DataFrame) -> bool:

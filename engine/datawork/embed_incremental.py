@@ -268,8 +268,10 @@ def semdedup_wave_losers(new_emb: DataFrame, index_path: str,
     censused with the same fallback as incremental_embedding_pairs."""
     from pyspark.sql import Window
     spark = new_emb.sparkSession
+    from .dedup import _stage_slot
     cent = spark.read.parquet(_sub(index_path, CELLS))
-    wave = _semantic_assign(new_emb, cent, id_col, vec_col).persist()
+    wave = _stage_slot("sem_wave",
+                       _semantic_assign(new_emb, cent, id_col, vec_col))
 
     n_wave = wave.count()
     hint = F.broadcast if n_wave <= max_broadcast_rows else (lambda df: df)
@@ -348,8 +350,10 @@ def retroactive_wave_losers(new_emb: DataFrame, index_path: str,
     to this ``threshold``."""
     from pyspark.sql import Window
     spark = new_emb.sparkSession
+    from .dedup import _stage_slot
     cent = spark.read.parquet(_sub(index_path, CELLS))
-    wave = _semantic_assign(new_emb, cent, id_col, vec_col).persist()
+    wave = _stage_slot("sem_wave",
+                       _semantic_assign(new_emb, cent, id_col, vec_col))
     n_wave = wave.count()
     hint = F.broadcast if n_wave <= max_broadcast_rows else (lambda df: df)
 
@@ -405,13 +409,22 @@ def incremental_embedding_pairs(new_emb: DataFrame, index_path: str,
     persisted + wave population exceeds it is dropped from candidate
     generation on BOTH sides — exactly what the full recompute's guard
     would do, so exactness survives the cap."""
+    from .dedup import _adopt_slot, _stage_slot
     spark = new_emb.sparkSession
     bands, rows = read_layout(spark, index_path)
-    wave = _base(new_emb, id_col, vec_col, bands, rows).persist()
-    b_new = _explode(wave, bands, rows).persist()
+    wave = _stage_slot("embincr_wave",
+                       _base(new_emb, id_col, vec_col, bands, rows))
+    # pre-partitioned by (band, bucket) so the occupancy aggregate and both
+    # candidate joins reuse the cache's partitioning (no extra Exchange);
+    # slot registration bounds the session's cached blocks (ADVICE r6)
+    b_new = _adopt_slot("embincr_b_new",
+                        _explode(wave, bands, rows)
+                        .repartition("band", "bucket").persist())
 
-    n_wave = wave.count()
-    bcast_ok = n_wave * bands <= max_broadcast_rows
+    # one census count materializes b_new AND its cached parent wave;
+    # _explode emits exactly ``bands`` rows/vector, so the count IS
+    # n_wave·bands — the broadcast-size variable
+    bcast_ok = b_new.count() <= max_broadcast_rows
     hint = F.broadcast if bcast_ok else (lambda df: df)
 
     touched = b_new.select("band", "bucket").distinct()
@@ -446,6 +459,11 @@ def incremental_embedding_pairs(new_emb: DataFrame, index_path: str,
           .select(F.least(F.col("w.id"), F.col("c.id")).alias("id_a"),
                   F.greatest(F.col("w.id"), F.col("c.id")).alias("id_b")))
     cand = nn.unionByName(no).distinct()
+    # cand feeds five subtrees of the verify plan (both verify joins plus
+    # both arms of the id semi-join) — persist the wave-proportional set so
+    # AQE materializes the nn/no/distinct lineage once, not per consumer
+    # (the incremental.py probe lesson; same bounded-slot contract)
+    cand = _stage_slot("embincr_cand", cand)
 
     # exact-cosine verify: corpus vectors read ONLY for candidate ids
     # (id-sorted layout → row-group pruning); wave membership rides the

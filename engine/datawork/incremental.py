@@ -46,7 +46,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .dedup import (MINHASH_BANDS, MINHASH_K, _adopt_slot, _band_explode,
-                    minhash_signatures)
+                    _stage_slot, minhash_signatures)
 
 SIGS = "sigs"
 BUCKETS = "buckets"
@@ -151,9 +151,8 @@ def stream_dedup_ingest(stream_docs: DataFrame, index_path: str,
         # sign the wave ONCE: the probe's verify side and the index fold
         # read the same persisted signature table (r6 #7 — the old shape
         # paid the shingle+k-min pass twice per micro-batch)
-        sig = _adopt_slot(
-            "incr_sig_new",
-            minhash_signatures(batch_df, id_col, text_col).persist())
+        sig = _stage_slot(
+            "incr_sig_new", minhash_signatures(batch_df, id_col, text_col))
         pairs = incremental_verified_pairs(
             batch_df, index_path, id_col=id_col, text_col=text_col,
             threshold=threshold, max_bucket=max_bucket, presigned=sig)
@@ -255,9 +254,8 @@ def incremental_verified_pairs(new_docs: DataFrame, index_path: str,
     # ``presigned`` = the wave's ALREADY-persisted signature table (must be
     # minhash_signatures(new_docs, ...) rows) — the probe-then-fold loop
     # signs the wave once and shares it with append_to_index (r6 #7)
-    sig_new = presigned if presigned is not None else _adopt_slot(
-        "incr_sig_new",
-        minhash_signatures(new_docs, id_col, text_col, n, k).persist())
+    sig_new = presigned if presigned is not None else _stage_slot(
+        "incr_sig_new", minhash_signatures(new_docs, id_col, text_col, n, k))
     # repartitioned by (band, bucket) BEFORE the persist (the
     # _minhash_bucket_slot trick): touched/distinct, the wave occupancy
     # aggregate, and both candidate joins all key on (band, bucket), so
@@ -319,11 +317,12 @@ def incremental_verified_pairs(new_docs: DataFrame, index_path: str,
     # joins, plus both arms of the candidate-id semi-join) — left lazy,
     # Catalyst replans and AQE re-materializes the whole nn/no/distinct
     # lineage once per consumer (measured at sf0.1: a 228-job probe, ~60
-    # redundant shuffle stages and seconds of driver planning; persisted:
-    # ~20 jobs). cand is wave-proportional by construction, so the persist
-    # is bounded by the same contract as the broadcasts above.
-    cand = _adopt_slot("incr_cand", cand.persist())
-    cand.count()
+    # redundant shuffle stages and seconds of driver planning). cand is
+    # wave-proportional by construction, so the lineage-truncating slot is
+    # bounded by the same contract as the broadcasts above — and the
+    # truncation keeps the verify join's analyzed tree small (the
+    # _stage_slot rationale).
+    cand = _stage_slot("incr_cand", cand)
 
     # verify via the signature estimate — corpus signatures are read ONLY
     # for candidate ids (semi-join; candidate volume ∝ wave, so the same

@@ -316,3 +316,49 @@ def test_retroactive_losers_equal_full_minus_old(spark, idx_path):
     assert got == exp
     assert len(got) > 0  # the planted structure must produce revocations
     assert all(k in wave_ids for _, _, k, _ in got)
+
+
+def test_dot_pair_udf_bitwise_equals_expression(spark):
+    """The Arrow dot kernel must reproduce the interpreted
+    aggregate(zip_with(a, b, x*y), 0.0, acc+x) fold EXACTLY — same IEEE
+    order, same null algebra — across random float32/float64 pairs, tiny
+    magnitudes, zero vectors (exact 0.0), NULL sides, unequal lengths and
+    empty arrays. (Known, documented divergence NOT tested here: NaN
+    input ELEMENTS — no declared surface stores them.)"""
+    import numpy as np
+
+    from engine.datawork.similarity import dot_pair_udf
+
+    rs = np.random.RandomState(321)
+    rows = []
+    for i in range(400):
+        a = rs.standard_normal(DIM)
+        b = rs.standard_normal(DIM)
+        if i % 7 == 0:
+            a = a.astype(np.float32).astype(np.float64)
+        if i % 11 == 0:
+            b = b * 1e-12
+        rows.append((i, [float(x) for x in a], [float(x) for x in b]))
+    rows += [
+        (1000, [0.0] * DIM, [1.0] * DIM),   # exact 0.0 fold
+        (1001, None, [1.0] * DIM),          # NULL side
+        (1002, [1.0] * DIM, None),
+        (1003, [1.0] * 10, [1.0] * DIM),    # unequal lengths -> NULL
+        (1004, [], []),                     # empty fold -> 0.0
+        (1005, [1.0, 2.0], [3.0, 4.0]),     # small non-DIM but equal length
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id: long, a: array<double>, b: array<double>")
+    expr = F.aggregate(
+        F.zip_with(F.col("a").cast("array<double>"),
+                   F.col("b").cast("array<double>"), lambda x, y: x * y),
+        F.lit(0.0), lambda acc, x: acc + x)
+    both = df.select(
+        "vec_id", expr.alias("e"),
+        dot_pair_udf()(F.col("a"), F.col("b")).alias("u"))
+    bad = both.filter(~(F.col("e").eqNullSafe(F.col("u")))).collect()
+    assert bad == [], bad[:5]
+    z = {r.vec_id: r.u for r in both.collect()}
+    assert z[1000] == 0.0 and z[1004] == 0.0
+    assert z[1001] is None and z[1002] is None and z[1003] is None
+    assert z[1005] == 11.0
