@@ -508,9 +508,15 @@ def q_events_stream_window(spark, sf_dir):
            .agg(F.count("*").alias("n"),
                 F.round(F.sum("value"), 4).alias("value_sum")))
     name = "events_stream_window_sink"
-    q = (agg.writeStream.format("memory").queryName(name)
-         .outputMode("complete").trigger(availableNow=True).start())
-    q.awaitTermination()
+    # state partitions derived from the replayed input's size, not the
+    # session constant (engine/spark/streaming.scaled_stream_partitions)
+    from engine.spark.streaming import (scaled_stream_partitions,
+                                        stream_partition_scope)
+    with stream_partition_scope(
+            spark, scaled_stream_partitions(os.path.getsize(ev_path))):
+        q = (agg.writeStream.format("memory").queryName(name)
+             .outputMode("complete").trigger(availableNow=True).start())
+        q.awaitTermination()
     # window.start is an epoch-aligned instant; derive the calendar day with
     # tz-free date arithmetic (unix_timestamp + date_add), matching the
     # oracle's CAST(ts AS DATE) over NTZ wall time
@@ -553,6 +559,12 @@ def q_events_stream_sessionize(spark, sf_dir):
                   .option("maxFilesPerTrigger", "1").parquet(stage))
         sessions = stateful_sessionize(stream, gap_s=300)
         name = "events_stream_sessionize_sink"
+        # NOT partition-scaled: the stateful operator here is a PYTHON
+        # function applied per user group — shrinking state partitions to
+        # the input's byte size serializes ~10k users through one worker
+        # (measured 4.2 -> 14.1 s). The byte-derived count fits JVM
+        # stateful operators, whose per-partition cost is the state-store
+        # commit, not the compute.
         q = (sessions.writeStream.format("memory").queryName(name)
              .outputMode("append").trigger(availableNow=True).start())
         q.awaitTermination()
@@ -595,9 +607,15 @@ def q_events_stream_dedup(spark, sf_dir):
         deduped = (stream.withWatermark("ts", "1 hour")
                    .dropDuplicatesWithinWatermark(["event_id"]))
         name = "events_stream_dedup_sink"
-        q = (deduped.writeStream.format("memory").queryName(name)
-             .outputMode("append").trigger(availableNow=True).start())
-        q.awaitTermination()
+        from engine.spark.streaming import (scaled_stream_partitions,
+                                            stream_partition_scope)
+        n_parts = scaled_stream_partitions(sum(
+            os.path.getsize(os.path.join(stage, f))
+            for f in os.listdir(stage)))
+        with stream_partition_scope(spark, n_parts):
+            q = (deduped.writeStream.format("memory").queryName(name)
+                 .outputMode("append").trigger(availableNow=True).start())
+            q.awaitTermination()
     finally:
         shutil.rmtree(stage, ignore_errors=True)
     return (spark.table(name)
@@ -1339,9 +1357,13 @@ def q_events_stream_join(spark, sf_dir):
         & (F.col("p_ts") >= F.col("c_ts"))
         & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")))
     name = "events_stream_join_sink"
-    q = (joined.writeStream.format("memory").queryName(name)
-         .outputMode("append").trigger(availableNow=True).start())
-    q.awaitTermination()
+    from engine.spark.streaming import (scaled_stream_partitions,
+                                        stream_partition_scope)
+    with stream_partition_scope(
+            spark, scaled_stream_partitions(os.path.getsize(ev_path))):
+        q = (joined.writeStream.format("memory").queryName(name)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination()
     return (spark.table(name)
             .groupBy(F.col("c_user").alias("user_id"))
             .agg(F.count("*").alias("n_pairs"),

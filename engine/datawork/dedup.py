@@ -466,7 +466,13 @@ def _minhash_sig_slot(df: DataFrame, id_col: str, text_col: str, n: int,
     verified-pairs' both verify sides) reads it instead of re-running the
     shingle explode + k-min aggregation."""
     sh = _cache_slot_peek("shingles", shingles(df, id_col, text_col, n))
-    return _cache_slot(
+    # lineage-truncating slot (same defining-plan matching as _cache_slot):
+    # every consumer of the signature table — the bucket build and BOTH
+    # verify sides of minhash_verified_pairs — then plans over a tiny RDD
+    # scan instead of re-analyzing the shingle+k-min aggregation tree per
+    # action (no consumer keys on a signature partitioning, so nothing is
+    # lost by dropping outputPartitioning)
+    return _stage_slot(
         "minhash_sigs",
         minhash_signatures(df, id_col, text_col, n, k, shingles_df=sh))
 

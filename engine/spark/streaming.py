@@ -24,6 +24,40 @@ from .schema import EXTRACTED_SCHEMA, TRANSCRIPT_SCHEMA
 from .udfs import extract_batches
 
 
+def scaled_stream_partitions(n_bytes: int, target_bytes: int = 64 << 20,
+                             cap: int = 4096) -> int:
+    """Scale-adaptive shuffle/state partition count for a stream over a
+    bounded input: ceil(bytes / target) clamped to [1, cap].
+
+    Stateful operators FREEZE ``spark.sql.shuffle.partitions`` into the
+    checkpoint at first start, and every micro-batch then opens/commits
+    one state store per partition — a constant tuned for either local
+    mode or a cluster is wrong at the other scale (guide §2: derive
+    partitioning from input size). At the bench's MB-scale replays this
+    yields 1 partition (state commits stop dominating the drain); a
+    6 TB/day stream at the same 64 MB target gets ~100k-capped
+    partitions."""
+    return max(1, min(cap, -(-int(n_bytes) // target_bytes)))
+
+
+def stream_partition_scope(spark: SparkSession, n_partitions: int):
+    """Context manager: pin ``spark.sql.shuffle.partitions`` while a
+    streaming query is DEFINED AND STARTED, restoring the session value
+    after the drain. Only the stream's state layout reads the pinned
+    value; later batch queries see the restored session setting."""
+    from contextlib import contextmanager
+
+    @contextmanager
+    def scope():
+        old = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(n_partitions))
+        try:
+            yield
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", old)
+    return scope()
+
+
 def read_transcript_stream(spark: SparkSession, input_dir: str,
                            max_files_per_trigger: int = 16) -> DataFrame:
     return (spark.readStream.schema(TRANSCRIPT_SCHEMA)
