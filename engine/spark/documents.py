@@ -48,14 +48,30 @@ _NEEDED = ["conv_id", "turn_idx", "payload_kind", "title", "language",
 
 def _plain(v):
     """Arrow→pandas cells arrive as numpy arrays / dicts of numpy scalars;
-    normalize to plain Python for the kernel + json."""
+    normalize to plain Python for the kernel + json.
+
+    Hot path of the whole grouped-map stage (profiled: ~60% of assembly
+    time before the rewrite), so: exact type dispatch first (str/int/float
+    /None leaves dominate and return immediately), ndarray→list via the
+    C-level ``tolist()`` (which already converts NUMERIC element scalars),
+    and ``np.generic.item()`` only as the fallback."""
     import numpy as np
-    if isinstance(v, dict):
+    t = type(v)
+    if t is str or t is int or t is float or t is bool or v is None:
+        return v
+    if t is dict:
         return {k: _plain(x) for k, x in v.items()}
-    if isinstance(v, (list, tuple)) or isinstance(v, np.ndarray):
+    if isinstance(v, np.ndarray):
+        # tolist() is deep for numeric dtypes; object arrays yield their
+        # elements (dicts/strs) unchanged — recurse only over those
+        out = v.tolist()
+        return [_plain(x) for x in out]
+    if isinstance(v, (list, tuple)):
         return [_plain(x) for x in v]
     if isinstance(v, np.generic):
         return v.item()
+    if isinstance(v, dict):
+        return {k: _plain(x) for k, x in v.items()}
     return v
 
 
