@@ -211,13 +211,27 @@ def train_kmeans(df: DataFrame, n_cells: int = IVF_CELLS,
     iteration so the plan stays flat over any iteration count. The base
     (v, nrm, fx) projection is computed once and cached."""
     from pyspark.sql import Window
-    from .dedup import _cache_slot
+    from .dedup import _cache_slot, _keyed_slot
     base = _cache_slot(
         "ivf_kmeans_base",
         df.select(F.col(id_col).alias("id"),
                   F.col(vec_col).cast("array<double>").alias("v"))
           .withColumn("nrm", norm(F.col("v")))
           .withColumn("fx", fixed_point(F.col("v"))))
+    # the trained codebook is a deterministic function of (base, n_cells,
+    # iters) and is re-derived by every consumer in a combined run (IVF
+    # assignment + top-k + both SemDeDup index builds each call
+    # train_kmeans): memoize it keyed on the base plan, one slot per
+    # parameterization. The result is localCheckpoint-flat already (the
+    # per-iteration truncation), so the slot returns a tiny-scan frame.
+    return _keyed_slot(
+        f"kmeans_cent_{n_cells}_{iters}_{dim}", base,
+        lambda: _train_kmeans_loop(base, n_cells, iters, dim))
+
+
+def _train_kmeans_loop(base: DataFrame, n_cells: int, iters: int,
+                       dim: int) -> DataFrame:
+    from pyspark.sql import Window
     hk = F.md5(F.col("id").cast("string"))
     seed = (base.select("id", "v").withColumn("hk", hk)
             .orderBy("hk", "id").limit(n_cells))
