@@ -1888,11 +1888,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # Registry ORDER is load-bearing: the driver's correctness gate verifies the
 # FIRST 50 entries only (observed: CORRECTNESS_r05.json == keys[:50]), so the
 # window rotates each round to cover queries the gate has never seen
-# (VERDICT r5 #1). Round-6 window = 3 §2 sentinels + the round-3/4/5
-# LLM-data-pipeline surface (packing, curation, SFT-budget, DSIR, SemDeDup,
-# classifier, ANN/index, funnel, interval/stream joins, multimodal), none of
-# which had ever been driver-verified. Positions 51+ hold (a) the r7 rotation
-# queue (still-unverified leftovers first), then (b) the r5-driver-green set.
+# (VERDICT r5 #1). Round-7 window = 3 §2 sentinels + the r6 window minus 9
+# already-r6-verified entries, replaced by the LAST 9 never-driver-verified
+# queries (VERDICT r6 #1) — after this round every registry entry has been
+# driver-verified at least once (tests/test_oracles.py pins the invariant
+# against the committed CORRECTNESS_r*.json artifacts).
 _RAW_QUERIES: dict = {
         # ---- §2 sentinels (keep one per family in every window) ----
         "extract_per_turn": q_extract_per_turn,
@@ -1905,37 +1905,23 @@ _RAW_QUERIES: dict = {
         "winnow_fingerprints": q_winnow_fingerprints,
         "dedup_stream_ingest": q_dedup_stream_ingest,
         # ---- curation family ----
-        "corpus_line_dedup": q_corpus_line_dedup,
-        "corpus_line_dedup_report": q_corpus_line_dedup_report,
         "corpus_decontaminate": q_corpus_decontaminate,
-        "corpus_decontaminate_spans": q_corpus_decontaminate_spans,
-        "corpus_temperature_sample": q_corpus_temperature_sample,
-        "corpus_mixture_sample": q_corpus_mixture_sample,
-        "corpus_splits": q_corpus_splits,
-        "corpus_snapshot_diff": q_corpus_snapshot_diff,
         "corpus_curate": q_corpus_curate,
         "corpus_curate_funnel": q_corpus_curate_funnel,
         # ---- joins / streaming / events ----
         "events_interval_join": q_events_interval_join,
         "events_stream_join": q_events_stream_join,
         "events_stream_enrich": q_events_stream_enrich,
-        "events_pivot_daily": q_events_pivot_daily,
         "events_funnel": q_events_funnel,
-        "events_funnel_census": q_events_funnel_census,
-        "events_hll_daily": q_events_hll_daily,
-        "events_quantiles_approx": q_events_quantiles_approx,
         # ---- multimodal ----
         "multimodal_ppm_decode": q_multimodal_ppm_decode,
         "multimodal_wav_decode": q_multimodal_wav_decode,
-        "multimodal_gif_meta": q_multimodal_gif_meta,
-        "multimodal_features": q_multimodal_features,
         # ---- text scoring / selection ----
         "doc_tfidf_top_terms": q_doc_tfidf_top_terms,
         "doc_unigram_nll": q_doc_unigram_nll,
         "sft_pairs_budget_tokens": q_sft_pairs_budget_tokens,
         "corpus_stratified_sample": q_corpus_stratified_sample,
         "corpus_heavy_hitters": q_corpus_heavy_hitters,
-        "doc_pii_redact": q_doc_pii_redact,
         # ---- similarity / ANN / SemDeDup / DSIR / classifier ----
         "ann_cosine_topk": q_ann_cosine_topk,
         "embedding_incremental_pairs": q_embedding_incremental_pairs,
@@ -1951,22 +1937,40 @@ _RAW_QUERIES: dict = {
         "corpus_dsir_select": q_corpus_dsir_select,
         "corpus_classifier_scores": q_corpus_classifier_scores,
         "ann_index_probe": q_ann_index_probe,
-        # ================= driver window boundary (50) =================
-        # r7 rotation queue: still never driver-verified
-        "ann_index_probe_batch": q_ann_index_probe_batch,
+        # ---- r7 rotation: last-verified r1-r4, outside the 2-artifact
+        # guard horizon (tests/test_oracles.py) ----
         "pdf_payload_extract": q_pdf_payload_extract,
+        "corpus_sample": q_corpus_sample,
+        "doc_length_quantiles": q_doc_length_quantiles,
+        "ann_lsh_buckets": q_ann_lsh_buckets,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        # ---- r7 rotation: the LAST 9 never-driver-verified queries ----
+        "ann_index_probe_batch": q_ann_index_probe_batch,
         "doc_profile": q_doc_profile,
         "source_quality_report": q_source_quality_report,
         "doc_chunks": q_doc_chunks,
         "doc_char_entropy": q_doc_char_entropy,
-        "corpus_sample": q_corpus_sample,
-        "doc_length_quantiles": q_doc_length_quantiles,
         "doc_ppl_buckets": q_doc_ppl_buckets,
-        "ann_lsh_buckets": q_ann_lsh_buckets,
         "ann_ivf_trained": q_ann_ivf_trained,
-        "ann_ivf_topk": q_ann_ivf_topk,
         "events_rolling_7d": q_events_rolling_7d,
         "winnow_similar_pairs": q_winnow_similar_pairs,
+        # ================= driver window boundary (50) =================
+        # displaced this round (driver-green in CORRECTNESS_r06.json)
+        "corpus_temperature_sample": q_corpus_temperature_sample,
+        "corpus_decontaminate_spans": q_corpus_decontaminate_spans,
+        "corpus_line_dedup": q_corpus_line_dedup,
+        "multimodal_gif_meta": q_multimodal_gif_meta,
+        "events_funnel_census": q_events_funnel_census,
+        "corpus_line_dedup_report": q_corpus_line_dedup_report,
+        "corpus_mixture_sample": q_corpus_mixture_sample,
+        "corpus_splits": q_corpus_splits,
+        "corpus_snapshot_diff": q_corpus_snapshot_diff,
+        "events_pivot_daily": q_events_pivot_daily,
+        "events_hll_daily": q_events_hll_daily,
+        "events_quantiles_approx": q_events_quantiles_approx,
+        "multimodal_features": q_multimodal_features,
+        "doc_pii_redact": q_doc_pii_redact,
+        # driver-green in earlier rounds
         # r5-driver-green set (CORRECTNESS_r05.json)
         "extract_kind_rollup": q_extract_kind_rollup,
         "extract_passages": q_extract_passages,
