@@ -808,17 +808,18 @@ def q_dedup_stream_ingest(spark, sf_dir):
     import tempfile
     from engine.datawork.incremental import (stream_dedup_ingest,
                                              write_minhash_index)
-    from engine.spark.streaming import stage_ordered_batches
+    from engine.spark.streaming import stage_partitioned_batches
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    waves = [docs.filter(F.pmod(F.col("doc_id"), F.lit(3)) == w)
-             for w in range(3)]
     root = tempfile.mkdtemp(prefix="spark_graft_stream_ingest_")
     idx, pairs_path = os.path.join(root, "idx"), os.path.join(root, "pairs")
     try:
         write_minhash_index(
             spark.createDataFrame([], "doc_id: long, text: string"), idx)
-        stage_ordered_batches(waves, os.path.join(root, "stage"))
+        # the three waves partition the table, so they stage in ONE write
+        # pass (partitionBy) instead of three filtered scans
+        stage_partitioned_batches(docs, F.pmod(F.col("doc_id"), F.lit(3)),
+                                  3, os.path.join(root, "stage"))
         stream = (spark.readStream.schema(docs.schema)
                   .option("pathGlobFilter", "*.parquet")
                   .option("maxFilesPerTrigger", "1")

@@ -187,10 +187,17 @@ def run_pipeline(spark: SparkSession, input_path: str, output_dir: str,
             wave_df = wave_df.repartition(salt_partitions, F.col("conv_bucket"))
         else:
             wave_df = wave_df.repartition(F.col("conv_bucket"))
-        extracted = (
-            extract_df(wave_df.drop("conv_bucket"), n_buckets, None)
-            .sortWithinPartitions("conv_id", "turn_idx")
-        )
+        # sort BEFORE the extraction map, not after: the map is 1:1 and
+        # order-preserving per partition, so the output clustering is
+        # identical, but the sort moves the narrow transcript rows
+        # (~bytes of text) instead of the wide extracted rows (nested
+        # passages/tables/spans) — at scale the post-extract sort buffers
+        # the heavy rows and spills first (guide §8: move heavy bytes
+        # once; decide order on the light side)
+        extracted = extract_df(
+            wave_df.drop("conv_bucket")
+                   .sortWithinPartitions("conv_id", "turn_idx"),
+            n_buckets, None)
         t_wave = time.monotonic()
         out_sink.append(extracted)
 

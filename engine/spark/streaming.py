@@ -109,6 +109,51 @@ def stage_ordered_batches(dfs, stage_dir: str) -> None:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def stage_partitioned_batches(df, wave_col, n_waves: int,
+                              stage_dir: str) -> None:
+    """``stage_ordered_batches`` for waves that PARTITION one frame: one
+    write pass with ``partitionBy`` instead of one full input scan per
+    wave, then the same explicit-mtime ordering contract. ``wave_col``
+    must evaluate to ints in [0, n_waves). An empty wave still stages an
+    (empty, schema-complete) file so the batch sequence is unchanged."""
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    os.makedirs(stage_dir, exist_ok=True)
+    tmp = tempfile.mkdtemp(prefix="stage_part_")
+    try:
+        (df.withColumn("__wave", wave_col.cast("int"))
+           .repartition(F.col("__wave"))
+           .write.partitionBy("__wave").mode("overwrite").parquet(tmp))
+        base = _time.time()
+        for i in range(n_waves):
+            dst = os.path.join(stage_dir, f"batch-{i:04d}.parquet")
+            wave_dir = os.path.join(tmp, f"__wave={i}")
+            parts = ([p for p in os.listdir(wave_dir)
+                      if p.endswith(".parquet")]
+                     if os.path.isdir(wave_dir) else [])
+            if parts:
+                # one file per wave: each distinct __wave value owns one
+                # post-repartition partition, hence one written file
+                [part] = parts
+                shutil.move(os.path.join(wave_dir, part), dst)
+            else:  # empty wave — stage an empty file with the full schema
+                empty_dir = tempfile.mkdtemp(prefix="stage_empty_")
+                (df.filter(F.lit(False)).coalesce(1)
+                   .write.mode("overwrite").parquet(empty_dir))
+                [part] = [p for p in os.listdir(empty_dir)
+                          if p.endswith(".parquet")]
+                shutil.move(os.path.join(empty_dir, part), dst)
+                shutil.rmtree(empty_dir, ignore_errors=True)
+            os.utime(dst, (base + i * 60,) * 2)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 SESSION_OUT_SCHEMA = ("user_id int, session_id bigint, "
                       "n_events bigint, value_sum double")
 SESSION_STATE_SCHEMA = ("last_ts long, session_id long, "
