@@ -199,7 +199,8 @@ def _keyed_slot(name: str, key_df: DataFrame, builder) -> DataFrame:
     return out
 
 
-def _stage_slot(name: str, df: DataFrame) -> DataFrame:
+def _stage_slot(name: str, df: DataFrame,
+                key_df: DataFrame | None = None) -> DataFrame:
     """LINEAGE-TRUNCATING stage boundary: materialize ``df`` once (eager
     localCheckpoint) and return a frame whose plan is a tiny RDD scan.
 
@@ -212,16 +213,30 @@ def _stage_slot(name: str, df: DataFrame) -> DataFrame:
     never sameSemantics-match. NOTE: truncation drops outputPartitioning
     — use _cache_slot where consumers rely on the cache's partitioning
     (minhash buckets, the LSH base)."""
-    return _keyed_slot(name, df, lambda: df.localCheckpoint(eager=True))
+    # ``key_df``: a cache-state-INDEPENDENT twin of ``df``'s defining
+    # plan, for builders whose plan embeds opportunistically-peeked
+    # caches (the minhash signature slot peeks the shingles slot, so
+    # its build plan changes when another operator fills that cache —
+    # the raw un-peeked plan is the stable identity)
+    return _keyed_slot(name, key_df if key_df is not None else df,
+                       lambda: df.localCheckpoint(eager=True))
 
 
 def _slot_matches(name: str, df: DataFrame) -> bool:
     """True when slot ``name`` already holds a semantically identical plan
-    (i.e. a consumer of this plan would reuse the cache, paying nothing)."""
+    (i.e. a consumer of this plan would reuse the cache, paying nothing).
+    Checks both registries: persisted slots match on the stored plan,
+    keyed (lineage-truncated) slots on their stored KEY plan."""
     key = (df.sparkSession.sparkContext.applicationId, name)
     prev = _CACHE_SLOTS.get(key)
     try:
-        return prev is not None and prev.sameSemantics(df)
+        if prev is not None and prev.sameSemantics(df):
+            return True
+    except Exception:
+        pass
+    kv = _KEYED_SLOTS.get(key)
+    try:
+        return kv is not None and kv[0].sameSemantics(df)
     except Exception:
         return False
 
@@ -474,7 +489,8 @@ def _minhash_sig_slot(df: DataFrame, id_col: str, text_col: str, n: int,
     # lost by dropping outputPartitioning)
     return _stage_slot(
         "minhash_sigs",
-        minhash_signatures(df, id_col, text_col, n, k, shingles_df=sh))
+        minhash_signatures(df, id_col, text_col, n, k, shingles_df=sh),
+        key_df=minhash_signatures(df, id_col, text_col, n, k))
 
 
 def _minhash_bucket_slot(df: DataFrame, id_col: str, text_col: str, n: int,

@@ -177,11 +177,44 @@ def compact_parquet(spark: SparkSession, path: str,
             "bytes_after": sum(p.stat().st_size for p in after)}
 
 
+def recover_rewrite(path: str) -> bool:
+    """Crash recovery for ``atomic_rewrite`` (ADVICE r6 #1): a crash in
+    the swap window leaves the data stranded in ``<name>.prerewrite-*``
+    with nothing at the published path. Call at startup (compaction
+    entrypoints do): if the root is missing and exactly one prerewrite
+    dir exists, restore it and return True. Multiple leftovers abort —
+    that state needs a human."""
+    import shutil
+    from pathlib import Path
+
+    root = Path(path)
+    if root.exists():
+        return False
+    stranded = sorted(root.parent.glob(f"{root.name}.prerewrite-*"))
+    if not stranded:
+        return False
+    if len(stranded) > 1:
+        raise RuntimeError(
+            f"{path} missing with {len(stranded)} .prerewrite-* leftovers "
+            f"— ambiguous crash state, restore manually: {stranded}")
+    shutil.move(str(stranded[0]), str(root))
+    return True
+
+
 def atomic_rewrite(path: str, write_fn) -> dict:
-    """Replace a live parquet directory with a rewritten version, atomically
-    from a reader's perspective: ``write_fn(tmp_path)`` materializes the
-    replacement beside the original, then a rename swap publishes it; the
-    original is moved aside (and restored on swap failure) before removal.
+    """Replace a live parquet directory with a rewritten version:
+    ``write_fn(tmp_path)`` materializes the replacement beside the
+    original, then a rename swap publishes it; the original is moved
+    aside (and restored on swap failure) before removal.
+
+    Concurrency contract (ADVICE r6 #1): single writer, and NO concurrent
+    reader during the swap — between the two renames the published path
+    briefly does not exist, so a reader racing the swap can hit
+    FileNotFound. Run compaction in the maintenance window the module
+    docs already require for appends. A crash inside that window strands
+    the data in ``.prerewrite-*``; ``recover_rewrite`` restores it at
+    startup.
+
     Returns {files,bytes}×{before,after}. The generalized core of
     ``compact_parquet`` for rewrites that also change LAYOUT or fold
     partial rows (index compaction) rather than merely re-bucketing files."""
@@ -189,6 +222,7 @@ def atomic_rewrite(path: str, write_fn) -> dict:
     import uuid
     from pathlib import Path
 
+    recover_rewrite(path)  # restore a prior crash's stranded dir first
     root = Path(path)
     files = [p for p in root.rglob("*.parquet") if p.is_file()]
     if not files:

@@ -139,3 +139,30 @@ def test_compact_parquet_preserves_content_and_partitions(spark, tmp_path):
     import pathlib
     assert any(p.name.startswith("part=") for p in
                pathlib.Path(out).iterdir())
+
+
+def test_atomic_rewrite_crash_recovery(tmp_path, spark):
+    """A crash between atomic_rewrite's two renames leaves the data in
+    .prerewrite-* with nothing published; recover_rewrite restores it,
+    and the next atomic_rewrite call self-recovers too (ADVICE r6 #1)."""
+    import shutil
+
+    from engine.spark.sinks import atomic_rewrite, recover_rewrite
+
+    root = tmp_path / "idx"
+    spark.range(10).write.parquet(str(root))
+    # simulate the crash window: root moved aside, replacement not yet in
+    shutil.move(str(root), str(tmp_path / "idx.prerewrite-deadbeef"))
+    assert not root.exists()
+    assert recover_rewrite(str(root)) is True
+    assert spark.read.parquet(str(root)).count() == 10
+    assert recover_rewrite(str(root)) is False  # no-op when healthy
+
+    # self-recovery on the next rewrite call
+    shutil.move(str(root), str(tmp_path / "idx.prerewrite-cafe0001"))
+    out = atomic_rewrite(
+        str(root),
+        lambda tmp: spark.range(10).coalesce(1)
+        .write.mode("overwrite").parquet(tmp))
+    assert out["files_after"] >= 1
+    assert spark.read.parquet(str(root)).count() == 10
